@@ -1,0 +1,399 @@
+"""The LocustDB-shaped engine API on top of Spark.
+
+Mirrors the public surface of the reference's ``LocustDB`` struct
+(src/locustdb.rs:24-213): ``run_query``, ``load_csv``, ``ingest``,
+``force_flush``, ``table_stats``, ``search_column_names`` — re-expressed
+over SparkSession + Parquet table directories.
+
+Storage model:
+- each table is a directory of Parquet files (``<db>/tables/<name>/``);
+  every flush appends one file == one "partition" in reference terms
+  (src/mem_store/partition.rs).
+- an in-memory row buffer per table plays the role of the reference's
+  write buffer + WAL (src/mem_store/table.rs:27-30); queries see
+  buffered-but-unflushed rows by unioning the buffer onto the Parquet
+  scan (snapshot semantics, table.rs:62-102).
+- ``_meta_tables`` / ``_meta_columns_<t>`` are queryable, like the
+  reference's meta tables (src/scheduler/inner_locustdb.rs:249-299).
+
+Schema evolution: the reference infers per-partition column types and
+promotes String > Float > Int at batch time (src/mem_store/raw_col.rs:58-106).
+Spark wants one schema per table, so we promote to a table-level superset
+type on append and read missing columns as NULL — observably identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dialect import ast
+from .dialect.compiler import CompiledQuery, compile_query
+from .dialect.parser import QueryError, parse
+from .session import get_spark
+from .sources.csv_loader import load_csv_df
+
+# type-promotion lattice: String > Float > Int (raw_col.rs:58-106)
+_RANK = {"null": 0, "int": 1, "float": 2, "str": 3}
+
+
+def _classify(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return "str"
+
+
+_SPARK_TYPE = {"int": T.LongType(), "float": T.DoubleType(), "str": T.StringType(),
+               "null": T.LongType()}
+
+
+class LocustDB:
+    """Python analog of the reference's top-level handle (locustdb.rs:24)."""
+
+    def __init__(
+        self,
+        db_path: str | None = None,
+        spark: SparkSession | None = None,
+        partition_size: int = 65536,
+        partition_combine_factor: int = 4,
+    ):
+        self.spark = spark or get_spark()
+        self.db_path = db_path or os.path.join("/tmp", f"locustdb-{uuid.uuid4().hex}")
+        self.tables_dir = os.path.join(self.db_path, "tables")
+        os.makedirs(self.tables_dir, exist_ok=True)
+        self.partition_size = partition_size
+        self.partition_combine_factor = partition_combine_factor
+        # name -> list[dict] unflushed rows (write buffer / WAL analog)
+        self._buffers: dict[str, list[dict[str, Any]]] = {}
+        # name -> path for externally registered parquet tables
+        self._external: dict[str, str] = {}
+
+    # ------------------------------------------------------------------
+    # table access
+    # ------------------------------------------------------------------
+
+    def _table_path(self, name: str) -> str:
+        return self._external.get(name, os.path.join(self.tables_dir, name))
+
+    def _has_parquet(self, name: str) -> bool:
+        p = self._table_path(name)
+        return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+
+    def table_names(self) -> list[str]:
+        names = set(self._external)
+        if os.path.isdir(self.tables_dir):
+            names.update(
+                d for d in os.listdir(self.tables_dir)
+                if os.path.isdir(os.path.join(self.tables_dir, d))
+            )
+        names.update(self._buffers)
+        return sorted(names)
+
+    def register_parquet(self, name: str, path: str) -> None:
+        """Expose an existing parquet file/dir as a queryable table."""
+        self._external[name] = path
+
+    def snapshot(self, name: str) -> DataFrame:
+        """Consistent view: flushed partitions + unflushed buffer rows
+        (reference table.rs:62-102)."""
+        if name == "_meta_tables":
+            return self._meta_tables_df()
+        if name.startswith("_meta_columns_"):
+            return self._meta_columns_df(name[len("_meta_columns_"):])
+        parts: list[DataFrame] = []
+        if self._has_parquet(name) or name in self._external:
+            # mergeSchema: later partitions may have added columns
+            # (schemaless ingest, reference raw_col.rs:58-106).
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    self._table_path(name)
+                )
+            )
+        buf = self._buffers.get(name)
+        if buf:
+            parts.append(self._buffer_df(name, buf))
+        if not parts:
+            raise QueryError(f"Table `{name}` does not exist.")
+        if len(parts) == 1:
+            return parts[0]
+        return _union_promote(parts)
+
+    # ------------------------------------------------------------------
+    # querying
+    # ------------------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Parse LocustDB-dialect SQL and return the (lazy) DataFrame."""
+        q = parse(query)
+        source = self.snapshot(q.table)
+        return compile_query(q, source).df
+
+    def run_query(self, query: str, explain: bool = False) -> dict[str, Any]:
+        """Run a query, returning a QueryOutput-shaped dict
+        (reference query_task.rs:59-85)."""
+        t0 = time.time()
+        q = parse(query)
+        source = self.snapshot(q.table)
+        compiled: CompiledQuery = compile_query(q, source)
+        rows = [tuple(r) for r in compiled.df.collect()]
+        out: dict[str, Any] = {
+            "colnames": compiled.colnames,
+            "rows": rows,
+            "stats": {"runtime_s": time.time() - t0, "rows_returned": len(rows)},
+        }
+        if explain:
+            out["query_plans"] = compiled.df._jdf.queryExecution().explainString(
+                compiled.df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        return out
+
+    def explain(self, query: str) -> str:
+        q = parse(query)
+        df = compile_query(q, self.snapshot(q.table)).df
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    def search_column_names(self, table: str, pattern: str) -> list[str]:
+        """Regex search over a table's column names (locustdb.rs:156-173)."""
+        import re
+
+        cols = self.snapshot(table).columns
+        rx = re.compile(pattern)
+        return sorted(c for c in cols if rx.search(c))
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+
+    def ingest(self, table: str, rows: Iterable[dict[str, Any]]) -> None:
+        """Row ingestion API (reference table.rs:162-178). Buffered in
+        memory; flushed when the buffer exceeds partition_size rows."""
+        buf = self._buffers.setdefault(table, [])
+        buf.extend(rows)
+        if len(buf) >= self.partition_size:
+            self.force_flush(table)
+
+    def load_csv(
+        self,
+        path: str,
+        table: str,
+        schema: str | None = None,
+        partition_size: int | None = None,
+        allow_nulls: bool = False,
+    ) -> None:
+        """CSV load with the reference's schema DSL
+        (src/ingest/csv_loader.rs, schema.rs:14-60)."""
+        df = load_csv_df(self.spark, path, schema, allow_nulls)
+        self._append_df(table, df, partition_size or self.partition_size)
+
+    def ingest_df(self, table: str, df: DataFrame) -> None:
+        self._append_df(table, df, self.partition_size)
+
+    def force_flush(self, table: str | None = None) -> None:
+        """Flush write buffers to Parquet partitions (WAL flush analog,
+        inner_locustdb.rs:334-430)."""
+        names = [table] if table else list(self._buffers)
+        for name in names:
+            buf = self._buffers.pop(name, None)
+            if not buf:
+                continue
+            self._append_df(name, self._buffer_df(name, buf), self.partition_size)
+
+    def _buffer_df(self, name: str, buf: list[dict[str, Any]]) -> DataFrame:
+        # Infer a buffer-level schema with String > Float > Int promotion
+        # (MixedCol finalize, raw_col.rs:58-106).
+        kinds: dict[str, str] = {}
+        for row in buf:
+            for k, v in row.items():
+                kind = (
+                    "null" if v is None
+                    else "int" if isinstance(v, bool) or isinstance(v, int)
+                    else "float" if isinstance(v, float)
+                    else "str"
+                )
+                if _RANK[kind] > _RANK.get(kinds.get(k, "null"), 0):
+                    kinds[k] = kind
+        fields = [T.StructField(k, _SPARK_TYPE[kinds.get(k, "null")], True)
+                  for k in sorted(kinds)]
+        schema = T.StructType(fields)
+
+        def coerce(row: dict[str, Any]) -> Row:
+            vals = []
+            for f in fields:
+                v = row.get(f.name)
+                if v is not None:
+                    kind = kinds[f.name]
+                    v = str(v) if kind == "str" else (
+                        float(v) if kind == "float" else int(v)
+                    )
+                vals.append(v)
+            return tuple(vals)
+
+        return self.spark.createDataFrame([coerce(r) for r in buf], schema)
+
+    def _append_df(self, table: str, df: DataFrame, partition_size: int) -> None:
+        path = os.path.join(self.tables_dir, table)
+        if self._has_parquet(table):
+            existing_head = self.spark.read.option("mergeSchema", "true").parquet(
+                path
+            ).limit(0)
+            etypes = {f.name: f.dataType for f in existing_head.schema.fields}
+            # If an incoming column's kind conflicts with the stored kind,
+            # promote (String > Float > Int) and rewrite the stored
+            # partitions once — Parquet mergeSchema cannot merge long/double.
+            conflicts = {
+                f.name: _promote(etypes[f.name], f.dataType)
+                for f in df.schema.fields
+                if f.name in etypes and not _same_kind(etypes[f.name], f.dataType)
+            }
+            if conflicts:
+                old = self.spark.read.option("mergeSchema", "true").parquet(path)
+                old = old.select(
+                    *[
+                        F.col(c).cast(conflicts[c]).alias(c) if c in conflicts
+                        else F.col(c)
+                        for c in old.columns
+                    ]
+                )
+                tmp = path + ".promote"
+                old.write.mode("overwrite").parquet(tmp)
+                import shutil
+
+                shutil.rmtree(path)
+                os.rename(tmp, path)
+                etypes = {c: conflicts.get(c, etypes[c]) for c in etypes}
+            df = df.select(
+                *[
+                    F.col(f.name).cast(etypes[f.name]).alias(f.name)
+                    if f.name in etypes and not _same_kind(etypes[f.name], f.dataType)
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        df.write.mode("append").parquet(path)
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def compact(self, table: str, target_file_mb: int = 128) -> None:
+        """Small-partition compaction (reference table.rs:248-298 policy:
+        combine partitions when each < combined/4). Rewrites the table
+        directory with right-sized files."""
+        path = os.path.join(self.tables_dir, table)
+        if not self._has_parquet(table):
+            return
+        df = self.spark.read.parquet(path)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        n = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+        tmp = path + ".compact"
+        df.repartition(int(n)).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def table_stats(self) -> list[dict[str, Any]]:
+        out = []
+        for name in self.table_names():
+            path = self._table_path(name)
+            size = 0
+            files = 0
+            if os.path.isdir(path):
+                for f in os.listdir(path):
+                    if f.endswith(".parquet"):
+                        files += 1
+                        size += os.path.getsize(os.path.join(path, f))
+            out.append({
+                "name": name,
+                "parquet_files": files,
+                "size_on_disk_bytes": size,
+                "buffered_rows": len(self._buffers.get(name, [])),
+            })
+        return out
+
+    # ------------------------------------------------------------------
+    # meta tables (inner_locustdb.rs:249-299)
+    # ------------------------------------------------------------------
+
+    def _meta_tables_df(self) -> DataFrame:
+        names = [n for n in self.table_names() if not n.startswith("_meta")]
+        return self.spark.createDataFrame(
+            [(n,) for n in names], T.StructType([T.StructField("name", T.StringType())])
+        )
+
+    def _meta_columns_df(self, table: str) -> DataFrame:
+        cols = self.snapshot(table).columns
+        return self.spark.createDataFrame(
+            [(table, c) for c in sorted(cols)],
+            T.StructType([
+                T.StructField("table", T.StringType()),
+                T.StructField("column", T.StringType()),
+            ]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# schema promotion helpers
+# ---------------------------------------------------------------------------
+
+
+def _promote(a: T.DataType, b: T.DataType) -> T.DataType:
+    ka, kb = _classify(a), _classify(b)
+    k = ka if _RANK[ka] >= _RANK[kb] else kb
+    return _SPARK_TYPE[k]
+
+
+def _same_kind(a: T.DataType, b: T.DataType) -> bool:
+    return _classify(a) == _classify(b)
+
+
+def _union_promote(parts: list[DataFrame]) -> DataFrame:
+    """unionByName with missing columns allowed + String>Float>Int
+    promotion across differing schemas."""
+    # Compute the promoted superset schema.
+    target: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for df in parts:
+        for f in df.schema.fields:
+            if f.name not in target:
+                target[f.name] = f.dataType
+                order.append(f.name)
+            elif not _same_kind(target[f.name], f.dataType):
+                target[f.name] = _promote(target[f.name], f.dataType)
+    aligned = []
+    for df in parts:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for name in order:
+            if name in have:
+                c = F.col(name)
+                if not _same_kind(have[name], target[name]) or isinstance(
+                    have[name], T.NullType
+                ):
+                    c = c.cast(target[name])
+                cols.append(c.alias(name))
+            else:
+                cols.append(F.lit(None).cast(target[name]).alias(name))
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the LocustDB-on-Spark engine.
+
+Reference behavior being reproduced (cswinter/LocustDB):
+- overflow-checked arithmetic / SUM (src/engine/operators/numeric_operators.rs,
+  query_plan.rs:691-707) -> spark.sql.ansi.enabled=true
+- aggressive per-column compression (src/mem_store/column.rs:116-126) ->
+  Parquet zstd + dictionary + AQE.
+
+Design for scale: these settings are the single place where cluster-level
+tuning lives.  On a real cluster, shuffle partitions should be ~2-3x total
+cores and maxPartitionBytes sized so a task's working set fits in executor
+memory; AQE coalesces and handles skew at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "locustdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    ansi: bool = True,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with the engine's tuned defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # this is what turns a static 32-partition plan into a sane one.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas_udf path (dedup/similarity/multimodal ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet encodings ~= LocustDB's dict/delta/lz4/pco column codecs.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Overflow parity: checked arithmetic like the reference engine.
+        .config("spark.sql.ansi.enabled", str(ansi).lower())
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
