@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Scale design (the part that matters at 100 TB):
+
+- Exact dedup is a hash + groupBy — one shuffle on the content hash,
+  which AQE splits if a pathological hash is skewed.
+- MinHash signatures are computed WITHOUT exploding shingles: the
+  shingle array is built per row with `sequence`/`transform` and each
+  of the k hash lanes is an `array_min` over a `transform` — a pure
+  projection, zero shuffle, fully whole-stage-codegen'd JVM work.
+  At 1000 executors this scales embarrassingly: signature cost is
+  O(doc_len * k) per row with no data movement.
+- LSH banding shuffles only (band_id, doc_id) pairs — a few dozen
+  bytes per doc — never the documents themselves. The candidate-pair
+  self-join joins on band buckets; bucket sizes are bounded by the
+  band width, and the final Jaccard check joins back to the (small)
+  signature table, not the raw text.
+- All hashes are md5-based and engine-portable (identical results in
+  Spark and DuckDB), so every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit portable hash: conv(substr(md5(x), 1, 15), 16, 10)
+# == DuckDB ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+
+def portable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB."""
+    if seed is not None:
+        col = F.concat(col, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, content_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-hash the content, return one row per content
+    hash with its duplicate count and the minimum (representative) id.
+
+    A 100 TB run shuffles only (hash, id): the content never moves.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"),
+                  F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document MinHash signature, one column per hash lane.
+
+    Zero-shuffle: shingling and the k min-hash lanes are all column
+    expressions evaluated in one projection over the scan.
+    """
+    # Spread a few-files input across all cores: shingle hashing is
+    # CPU-bound and a single parquet file would otherwise pin the whole
+    # corpus to one task. At real scale the input already has many splits.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (shingle_k - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(shingle_k)),
+    )
+
+    def lane_fn(seed: str):
+        # one-param lambda — a 2-param lambda would be treated as the
+        # (element, index) transform variant.
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(s, F.lit(seed))), 1, 15), 16, 10
+        ).cast("long")
+
+    # materialize the shingle array once, then derive every hash lane
+    # from it — otherwise each lane re-runs the shingling transform
+    shingled = df.select(F.col(id_col), sh.alias("_shingles"))
+    cols = [F.col(id_col)]
+    for j in range(num_hashes):
+        lane = F.array_min(F.transform(F.col("_shingles"), lane_fn(f"#{j}")))
+        cols.append(lane.alias(f"mh{j}"))
+    return shingled.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over a MinHash signature table -> candidate pairs.
+
+    Documents sharing any band (a concatenation of rows_per_band
+    lanes) become a candidate pair. Only (band_value, id) tuples are
+    shuffled. Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rpb = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        lanes = [F.col(f"mh{j}").cast("string")
+                 for j in range(b * rpb, (b + 1) * rpb)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *lanes).alias("band_val"),
+            )
+        )
+    all_bands = band_rows[0]
+    for r in band_rows[1:]:
+        all_bands = all_bands.unionByName(r)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens.
+
+    bit b of the hash is set when sum over tokens of (+1 if bit b of
+    the token's 32-bit hash else -1) > 0. Pure projection, no shuffle.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+    def vote_fn(mask: int):
+        # NB: the merge lambda must take exactly 2 params — pyspark treats a
+        # 3-param lambda as the (acc, x, idx) variant.
+        return lambda acc, t: acc + F.when(
+            tok_hash(t).bitwiseAND(F.lit(mask)) > 0, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(1 << b))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(0).cast("long"))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    Joins the (small) candidate-pair table back to per-doc shingle-set
+    arrays; the set algebra (array_intersect/array_union on distinct
+    n-grams) is evaluated map-side after the join. At scale the
+    candidate table is orders of magnitude smaller than the corpus, so
+    this is two broadcast-ish joins, never a corpus self-join.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    doc_grams = df.select(F.col(id_col).alias("gid"), grams.alias("grams"))
+    out = (
+        candidate_pairs.join(
+            doc_grams.select(F.col("gid").alias("id_a"),
+                             F.col("grams").alias("grams_a")),
+            "id_a",
+        )
+        .join(
+            doc_grams.select(F.col("gid").alias("id_b"),
+                             F.col("grams").alias("grams_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.greatest(F.size(F.array_union("grams_a", "grams_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+- Brute-force top-k is a single projection (zip_with dot product over
+  the scan) followed by TakeOrderedAndProject — no shuffle of vectors,
+  only the per-partition top-k rows reach the driver. At 100 TB this
+  is scan-bound, which is the right bound for a one-off query.
+- For repeated queries, `hyperplane_buckets` assigns every vector an
+  LSH bucket from deterministic md5-derived random hyperplanes; an ANN
+  query then probes only its own bucket (a partition-prunable filter
+  when the table is written bucketed/partitioned by `bucket`). The
+  hyperplanes are pseudo-random ±1 per (plane, dim) derived from md5,
+  so bucketing is reproducible in any engine (oracle-checkable).
+- Everything is built-in expression work (JVM, codegen). No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _plane_sign(plane: int, dim_index: Column) -> Column:
+    """Deterministic ±1 for (plane, dim): parity of a byte of
+    md5('p<plane>_d<dim>') — portable to any engine with md5."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"p{plane}_d"), dim_index.cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit p = (v . hyperplane_p) >= 0.
+
+    Output: (id, bucket) — at scale, write the table partitioned by
+    bucket so an ANN probe prunes to 1/2^planes of the data.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def proj_fn(p: int):
+        # keep the merge lambda at exactly 2 params (3-param lambdas are
+        # dispatched to the indexed HOF variant by pyspark)
+        return lambda acc, i: acc + F.element_at(vec, i + 1) * _plane_sign(p, i)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        proj = F.aggregate(idx, F.lit(0.0), proj_fn(p))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN: restrict brute-force cosine to the query's LSH bucket."""
+    import hashlib
+
+    qbucket = 0
+    for p in range(num_planes):
+        proj = 0.0
+        for i, v in enumerate(query_vec):
+            h = int(hashlib.md5(f"p{p}_d{i}".encode()).hexdigest()[:2], 16)
+            proj += float(v) * (1.0 if h % 2 == 0 else -1.0)
+        if proj >= 0:
+            qbucket |= 1 << p
+    with_buckets = hyperplane_buckets(df, num_planes, vec_col, id_col)
+    candidates = df.join(
+        with_buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col
+    )
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col, round_to)

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All operators are pure column expressions (JVM-side, codegen,
+zero-shuffle per row) and deterministic, so each has an exact SQL
+oracle. At 100 TB each is a map-only pass over the corpus — the ideal
+shape; any aggregation the caller adds on top (e.g. lang histograms)
+shuffles only tiny derived columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "es": ["el", "los", "que", "de", "es"],
+    "fr": ["le", "les", "des", "et", "est"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish token regex: letter runs, digit runs, or single non-space symbol
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def _marker_count(text: Column, markers: list[str]) -> Column:
+    toks = _tokens(text)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: argmax of marker-stopword hits per
+    language; ties break by language-code order; no hits -> 'und'."""
+    text = F.col(text_col)
+    scores = [(lang, _marker_count(text, m)) for lang, m in sorted(LANG_MARKERS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # build reverse so earlier languages win ties
+    for lang, score in reversed(scores):
+        pred = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cheap quality features + a composite score:
+    token count, mean token length, stopword ratio, alpha ratio.
+    score = stopword_ratio * 0.5 + min(n_tokens/256, 1) * 0.5
+    (rounded for engine-portable comparison)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+
+    def trunc6(c: Column) -> Column:
+        # floor-truncate to 6 decimals: unlike round(), floor agrees
+        # across engines at exact half-way values (no HALF_UP vs
+        # HALF_EVEN divergence), and the inputs here are bit-identical
+        # left-to-right fp computations in any engine.
+        return F.floor(c * 1000000) / 1000000
+
+    mean_tok_len = trunc6(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / F.greatest(n_tokens, F.lit(1)).cast("double")
+    )
+    raw_stop_ratio = _marker_count(text, STOPWORDS) / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    stop_ratio = trunc6(raw_stop_ratio)
+    alpha_ratio = trunc6(
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) /
+        F.greatest(F.length(text), F.lit(1)).cast("double")
+    )
+    score = trunc6(
+        raw_stop_ratio * 0.5 + F.least(n_tokens / F.lit(256.0), F.lit(1.0)) * 0.5
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("re_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum 60-bit hash over all
+    `window`-char shingles of the lowercased text, plus the full-text
+    md5. Near-identical docs share the min-shingle fingerprint with
+    high probability; identical docs share content_md5."""
+    text = F.lower(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (window - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(window)),
+    )
+    min_hash = F.array_min(
+        F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        min_hash.alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )

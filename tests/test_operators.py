@@ -1,0 +1,154 @@
+"""Unit tests for the LLM-pipeline operators (dedup / similarity /
+text / multimodal) against the sf0.001 testdata, with known-value
+checks computed independently in Python."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA_SF
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+
+
+def _py_hash64(s: str, seed: int | None = None) -> int:
+    if seed is not None:
+        s = f"{s}#{seed}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_exact_duplicates(docs):
+    from locustdb_spark.operators.dedup import exact_duplicates
+
+    out = exact_duplicates(docs).collect()
+    assert len(out) == docs.count()  # no dups in synthetic corpus
+    row = next(r for r in out if r.keep_id == 0)
+    text0 = docs.filter(F.col("doc_id") == 0).head().text
+    assert row.content_hash == hashlib.md5(text0.encode()).hexdigest()
+    assert row.dup_count == 1
+
+
+def test_minhash_matches_python(docs, spark):
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    row = (
+        minhash_signatures(docs, num_hashes=2)
+        .filter(F.col("doc_id") == 0).head()
+    )
+    text = docs.filter(F.col("doc_id") == 0).head().text.lower()
+    shingles = [text[i:i + 5] for i in range(max(len(text) - 4, 1))]
+    for j in (0, 1):
+        expected = min(_py_hash64(s, j) for s in shingles)
+        assert row[f"mh{j}"] == expected
+
+
+def test_lsh_pairs_symmetric_and_ordered(docs):
+    from locustdb_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    sigs = minhash_signatures(docs, num_hashes=4)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=4, bands=2).collect()
+    assert all(p.id_a < p.id_b for p in pairs)
+    assert len({(p.id_a, p.id_b) for p in pairs}) == len(pairs)
+
+
+def test_simhash_bits_deterministic(docs):
+    from locustdb_spark.operators.dedup import simhash
+
+    out = simhash(docs, bits=8).limit(5).collect()
+    for r in out:
+        assert 0 <= r.simhash < 256
+
+
+def test_ngram_jaccard_self_pair(docs, spark):
+    """A document paired with itself must have jaccard 1.0."""
+    from locustdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
+    out = ngram_jaccard_pairs(docs, pairs).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_cosine_topk_self_first(emb):
+    from locustdb_spark.operators.similarity import cosine_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0].vec_id == 0 and top[0].cosine_sim == 1.0
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_contains_self(emb):
+    from locustdb_spark.operators.similarity import ann_lsh_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    top = ann_lsh_topk(emb, q, k=5, num_planes=4).collect()
+    assert top[0].vec_id == 0
+
+
+def test_hyperplane_buckets_range(emb):
+    from locustdb_spark.operators.similarity import hyperplane_buckets
+
+    out = hyperplane_buckets(emb, num_planes=4)
+    assert out.filter((F.col("bucket") < 0) | (F.col("bucket") > 15)).count() == 0
+
+
+def test_language_id_schema_and_domain(docs):
+    from locustdb_spark.operators.text import LANG_MARKERS, language_id
+
+    out = language_id(docs)
+    langs = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
+    assert langs <= set(LANG_MARKERS) | {"und"}
+
+
+def test_quality_score_bounds(docs):
+    from locustdb_spark.operators.text import quality_score
+
+    out = quality_score(docs)
+    bad = out.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+        | (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_token_counts_consistency(docs):
+    from locustdb_spark.operators.text import token_counts
+
+    row = token_counts(docs).filter(F.col("doc_id") == 1).head()
+    text = docs.filter(F.col("doc_id") == 1).head().text
+    assert row.ws_tokens == len([t for t in text.lower().split(" ") if t])
+    assert row.n_chars == len(text)
+
+
+def test_fingerprint_deterministic(docs):
+    from locustdb_spark.operators.text import fingerprint
+
+    a = fingerprint(docs).filter(F.col("doc_id") == 2).head()
+    b = fingerprint(docs).filter(F.col("doc_id") == 2).head()
+    assert a.fingerprint == b.fingerprint and a.content_md5 == b.content_md5
+
+
+def test_multimodal_decode_stub(docs):
+    from locustdb_spark.operators.multimodal import (
+        decode_image_stub, with_binary_payload)
+
+    payload = with_binary_payload(docs)
+    assert dict(payload.dtypes)["payload"] == "binary"
+    out = decode_image_stub(payload).filter(F.col("doc_id") == 3).head()
+    text = docs.filter(F.col("doc_id") == 3).head().text
+    h = hashlib.md5(text.encode()).hexdigest()
+    assert out.n_bytes == len(text.encode())
+    assert out.width == int(h[:4], 16) % 1024 + 1
+    assert out.height == int(h[4:8], 16) % 1024 + 1
+    assert out.format == "fake/rgb"
