@@ -1,0 +1,158 @@
+"""Structured Streaming surface: continuous ingestion + streaming
+analytics.
+
+The reference's "streaming" is continuous ingestion only — an HTTP
+endpoint appends event buffers under a WAL and a background thread
+batches them into partitions (reference src/scheduler/
+inner_locustdb.rs:236-430). Here that maps to Structured Streaming
+micro-batches appended to the table directory via foreachBatch, with
+the stream checkpoint playing the WAL's role (exactly-once append on
+restart).
+
+Beyond the reference we expose real streaming analytics, which Spark
+gives us natively: watermarked event-time windows and a custom
+stateful operator (sessionization via applyInPandasWithState).
+
+Scale notes: foreachBatch appends parquet per micro-batch — at high
+rates pair it with the engine's `compact()` maintenance job (small-
+file compaction, reference table.rs:248-298). Windowed aggregations
+shuffle only (key, window) partials; state store size is bounded by
+the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_ingest_json(
+    db,
+    source_dir: str,
+    table: str,
+    schema: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously ingest JSON files from `source_dir` into `table`.
+
+    The checkpoint directory is the WAL analog: a micro-batch is either
+    fully appended and committed or replayed on restart.
+    Returns the StreamingQuery.
+    """
+    stream = (
+        db.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .json(source_dir)
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        db.ingest_df(table, batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event stream.
+    Late rows beyond the watermark are dropped; state is bounded."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n int"
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    an inactivity gap, via applyInPandasWithState (reference has no
+    analog — its streams are ingest-only)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts_values: list[int] = []
+        for pdf in pdfs:
+            ts_values.extend(
+                int(t.timestamp()) for t in pd.to_datetime(pdf[ts_col])
+            )
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                    "closed": [True],
+                }
+            )
+            return
+        ts_values.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_values[0], ts_values[0], 0
+        out_rows = []
+        for t in ts_values:
+            if t - last > gap_seconds:
+                out_rows.append((user_id, start, last, n, True))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out_rows],
+                    "session_start": [pd.Timestamp(r[1], unit="s")
+                                      for r in out_rows],
+                    "session_end": [pd.Timestamp(r[2], unit="s")
+                                    for r in out_rows],
+                    "n_events": [r[3] for r in out_rows],
+                    "closed": [r[4] for r in out_rows],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,108 @@
+"""Streaming-surface tests: micro-batch JSON ingestion (WAL-analog
+checkpointing), watermarked windowed aggregation, and the stateful
+sessionization operator — all driven with availableNow triggers so
+they run bounded."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from locustdb_spark import LocustDB
+
+
+@pytest.fixture()
+def stream_db(spark, tmp_path):
+    return LocustDB(db_path=str(tmp_path / "db"), spark=spark)
+
+
+def write_json(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_ingest_json(stream_db, tmp_path):
+    from locustdb_spark.streaming.streams import stream_ingest_json
+
+    src = tmp_path / "incoming"
+    write_json(str(src / "a.json"),
+               [{"host": "a", "cpu": 0.5}, {"host": "b", "cpu": 0.7}])
+    write_json(str(src / "b.json"), [{"host": "c", "cpu": 0.9}])
+
+    q = stream_ingest_json(
+        stream_db, str(src), "metrics", "host string, cpu double",
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = stream_db.run_query("SELECT host, cpu FROM metrics ORDER BY host")
+    assert out["rows"] == [("a", 0.5), ("b", 0.7), ("c", 0.9)]
+
+    # restart with the same checkpoint: no duplicate ingestion (WAL parity)
+    q2 = stream_ingest_json(
+        stream_db, str(src), "metrics", "host string, cpu double",
+        str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    out2 = stream_db.run_query("SELECT host, cpu FROM metrics ORDER BY host")
+    assert out2["rows"] == out["rows"]
+
+    # new file arrives -> next run picks up only the delta
+    write_json(str(src / "c.json"), [{"host": "d", "cpu": 1.0}])
+    q3 = stream_ingest_json(
+        stream_db, str(src), "metrics", "host string, cpu double",
+        str(tmp_path / "ckpt"))
+    q3.awaitTermination(120)
+    assert stream_db.run_query("SELECT count(0) FROM metrics")["rows"] == [(4,)]
+
+
+def test_windowed_counts_batch_semantics(spark):
+    """Windowed agg logic validated in batch mode (same expression)."""
+    from locustdb_spark.streaming.streams import windowed_counts
+
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:55:00", "click", 2.0),
+        ("2024-01-01 11:05:00", "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r.window_start), r.event_type): (r.cnt, r.sum_value)
+           for r in windowed_counts(df).collect()}
+    assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from locustdb_spark.streaming.streams import sessionize
+
+    src = tmp_path / "events"
+    write_json(
+        str(src / "e.json"),
+        [
+            {"ts": "2024-01-01 10:00:00", "user_id": 1},
+            {"ts": "2024-01-01 10:10:00", "user_id": 1},
+            # > 30 min gap -> first session closes
+            {"ts": "2024-01-01 11:00:00", "user_id": 1},
+            {"ts": "2024-01-01 10:00:00", "user_id": 2},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("ts string, user_id long")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    sessions = sessionize(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT user_id, n_events FROM sessions_out ORDER BY user_id"
+    ).collect()
+    # user 1's first session (2 events) closed by the 11:00 event
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 2)]
