@@ -76,9 +76,28 @@ def main() -> None:
     spark = get_spark(app_name="locustdb-spark-bench")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     db = LocustDB(spark=spark)
+    # The reference benches fully-RAM-resident tables (BASELINE.md
+    # config: in-memory, mem_lz4), so cache each table. Partition count
+    # is sized to the data, not the core count: tiny SFs get few fat
+    # partitions (task-scheduling overhead dominates below ~50 MB/task);
+    # at cluster scale the same rule yields one task per ~128 MB split.
     tables = ("lineitem", "orders", "customer", "documents", "embeddings")
+    total_mb = 0.0
     for t in tables:
-        db.register_parquet(t, f"{SF_DIR}/{t}.parquet")
+        path = f"{SF_DIR}/{t}.parquet"
+        total_mb += os.path.getsize(path) / 1e6
+        nparts = max(2, min(32, int(os.path.getsize(path) / 2e6)))
+        df = spark.read.parquet(path).repartition(nparts).cache()
+        df.count()
+        db.register_df(t, df)
+    # Shuffles over cached sub-GB inputs: a handful of partitions keeps
+    # stage latency low, and AQE's stage-by-stage re-planning costs more
+    # than it saves when every shuffle is already tiny — its value
+    # (coalescing / skew splitting of multi-GB shuffles) only exists at
+    # cluster scale, so disable it below ~1 GB of input.
+    if total_mb < 1000:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     timings: dict[str, float] = {}
 
@@ -102,13 +121,13 @@ def main() -> None:
     def minhash_df():
         from locustdb_spark.operators.dedup import minhash_signatures
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = db.snapshot("documents")
         return minhash_signatures(docs, num_hashes=8)
 
     def cosine_df():
         from locustdb_spark.operators.similarity import cosine_topk
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = db.snapshot("embeddings")
         q = [float(x)
              for x in emb.filter(F.col("vec_id") == 0).head().embedding]
         return cosine_topk(emb, q, k=10)

@@ -78,6 +78,8 @@ class LocustDB:
         self._buffers: dict[str, list[dict[str, Any]]] = {}
         # name -> path for externally registered parquet tables
         self._external: dict[str, str] = {}
+        # name -> DataFrame for registered (possibly cached) views
+        self._views: dict[str, DataFrame] = {}
 
     # ------------------------------------------------------------------
     # table access
@@ -91,7 +93,7 @@ class LocustDB:
         return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
 
     def table_names(self) -> list[str]:
-        names = set(self._external)
+        names = set(self._external) | set(self._views)
         if os.path.isdir(self.tables_dir):
             names.update(
                 d for d in os.listdir(self.tables_dir)
@@ -104,6 +106,12 @@ class LocustDB:
         """Expose an existing parquet file/dir as a queryable table."""
         self._external[name] = path
 
+    def register_df(self, name: str, df: DataFrame) -> None:
+        """Expose a DataFrame (e.g. a cached in-memory table) as a
+        queryable table — the analog of the reference's fully-resident
+        in-memory tables (BASELINE.md benchmark config)."""
+        self._views[name] = df
+
     def snapshot(self, name: str) -> DataFrame:
         """Consistent view: flushed partitions + unflushed buffer rows
         (reference table.rs:62-102)."""
@@ -112,7 +120,9 @@ class LocustDB:
         if name.startswith("_meta_columns_"):
             return self._meta_columns_df(name[len("_meta_columns_"):])
         parts: list[DataFrame] = []
-        if self._has_parquet(name) or name in self._external:
+        if name in self._views:
+            parts.append(self._views[name])
+        elif self._has_parquet(name) or name in self._external:
             # mergeSchema: later partitions may have added columns
             # (schemaless ingest, reference raw_col.rs:58-106).
             parts.append(

@@ -30,6 +30,17 @@ def get_spark(
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with the engine's tuned defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Python workers must be able to import this package (colgen /
+    # pipeline operators ship generator objects to executors). Locally
+    # that means the package root on PYTHONPATH (workers inherit the
+    # driver's environment); on a real cluster, distribute the package
+    # with --py-files / pip instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
