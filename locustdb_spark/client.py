@@ -1,0 +1,160 @@
+"""HTTP logging/query client (reference src/logging_client/mod.rs).
+
+`LoggingClient.log(table, row)` appends to an in-memory event buffer; a
+background thread flushes the buffer to the server's /insert_bin every
+`flush_interval` seconds (reference BackgroundWorker, mod.rs:32-41,
+run-loop mod.rs:130+). When the buffer exceeds `max_buffer_size_bytes`:
+`BufferFullPolicy.BLOCK` makes `log()` wait for the next flush,
+`BufferFullPolicy.DROP` discards the event (mod.rs:50-53 / the
+reference's Block/Drop enum). `query`/`multi_query`/`columns` are thin
+wrappers over the corresponding endpoints (JSON responses only — no
+xor-float binary encoding)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+from enum import Enum
+from typing import Any
+
+
+class BufferFullPolicy(Enum):
+    BLOCK = "block"
+    DROP = "drop"
+
+
+class RequestError(Exception):
+    def __init__(self, status_code: int, msg: str):
+        super().__init__(f"HTTP {status_code}: {msg}")
+        self.status_code = status_code
+        self.msg = msg
+
+
+def _post(url: str, payload: Any, timeout: float = 60.0,
+          bearer_token: str | None = None) -> Any:
+    data = json.dumps(payload).encode()
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    if bearer_token:
+        req.add_header("Authorization", f"Bearer {bearer_token}")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as e:
+        raise RequestError(e.code, e.read().decode(errors="replace")) from e
+
+
+class LoggingClient:
+    def __init__(
+        self,
+        url: str,
+        flush_interval: float = 1.0,
+        max_buffer_size_bytes: int = 64 * (1 << 20),
+        buffer_full_policy: BufferFullPolicy = BufferFullPolicy.BLOCK,
+        bearer_token: str | None = None,
+    ):
+        self.url = url.rstrip("/")
+        self.flush_interval = flush_interval
+        self.max_buffer_size_bytes = max_buffer_size_bytes
+        self.buffer_full_policy = buffer_full_policy
+        self.bearer_token = bearer_token
+        self.total_events = 0
+        self.dropped_events = 0
+        self._buffer: dict[str, dict[str, list]] = {}
+        self._buffer_bytes = 0
+        self._lock = threading.Lock()
+        self._flushed = threading.Condition(self._lock)
+        self._shutdown = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------ logging
+    def log(self, table: str, row: dict[str, Any]) -> None:
+        """Buffer one event; sets a `timestamp` column if absent
+        (the reference stamps events server-side on ingest)."""
+        row = dict(row)
+        row.setdefault("timestamp", time.time())
+        approx = sum(len(str(k)) + len(str(v)) + 16 for k, v in row.items())
+        with self._lock:
+            while (
+                self._buffer_bytes + approx > self.max_buffer_size_bytes
+                and not self._shutdown.is_set()
+            ):
+                if self.buffer_full_policy is BufferFullPolicy.DROP:
+                    self.dropped_events += 1
+                    return
+                self._flushed.wait(timeout=self.flush_interval)
+            cols = self._buffer.setdefault(table, {})
+            n = max((len(v) for v in cols.values()), default=0)
+            for k in row:
+                cols.setdefault(k, [None] * n)
+            for k, vals in cols.items():
+                vals.append(row.get(k))
+            self._buffer_bytes += approx
+            self.total_events += 1
+
+    def flush(self, timeout: float = 30.0) -> None:
+        """Block until the current buffer has been sent."""
+        deadline = time.time() + timeout
+        with self._lock:
+            while self._buffer and time.time() < deadline:
+                self._flushed.wait(timeout=0.1)
+
+    def close(self) -> None:
+        self.flush()
+        self._shutdown.set()
+        self._worker.join(timeout=10)
+
+    def _run(self) -> None:
+        while not self._shutdown.is_set():
+            time.sleep(self.flush_interval)
+            self._flush_once()
+        self._flush_once()
+
+    def _flush_once(self) -> None:
+        with self._lock:
+            if not self._buffer:
+                return
+            payload = {"tables": {
+                t: {"columns": cols} for t, cols in self._buffer.items()
+            }}
+            self._buffer = {}
+            self._buffer_bytes = 0
+        try:
+            _post(f"{self.url}/insert_bin", payload,
+                  bearer_token=self.bearer_token)
+        except Exception:  # noqa: BLE001 — reference logs & retains
+            # put events back so they are retried on the next tick
+            with self._lock:
+                for t, tbuf in payload["tables"].items():
+                    cols = self._buffer.setdefault(t, {})
+                    for c, vals in tbuf["columns"].items():
+                        cols.setdefault(c, []).extend(vals)
+                self._buffer_bytes = self.max_buffer_size_bytes // 2
+            return
+        with self._lock:
+            self._flushed.notify_all()
+
+    # ------------------------------------------------------------ queries
+    def query(self, sql: str) -> dict:
+        return _post(f"{self.url}/query", {"query": sql},
+                     bearer_token=self.bearer_token)
+
+    def multi_query(self, queries: list[str]) -> list[dict]:
+        return _post(f"{self.url}/multi_query_cols", {"queries": queries},
+                     bearer_token=self.bearer_token)
+
+    def columns(self, tables: list[str], pattern: str | None = None,
+                limit: int | None = None, offset: int | None = None) -> dict:
+        req: dict[str, Any] = {"tables": tables}
+        if pattern is not None:
+            req["pattern"] = pattern
+        if limit is not None:
+            req["limit"] = limit
+        if offset is not None:
+            req["offset"] = offset
+        return _post(f"{self.url}/columns", req,
+                     bearer_token=self.bearer_token)

@@ -321,21 +321,47 @@ class LocustDB:
         os.rename(tmp, path)
 
     def table_stats(self) -> list[dict[str, Any]]:
+        """Reference TableStats shape (table.rs / server /tables):
+        rows, batches (= parquet files), batches_bytes, buffer_length,
+        buffer_bytes. Row counts come from parquet footers (no scan)."""
+        import pyarrow.parquet as pq
+
         out = []
         for name in self.table_names():
             path = self._table_path(name)
             size = 0
             files = 0
-            if os.path.isdir(path):
-                for f in os.listdir(path):
-                    if f.endswith(".parquet"):
-                        files += 1
-                        size += os.path.getsize(os.path.join(path, f))
+            rows = 0
+            candidates = []
+            if os.path.isfile(path):
+                candidates = [path]
+            elif os.path.isdir(path):
+                candidates = [os.path.join(path, f)
+                              for f in os.listdir(path)
+                              if f.endswith(".parquet")]
+            for f in candidates:
+                files += 1
+                size += os.path.getsize(f)
+                try:
+                    rows += pq.ParquetFile(f).metadata.num_rows
+                except Exception:  # noqa: BLE001 — non-parquet stray file
+                    pass
+            buf = self._buffers.get(name, [])
+            buffer_bytes = sum(
+                len(str(k)) + len(str(v)) + 16
+                for r in buf for k, v in r.items()
+            )
             out.append({
                 "name": name,
+                "rows": rows + len(buf),
+                "batches": files,
+                "batches_bytes": size,
+                "buffer_length": len(buf),
+                "buffer_bytes": buffer_bytes,
+                # back-compat aliases
                 "parquet_files": files,
                 "size_on_disk_bytes": size,
-                "buffered_rows": len(self._buffers.get(name, [])),
+                "buffered_rows": len(buf),
             })
         return out
 

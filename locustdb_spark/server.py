@@ -1,0 +1,265 @@
+"""HTTP façade over the engine, mirroring the reference server's API
+surface (reference src/server/mod.rs:51-465):
+
+    POST /query             {"query": sql} -> {colnames, rows, stats}
+    POST /query_cols        {"query": sql} -> {colnames, cols, stats}
+    POST /multi_query_cols  {"queries": [sql, ...]} -> [above, ...]
+    POST /columns           {"tables": [...], "pattern"?, "limit"?,
+                             "offset"?} -> {columns, offset, len}
+    POST /insert_bin        JSON event buffer (see below) -> {"status": "ok"}
+    POST /echo              body echoed back
+    GET  /tables            plain-text table stats
+    GET  /table/<name>      minimal HTML page listing the table's columns
+    GET  /metrics           Prometheus text format
+
+Divergence from the reference: /insert_bin takes a JSON event buffer
+    {"tables": {name: {"columns": {col: [v, ...], ...}}}}
+(the reference uses a capnp binary EventBuffer,
+locustdb-serialization/src/event_buffer.rs:92-101 — same nested
+tables->columns->values shape, different wire encoding; JSON is the
+Python-native equivalent and keeps the route/semantics identical).
+/multi_query_cols supports only the JSON response (no xor-float binary
+encoding, server/mod.rs:252-287).
+
+Error mapping follows map_err_response (server/mod.rs:321-331):
+NotImplemented -> 501, other query errors -> 400, crashes -> 500.
+
+Scale note: the façade is a thin control plane — every query still
+executes distributed in Spark; the server only shapes results. For
+many concurrent clients run several façades over one SparkSession
+(scheduler pools), or front with Spark Connect.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from collections import Counter, defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .dialect.parser import NotImplementedQueryError
+from .engine import LocustDB, QueryError
+
+
+class Metrics:
+    """Minimal Prometheus-text metrics registry (reference /metrics,
+    server/mod.rs:367-394, backed by the prometheus crate)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.counters: Counter = Counter()
+        self.histograms: dict[str, list[float]] = defaultdict(list)
+
+    def inc(self, name: str, by: float = 1.0) -> None:
+        with self._lock:
+            self.counters[name] += by
+
+    def observe(self, name: str, value: float) -> None:
+        with self._lock:
+            self.histograms[name].append(value)
+
+    def render(self) -> str:
+        out = []
+        with self._lock:
+            for name, v in sorted(self.counters.items()):
+                out.append(f"# TYPE {name} counter")
+                out.append(f"{name} {v}")
+            for name, vals in sorted(self.histograms.items()):
+                out.append(f"# TYPE {name} summary")
+                out.append(f"{name}_count {len(vals)}")
+                out.append(f"{name}_sum {sum(vals)}")
+        return "\n".join(out) + "\n"
+
+
+def _to_json_val(v):
+    if hasattr(v, "item"):  # numpy scalar
+        v = v.item()
+    return v
+
+
+def _rows_output(result: dict) -> dict:
+    return {
+        "colnames": result["colnames"],
+        "rows": [[_to_json_val(v) for v in row] for row in result["rows"]],
+        "stats": result["stats"],
+    }
+
+
+def _cols_output(result: dict) -> dict:
+    """Column-major shaping (reference query_output_to_json_cols,
+    server/mod.rs:400-425)."""
+    cols: dict[str, list] = {}
+    names = result["colnames"]
+    rows = result["rows"]
+    for i, name in enumerate(names):
+        cols[name] = [_to_json_val(r[i]) for r in rows]
+    return {"colnames": names, "cols": cols, "stats": result["stats"]}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "locustdb-spark"
+    db: LocustDB  # set on the server class
+    metrics: Metrics
+
+    # ----------------------------------------------------------- helpers
+    def _send(self, code: int, body, content_type="application/json"):
+        data = (
+            json.dumps(body).encode()
+            if content_type == "application/json"
+            else body.encode()
+        )
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _read_body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n)
+
+    def _run_query(self, sql: str) -> dict:
+        t0 = time.time()
+        result = self.db.run_query(sql)
+        self.metrics.observe("query_seconds", time.time() - t0)
+        self.metrics.inc("queries_total")
+        return result
+
+    def log_message(self, fmt, *args):  # silence default stderr spam
+        pass
+
+    # ------------------------------------------------------------- GET
+    def do_GET(self):
+        try:
+            if self.path == "/tables":
+                self._tables()
+            elif self.path.startswith("/table/"):
+                self._table_page(self.path[len("/table/"):])
+            elif self.path == "/metrics":
+                self._send(200, self.metrics.render(),
+                           "text/plain; version=0.0.4")
+            else:
+                self._send(404, {"error": "not found"})
+        except Exception as e:  # noqa: BLE001
+            self._send(500, {"error": str(e)})
+
+    def _tables(self):
+        stats = self.db.table_stats()
+        total_rows = sum(t["rows"] for t in stats)
+        total_bytes = sum(t["batches_bytes"] + t["buffer_bytes"]
+                          for t in stats)
+        total_buffer = sum(t["buffer_bytes"] for t in stats)
+        lines = [
+            f"Total rows: {total_rows}",
+            f"Total bytes: {total_bytes}",
+            f"Total buffer bytes: {total_buffer}",
+        ]
+        for t in stats:
+            lines.append(t["name"])
+            lines.append(f"  Rows: {t['rows']}")
+            lines.append(f"  Batches: {t['batches']}")
+            lines.append(f"  Batches bytes: {t['batches_bytes']}")
+            lines.append(f"  Buffer length: {t['buffer_length']}")
+            lines.append(f"  Buffer bytes: {t['buffer_bytes']}")
+        self._send(200, "\n".join(lines) + "\n", "text/plain")
+
+    def _table_page(self, name: str):
+        if not re.fullmatch(r"[A-Za-z0-9_.]+", name):
+            self._send(400, {"error": "invalid table name"})
+            return
+        cols = self.db.search_column_names(name, "")
+        body = (
+            f"<html><body><h1>{name}</h1><p>columns: "
+            f"{', '.join(sorted(cols))}</p></body></html>"
+        )
+        self._send(200, body, "text/html; charset=utf8")
+
+    # ------------------------------------------------------------- POST
+    def do_POST(self):
+        body = self._read_body()
+        try:
+            if self.path == "/echo":
+                self._send(200, body.decode(), "text/plain")
+                return
+            req = json.loads(body or b"{}")
+            if self.path == "/query":
+                self._send(200, _rows_output(self._run_query(req["query"])))
+            elif self.path == "/query_cols":
+                self._send(200, _cols_output(self._run_query(req["query"])))
+            elif self.path == "/multi_query_cols":
+                out = [_cols_output(self._run_query(q))
+                       for q in req["queries"]]
+                self._send(200, out)
+            elif self.path == "/columns":
+                self._columns(req)
+            elif self.path == "/insert_bin":
+                self._insert(req)
+            else:
+                self._send(404, {"error": "not found"})
+        except NotImplementedQueryError as e:
+            self._send(501, str(e))
+        except (QueryError, KeyError, json.JSONDecodeError) as e:
+            self._send(400, str(e))
+        except Exception as e:  # noqa: BLE001 — FatalError analog
+            self._send(500, str(e))
+
+    def _columns(self, req: dict):
+        pattern = req.get("pattern") or ""
+        cols: set[str] = set()
+        for table in req["tables"]:
+            cols.update(self.db.search_column_names(table, pattern))
+        n = len(cols)
+        limit = req.get("limit", n)
+        offset = min(req.get("offset", 0), max(n - limit, 0))
+        self._send(200, {
+            "columns": sorted(cols)[offset:offset + limit],
+            "offset": offset,
+            "len": n,
+        })
+
+    def _insert(self, req: dict):
+        n_rows = 0
+        for table, tbuf in req["tables"].items():
+            columns: dict[str, list] = tbuf["columns"]
+            if not columns:
+                continue
+            length = max(len(v) for v in columns.values())
+            rows = [
+                {c: (vals[i] if i < len(vals) else None)
+                 for c, vals in columns.items()}
+                for i in range(length)
+            ]
+            self.db.ingest(table, rows)
+            n_rows += length
+        self.metrics.inc("ingested_rows_total", n_rows)
+        self._send(200, {"status": "ok"})
+
+
+class LocustServer:
+    """Threaded HTTP server wrapper; `start()` returns the bound port."""
+
+    def __init__(self, db: LocustDB, host: str = "127.0.0.1", port: int = 0):
+        self.metrics = Metrics()
+        handler = type("Handler", (_Handler,),
+                       {"db": db, "metrics": self.metrics})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)

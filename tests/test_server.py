@@ -1,0 +1,133 @@
+"""HTTP façade + logging client tests (reference src/server/mod.rs
+endpoints, src/logging_client/mod.rs client), driven over a real
+socket."""
+
+import json
+import urllib.request
+
+import pytest
+
+from locustdb_spark.client import (
+    BufferFullPolicy, LoggingClient, RequestError, _post)
+from locustdb_spark.engine import LocustDB
+from locustdb_spark.server import LocustServer
+
+
+@pytest.fixture(scope="module")
+def served_db(spark, tmp_path_factory):
+    db = LocustDB(spark=spark,
+                  db_path=str(tmp_path_factory.mktemp("served")))
+    db.ingest("metrics", [
+        {"host": "a", "cpu": 0.5}, {"host": "b", "cpu": 0.75},
+        {"host": "a", "cpu": 0.25},
+    ])
+    server = LocustServer(db)
+    port = server.start()
+    yield db, f"http://127.0.0.1:{port}"
+    server.stop()
+
+
+def test_query_rows(served_db):
+    _, url = served_db
+    out = _post(f"{url}/query", {"query": "SELECT host, count(0) FROM metrics"})
+    assert out["colnames"] == ["host", "count(0)"]
+    assert sorted(map(tuple, out["rows"])) == [("a", 2), ("b", 1)]
+    assert "stats" in out
+
+
+def test_query_cols(served_db):
+    _, url = served_db
+    out = _post(f"{url}/query_cols",
+                {"query": "SELECT host, cpu FROM metrics"})
+    assert set(out["cols"]) == {"host", "cpu"}
+    assert sorted(out["cols"]["host"]) == ["a", "a", "b"]
+
+
+def test_multi_query_cols(served_db):
+    _, url = served_db
+    out = _post(f"{url}/multi_query_cols", {"queries": [
+        "SELECT count(0) FROM metrics",
+        "SELECT host FROM metrics WHERE cpu > 0.6",
+    ]})
+    assert out[0]["cols"]["count(0)"] == [3]
+    assert out[1]["cols"]["host"] == ["b"]
+
+
+def test_columns_endpoint(served_db):
+    _, url = served_db
+    out = _post(f"{url}/columns", {"tables": ["metrics"]})
+    assert out["columns"] == ["cpu", "host"]
+    out = _post(f"{url}/columns",
+                {"tables": ["metrics"], "pattern": "^c", "limit": 1})
+    assert out["columns"] == ["cpu"]
+
+
+def test_insert_bin_json_event_buffer(served_db):
+    _, url = served_db
+    out = _post(f"{url}/insert_bin", {"tables": {
+        "ev": {"columns": {"x": [1, 2, 3], "y": ["a", "b", "c"]}},
+    }})
+    assert out == {"status": "ok"}
+    got = _post(f"{url}/query", {"query": "SELECT x, y FROM ev"})
+    assert sorted(map(tuple, got["rows"])) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_error_mapping(served_db):
+    _, url = served_db
+    with pytest.raises(RequestError) as e:
+        _post(f"{url}/query", {"query": "SELECT a FROM metrics GROUP BY a"})
+    assert e.value.status_code == 501
+    with pytest.raises(RequestError) as e:
+        _post(f"{url}/query", {"query": "SELECT a FROM no_such_table"})
+    assert e.value.status_code == 400
+
+
+def test_tables_and_metrics_text(served_db):
+    _, url = served_db
+    body = urllib.request.urlopen(f"{url}/tables").read().decode()
+    assert "Total rows:" in body and "metrics" in body
+    prom = urllib.request.urlopen(f"{url}/metrics").read().decode()
+    assert "queries_total" in prom
+    page = urllib.request.urlopen(f"{url}/table/metrics").read().decode()
+    assert "cpu" in page and "host" in page
+
+
+def test_echo(served_db):
+    _, url = served_db
+    req = urllib.request.Request(f"{url}/echo", data=b"hello")
+    assert urllib.request.urlopen(req).read() == b"hello"
+
+
+def test_logging_client_end_to_end(served_db):
+    _, url = served_db
+    client = LoggingClient(url, flush_interval=0.2)
+    for i in range(10):
+        client.log("applog", {"seq": i, "msg": f"m{i}"})
+    client.close()
+    assert client.total_events == 10
+    out = _post(f"{url}/query", {"query": "SELECT seq FROM applog"})
+    assert sorted(r[0] for r in out["rows"]) == list(range(10))
+    # timestamp column was stamped automatically
+    cols = _post(f"{url}/columns", {"tables": ["applog"]})
+    assert "timestamp" in cols["columns"]
+
+
+def test_logging_client_drop_policy(served_db):
+    _, url = served_db
+    client = LoggingClient(url, flush_interval=30.0,
+                           max_buffer_size_bytes=80,
+                           buffer_full_policy=BufferFullPolicy.DROP)
+    for i in range(50):
+        client.log("droplog", {"seq": i})
+    assert client.dropped_events > 0
+    assert client.total_events + client.dropped_events == 50
+    client._shutdown.set()
+
+
+def test_multi_query_via_client(served_db):
+    _, url = served_db
+    client = LoggingClient(url, flush_interval=30.0)
+    res = client.multi_query(["SELECT count(0) FROM metrics"])
+    assert res[0]["cols"]["count(0)"] == [3]
+    assert client.columns(["metrics"])["columns"] == ["cpu", "host"]
+    client._shutdown.set()
