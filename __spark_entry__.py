@@ -424,9 +424,13 @@ _DUCK_SHINGLES = (
 
 
 def _duck_minhash_lane(j: int) -> str:
+    # lane_j = (h1 + j*h2) & (2^56-1) over one md5 per shingle
+    # (double hashing — must match operators/dedup.minhash_signatures)
+    mask = (1 << 56) - 1
     return (
-        f"list_min([('0x'||substr(md5(x||'#{j}'),1,15))::BIGINT "
-        f"for x in {_DUCK_SHINGLES}]) AS mh{j}"
+        f"list_min([(('0x'||substr(h,1,14))::BIGINT "
+        f"+ {j} * ('0x'||substr(h,15,14))::BIGINT) & {mask} "
+        f"for h in hs]) AS mh{j}"
     )
 
 
@@ -434,7 +438,9 @@ def _duck_minhash_cte() -> str:
     lanes = ", ".join(_duck_minhash_lane(j) for j in range(NUM_MINHASHES))
     return (
         "WITH d AS (SELECT doc_id, lower(text) AS t FROM documents), "
-        f"sig AS (SELECT doc_id, {lanes} FROM d)"
+        f"hd AS (SELECT doc_id, [md5(x) for x in {_DUCK_SHINGLES}] AS hs "
+        "FROM d), "
+        f"sig AS (SELECT doc_id, {lanes} FROM hd)"
     )
 
 

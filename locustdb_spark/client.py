@@ -96,6 +96,11 @@ class LoggingClient:
             self._buffer_bytes += approx
             self.total_events += 1
 
+    def log_batch(self, table: str, rows: list[dict[str, Any]]) -> None:
+        """Batch variant (reference python.rs `log_batch`)."""
+        for row in rows:
+            self.log(table, row)
+
     def flush(self, timeout: float = 30.0) -> None:
         """Block until the current buffer has been sent."""
         deadline = time.time() + timeout

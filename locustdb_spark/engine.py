@@ -112,6 +112,25 @@ class LocustDB:
         in-memory tables (BASELINE.md benchmark config)."""
         self._views[name] = df
 
+    def gen_table(
+        self,
+        name: str,
+        partitions: int,
+        partition_size: int,
+        columns: list,
+        cache: bool = True,
+    ) -> DataFrame:
+        """Create a synthetic table from colgen generators (reference
+        locustdb.rs `gen_table` / colgen.rs GenTable). Cached in memory
+        by default, like the reference's benchmark tables."""
+        from .sources.colgen import gen_table_df
+
+        df = gen_table_df(self.spark, columns, partitions, partition_size)
+        if cache:
+            df = df.cache()
+        self.register_df(name, df)
+        return df
+
     def snapshot(self, name: str) -> DataFrame:
         """Consistent view: flushed partitions + unflushed buffer rows
         (reference table.rs:62-102)."""
@@ -364,6 +383,29 @@ class LocustDB:
                 "buffered_rows": len(buf),
             })
         return out
+
+    def mem_tree(self, depth: int = 2) -> str:
+        """Human-readable memory/storage tree (reference
+        locustdb.rs `mem_tree` / mem_store/tree.rs): per-table disk
+        bytes, cached-view storage, buffer sizes; depth 2 adds
+        per-column types."""
+        lines = ["locustdb"]
+        for t in self.table_stats():
+            name = t["name"]
+            lines.append(
+                f"  {name} rows={t['rows']} disk={t['batches_bytes']}B "
+                f"buffer={t['buffer_bytes']}B"
+                + (" [cached-view]" if name in self._views else "")
+            )
+            if depth >= 2:
+                try:
+                    for f in self.snapshot(name).schema.fields:
+                        lines.append(
+                            f"    {f.name}: {f.dataType.simpleString()}"
+                        )
+                except QueryError:
+                    pass
+        return "\n".join(lines)
 
     # ------------------------------------------------------------------
     # meta tables (inner_locustdb.rs:249-299)

@@ -77,21 +77,39 @@ def minhash_signatures(
         lambda i: text.substr(i, F.lit(shingle_k)),
     )
 
-    def lane_fn(seed: str):
-        # one-param lambda — a 2-param lambda would be treated as the
-        # (element, index) transform variant.
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(s, F.lit(seed))), 1, 15), 16, 10
-        ).cast("long")
-
-    # materialize the shingle array once, then derive every hash lane
-    # from it — otherwise each lane re-runs the shingling transform
-    shingled = df.select(F.col(id_col), sh.alias("_shingles"))
+    # One md5 per shingle; every lane is derived from that single
+    # digest by double hashing (Kirsch-Mitzenmacher):
+    #   h1 = digest[0:14) as int, h2 = digest[14:28) as int  (56-bit)
+    #   lane_j = (h1 + j*h2) & (2^56 - 1)
+    # Hashing dominates signature cost, so this is ~num_hashes times
+    # cheaper than hashing per lane; the multiply-add stays within i64
+    # even under ANSI mode (h < 2^56, j < 128).
+    mask = (1 << 56) - 1
+    shingled = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: F.md5(s)).alias("_hs"),
+    )
+    pre = shingled.select(
+        F.col(id_col),
+        F.transform(
+            "_hs",
+            lambda h: F.conv(F.substring(h, 1, 14), 16, 10).cast("long"),
+        ).alias("_h1"),
+        F.transform(
+            "_hs",
+            lambda h: F.conv(F.substring(h, 15, 14), 16, 10).cast("long"),
+        ).alias("_h2"),
+    )
     cols = [F.col(id_col)]
     for j in range(num_hashes):
-        lane = F.array_min(F.transform(F.col("_shingles"), lane_fn(f"#{j}")))
+        lane = F.array_min(
+            F.zip_with(
+                "_h1", "_h2",
+                lambda a, b: (a + F.lit(j) * b).bitwiseAND(F.lit(mask)),
+            )
+        )
         cols.append(lane.alias(f"mh{j}"))
-    return shingled.select(*cols)
+    return pre.select(*cols)
 
 
 def lsh_candidate_pairs(

@@ -58,17 +58,17 @@ def cosine_topk(
     )
 
 
-def _plane_sign(plane: int, dim_index: Column) -> Column:
+def _plane_sign(plane: int, dim: int) -> float:
     """Deterministic ±1 for (plane, dim): parity of a byte of
     md5('p<plane>_d<dim>') — portable to any engine with md5."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"p{plane}_d"), dim_index.cast("string"))), 1, 2
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}_d{dim}".encode()).hexdigest()[:2], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def _infer_dims(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(F.col(vec_col)).alias("d")).head().d
 
 
 def hyperplane_buckets(
@@ -76,23 +76,32 @@ def hyperplane_buckets(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Sign-LSH bucket id per vector: bit p = (v . hyperplane_p) >= 0.
+
+    The hyperplane signs depend only on (plane, dim), so they are
+    computed once on the driver and inlined as literal arrays; each
+    projection is then a constant-folded zip_with dot product per row
+    (no per-row hashing). Assumes fixed-dimension vectors (`dims`
+    inferred from the first row when not given).
 
     Output: (id, bucket) — at scale, write the table partitioned by
     bucket so an ANN probe prunes to 1/2^planes of the data.
     """
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
     vec = F.col(vec_col).cast("array<double>")
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-
-    def proj_fn(p: int):
-        # keep the merge lambda at exactly 2 params (3-param lambdas are
-        # dispatched to the indexed HOF variant by pyspark)
-        return lambda acc, i: acc + F.element_at(vec, i + 1) * _plane_sign(p, i)
-
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        proj = F.aggregate(idx, F.lit(0.0), proj_fn(p))
+        signs = F.array(
+            *[F.lit(_plane_sign(p, i)) for i in range(dims)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
@@ -107,17 +116,16 @@ def ann_lsh_topk(
     round_to: int | None = 6,
 ) -> DataFrame:
     """ANN: restrict brute-force cosine to the query's LSH bucket."""
-    import hashlib
-
     qbucket = 0
     for p in range(num_planes):
-        proj = 0.0
-        for i, v in enumerate(query_vec):
-            h = int(hashlib.md5(f"p{p}_d{i}".encode()).hexdigest()[:2], 16)
-            proj += float(v) * (1.0 if h % 2 == 0 else -1.0)
+        proj = sum(
+            float(v) * _plane_sign(p, i) for i, v in enumerate(query_vec)
+        )
         if proj >= 0:
             qbucket |= 1 << p
-    with_buckets = hyperplane_buckets(df, num_planes, vec_col, id_col)
+    with_buckets = hyperplane_buckets(
+        df, num_planes, vec_col, id_col, dims=len(query_vec)
+    )
     candidates = df.join(
         with_buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col
     )

@@ -7,6 +7,7 @@ Usage:
 Commands (reference main.rs:255-281 help text):
     :help                       show help
     :tables                     list tables with stats
+    :memtree                    memory/storage tree per table
     :load <TABLE> <SCHEMA> <FILES>...   load CSVs (SCHEMA '' infers)
     :explain <QUERY>            show the physical plan
     :table_stats                per-table stats
@@ -57,6 +58,8 @@ def run_command(db: LocustDB, line: str, out=sys.stdout) -> bool:
     try:
         if s == ":help":
             print(__doc__, file=out)
+        elif s.startswith(":memtree"):
+            print(db.mem_tree(), file=out)
         elif s == ":tables" or s.startswith(":table_stats"):
             for t in db.table_stats():
                 print(

@@ -41,9 +41,19 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
         )
+    # In local mode the driver JVM IS the cluster: caches, shuffle
+    # buffers, and result collection all live in its heap, and Spark's
+    # 1 GiB default turns into GC thrash / cache spill at a few million
+    # rows. 28g stays under the 32 GiB compressed-oops threshold —
+    # above it every JVM pointer doubles and cache-heavy workloads get
+    # measurably slower. Override via SPARK_GRAFT_DRIVER_MEM; ignored
+    # for a remote master where executors own the data.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "28g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "8g")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
@@ -55,6 +65,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any pandas_udf path (dedup/similarity/multimodal ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # toPandas result delivery: the default ("legacy") struct
+        # handling converts column-by-column through a slow fallback
+        # path — ~14x slower on multi-million-row results. "row" keeps
+        # the pure-Arrow conversion. (Struct columns arrive as dicts
+        # instead of Row objects; the engine returns scalars only.)
+        .config("spark.sql.execution.pandas.structHandlingMode", "row")
         # Parquet encodings ~= LocustDB's dict/delta/lz4/pco column codecs.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -46,8 +46,15 @@ def test_minhash_matches_python(docs, spark):
     )
     text = docs.filter(F.col("doc_id") == 0).head().text.lower()
     shingles = [text[i:i + 5] for i in range(max(len(text) - 4, 1))]
+
+    # double hashing over one md5 per shingle (see minhash_signatures)
+    def lane(s: str, j: int) -> int:
+        h = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(h[:14], 16), int(h[14:28], 16)
+        return (h1 + j * h2) & ((1 << 56) - 1)
+
     for j in (0, 1):
-        expected = min(_py_hash64(s, j) for s in shingles)
+        expected = min(lane(s, j) for s in shingles)
         assert row[f"mh{j}"] == expected
 
 
