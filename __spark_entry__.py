@@ -224,6 +224,17 @@ def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidate pairs + exact
+    cosine. Threshold 0.1 so the synthetic corpus (max pairwise cosine
+    ~0.5) yields a non-trivial result to check."""
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        emb, threshold=0.1, num_planes=ANN_PLANES)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _read(spark, sf_dir, "embeddings")
@@ -402,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_simhash": p_simhash,
         "dedup_ngram_jaccard": p_ngram_jaccard,
+        "dedup_embedding_cosine": p_embedding_near_dup,
         "sim_cosine_topk": p_cosine_topk,
         "sim_ann_lsh": p_ann_lsh,
         "sim_lsh_buckets": p_lsh_buckets,
@@ -751,6 +763,24 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b
               ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         """,
+        "dedup_embedding_cosine": (
+            f"WITH b AS ({_duck_buckets()}), "
+            "e AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings) "
+            "SELECT * FROM ("
+            "SELECT ba.vec_id AS id_a, bb.vec_id AS id_b, "
+            "round(list_sum(list_transform(generate_series(1, len(ea.v)), "
+            "i -> ea.v[i] * eb.v[i])) "
+            "/ (sqrt(list_sum(list_transform(ea.v, x -> x * x))) "
+            "* sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 6) "
+            "AS cosine_sim "
+            "FROM b ba JOIN b bb "
+            "ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id "
+            "JOIN e ea ON ea.vec_id = ba.vec_id "
+            "JOIN e eb ON eb.vec_id = bb.vec_id"
+            ") WHERE cosine_sim >= 0.1"
+        ),
         "sim_cosine_topk": (
             _DUCK_COSINE
             + "SELECT vec_id, cosine_sim FROM sims "

@@ -185,6 +185,52 @@ def simhash(
     return df.select(F.col(id_col), sig.alias("simhash"))
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with hyperplane-LSH
+    blocking: vectors are assigned a sign-LSH bucket (one projection,
+    see similarity.bucket_expr), candidate pairs come only from
+    same-bucket collisions, and exact cosine similarity filters them
+    against `threshold`.
+
+    Scale: the corpus never self-joins — the shuffle key is `bucket`,
+    so each reducer sees one bucket's vectors (E[n/2^planes] rows; add
+    planes to shrink buckets as the corpus grows). Recall can be raised
+    by running multiple plane-sets and unioning, the standard banding
+    trade-off. Output: (id_a, id_b, cosine_sim) with id_a < id_b.
+    """
+    from .similarity import bucket_expr, cosine, _infer_dims
+
+    dims = _infer_dims(df, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    vecs = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        bucket_expr(vec, num_planes, dims).alias("bucket"),
+    )
+    left = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    right = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -71,27 +71,14 @@ def _infer_dims(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(F.col(vec_col)).alias("d")).head().d
 
 
-def hyperplane_buckets(
-    df: DataFrame,
-    num_planes: int = 8,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    dims: int | None = None,
-) -> DataFrame:
-    """Sign-LSH bucket id per vector: bit p = (v . hyperplane_p) >= 0.
+def bucket_expr(vec: Column, num_planes: int, dims: int) -> Column:
+    """Sign-LSH bucket id expression: bit p = (v . hyperplane_p) >= 0.
 
     The hyperplane signs depend only on (plane, dim), so they are
     computed once on the driver and inlined as literal arrays; each
     projection is then a constant-folded zip_with dot product per row
-    (no per-row hashing). Assumes fixed-dimension vectors (`dims`
-    inferred from the first row when not given).
-
-    Output: (id, bucket) — at scale, write the table partitioned by
-    bucket so an ANN probe prunes to 1/2^planes of the data.
+    (no per-row hashing). Assumes fixed-dimension vectors.
     """
-    if dims is None:
-        dims = _infer_dims(df, vec_col)
-    vec = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         signs = F.array(
@@ -103,7 +90,27 @@ def hyperplane_buckets(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> DataFrame:
+    """Sign-LSH bucket id per vector (see `bucket_expr`).
+
+    Output: (id, bucket) — at scale, write the table partitioned by
+    bucket so an ANN probe prunes to 1/2^planes of the data.
+    """
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col), bucket_expr(vec, num_planes, dims).alias("bucket")
+    )
 
 
 def ann_lsh_topk(

@@ -110,6 +110,36 @@ def test_hyperplane_buckets_range(emb):
     assert out.filter((F.col("bucket") < 0) | (F.col("bucket") > 15)).count() == 0
 
 
+def test_embedding_near_dup_matches_python(emb):
+    import math
+
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    out = embedding_near_dup(emb, threshold=0.1, num_planes=4).collect()
+    assert len(out) > 0
+    assert all(r.id_a < r.id_b and r.cosine_sim >= 0.1 for r in out)
+
+    # exact cosine for one emitted pair, recomputed in Python
+    pair = out[0]
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(
+            F.col("vec_id").isin([pair.id_a, pair.id_b])).collect()
+    }
+    a, b = vecs[pair.id_a], vecs[pair.id_b]
+    dot = sum(x * y for x, y in zip(a, b))
+    cos = dot / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b)))
+    assert abs(pair.cosine_sim - cos) < 1e-5
+
+    # every emitted pair shares an LSH bucket
+    from locustdb_spark.operators.similarity import hyperplane_buckets
+
+    buckets = {r.vec_id: r.bucket
+               for r in hyperplane_buckets(emb, num_planes=4).collect()}
+    assert all(buckets[r.id_a] == buckets[r.id_b] for r in out)
+
+
 def test_language_id_schema_and_domain(docs):
     from locustdb_spark.operators.text import LANG_MARKERS, language_id
 
