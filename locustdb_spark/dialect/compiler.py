@@ -36,6 +36,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import (
+    floor_int,
+    int_div,
+    length_bytes,
+    regex_match,
+    to_year,
+)
 from .ast import (
     BinOp,
     Call,
@@ -224,7 +231,7 @@ class Compiler:
             if "float" not in (lt, rt):
                 # Truncating integer division (Rust i64 `/`,
                 # reference query_plan.rs:826-839).
-                return F.call_function("div", l, r)
+                return int_div(l, r)
             return l / r
         raise QueryError(f"unknown operator {op}")
 
@@ -232,18 +239,14 @@ class Compiler:
         f = e.func
         if f == "to_year":
             arg = e.args[0]
-            c = self.compile(arg)
-            if infer_type(arg, self.schema) == "ts":
-                return F.year(c).cast("long")
-            # unix seconds -> calendar year (functions.rs:8-13)
-            return F.year(F.timestamp_seconds(c)).cast("long")
+            is_ts = infer_type(arg, self.schema) == "ts"
+            return to_year(self.compile(arg), is_timestamp=is_ts)
         if f == "length":
-            return F.octet_length(self.compile(e.args[0])).cast("long")
+            return length_bytes(self.compile(e.args[0]))
         if f == "floor":
-            return F.floor(self.compile(e.args[0]))
+            return floor_int(self.compile(e.args[0]))
         if f == "regex":
-            pat = _as_str_lit(e.args[1])
-            return self.compile(e.args[0]).rlike(pat)
+            return regex_match(self.compile(e.args[0]), _as_str_lit(e.args[1]))
         if f == "not":
             return ~self.compile(e.args[0])
         if e.is_aggregate:

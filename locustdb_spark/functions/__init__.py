@@ -1,0 +1,77 @@
+"""Scalar function surface of the engine, as reusable pyspark Column
+helpers.
+
+This is the complete built-in function set of the reference engine
+(reference src/engine/operators/functions.rs:1-50, parsed at
+src/syntax/parser.rs:266-298,363-385) re-expressed as Catalyst
+expressions, so every helper stays inside whole-stage codegen — no
+Python UDFs. The SQL dialect compiler (`locustdb_spark.dialect`)
+routes function calls here; users composing DataFrames directly can
+import these for identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "to_year",
+    "length_bytes",
+    "regex_match",
+    "floor_int",
+    "int_div",
+    "like_pattern_to_regex",
+]
+
+
+def to_year(col: Column, is_timestamp: bool = False) -> Column:
+    """Calendar year of a unix-seconds epoch column (reference
+    functions.rs:8-13). Pass is_timestamp=True when the column is
+    already a Spark timestamp."""
+    if is_timestamp:
+        return F.year(col).cast("long")
+    return F.year(F.timestamp_seconds(col)).cast("long")
+
+
+def length_bytes(col: Column) -> Column:
+    """BYTE length of a string (reference functions.rs:45-50 measures
+    bytes, not characters — `octet_length`, not `length`)."""
+    return F.octet_length(col).cast("long")
+
+
+def regex_match(col: Column, pattern: str) -> Column:
+    """Boolean regex match (reference functions.rs:30-42). The pattern
+    is a plan-time literal in the reference; keep it a Python str so
+    Catalyst compiles it once."""
+    return col.rlike(pattern)
+
+
+def floor_int(col: Column) -> Column:
+    """Float → int floor (reference functions.rs:15-20)."""
+    return F.floor(col)
+
+
+def int_div(left: Column, right: Column) -> Column:
+    """Truncating i64 division — Rust `/` semantics (reference
+    query_plan.rs:826-839). Spark's `div` truncates toward zero like
+    Rust; plain `/` would promote to double."""
+    return F.call_function("div", left, right)
+
+
+def like_pattern_to_regex(pattern: str) -> str:
+    """SQL LIKE pattern → regex, the reference's plan-time rewrite
+    (query_plan.rs:1236-1294): `%` → `.*`, `_` → `.`, everything else
+    escaped. Exposed for clients that need the rewrite outside Spark
+    (e.g. pushing a LIKE into an external system)."""
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"

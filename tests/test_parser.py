@@ -100,3 +100,31 @@ def test_like_not_like():
     q = parse("select a from t where a like 'x%' and b not like '_y'")
     assert q.filter.left == ast.BinOp("like", ast.ColName("a"), ast.Lit("x%"))
     assert q.filter.right == ast.BinOp("notlike", ast.ColName("b"), ast.Lit("_y"))
+
+
+def test_functions_module_surface(spark):
+    """The public scalar-function library matches dialect semantics."""
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.functions import (
+        int_div,
+        length_bytes,
+        like_pattern_to_regex,
+        regex_match,
+        to_year,
+    )
+
+    df = spark.range(1).select(
+        to_year(F.lit(1262304000)).alias("y"),       # 2010-01-01 UTC
+        length_bytes(F.lit("héllo")).alias("lb"),    # 6 bytes, 5 chars
+        int_div(F.lit(-7), F.lit(2)).alias("d"),     # Rust -7/2 = -3
+        regex_match(F.lit("abc123"), r"\d+$").alias("m"),
+    )
+    row = df.head()
+    assert (row.y, row.lb, row.d, row.m) == (2010, 6, -3, True)
+
+    import re
+
+    pat = like_pattern_to_regex("a%b_c.")
+    assert re.match(pat, "aXYZbQc.")
+    assert not re.match(pat, "aXYZbQcZ")

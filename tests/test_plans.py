@@ -8,20 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from conftest import TESTDATA_SF
-
-
-def explain_str(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"))
-
-
-def n_exchanges(plan: str) -> int:
-    """Count physical Exchange nodes (formatted mode lists each node
-    once in the tree and once in the detail section '(N) Exchange')."""
-    import re
-
-    return len(re.findall(r"\(\d+\) Exchange", plan))
+from locustdb_spark.plans import explain_formatted as explain_str
+from locustdb_spark.plans import n_exchanges
 
 
 @pytest.fixture(scope="module")
@@ -94,3 +82,23 @@ def test_exact_dedup_single_shuffle(spark):
     plan = explain_str(exact_duplicates(docs))
     # one exchange for the hash groupBy, nothing else
     assert n_exchanges(plan) == 1
+
+
+def test_plan_introspection_helpers(tpch):
+    from locustdb_spark.plans import (
+        has_take_ordered,
+        plan_summary,
+        pushed_filters,
+        read_schemas,
+    )
+
+    df = tpch.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 "
+        "ORDER BY l_orderkey LIMIT 5")
+    pf = pushed_filters(df)
+    assert pf and any("l_quantity" in f for f in pf)
+    rs = read_schemas(df)
+    assert rs and "l_orderkey" in rs[0] and "l_comment" not in rs[0]
+    assert has_take_ordered(df)
+    s = plan_summary(df)
+    assert s["take_ordered"] and s["codegen_stages"] >= 1
