@@ -311,6 +311,40 @@ def p_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (stubbed encoder) over binary payloads;
+    vectors posexploded to scalar rows so the oracle compare is
+    dtype-stable."""
+    from locustdb_spark.operators.multimodal import (
+        extract_features_stub, with_binary_payload)
+
+    docs = _read(spark, sf_dir, "documents")
+    out = extract_features_stub(with_binary_payload(docs))
+    return out.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat_val"))
+
+
+def p_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-64x64 stub: binary-in/binary-out pipeline shape with
+    md5-identified fake output."""
+    from locustdb_spark.operators.multimodal import (
+        resize_image_stub, with_binary_payload)
+
+    docs = _read(spark, sf_dir, "documents")
+    return resize_image_stub(with_binary_payload(docs), 64, 64)
+
+
+def p_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling stub: 1 video row fans out to ≤8 frame rows via
+    mapInPandas row explosion."""
+    from locustdb_spark.operators.multimodal import (
+        sample_frames_stub, with_binary_payload)
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_frames_stub(
+        with_binary_payload(docs), frame_bytes=256, max_frames=8)
+
+
 # ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
@@ -422,6 +456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": p_token_counts,
         "text_fingerprint": p_fingerprint,
         "multimodal_decode": p_multimodal_decode,
+        "multimodal_features": p_multimodal_features,
+        "multimodal_resize": p_multimodal_resize,
+        "multimodal_frames": p_multimodal_frames,
     }
     return q
 
@@ -824,6 +861,33 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS height,
               'fake/rgb' AS format
             FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id, CAST(j AS INT) AS feat_idx,
+              (('0x'||substr(md5(text||':'||j),1,8))::BIGINT)::DOUBLE
+                / 4294967296.0 AS feat_val
+            FROM documents, generate_series(0, 7) AS t(j)
+        """,
+        "multimodal_resize": """
+            SELECT doc_id, 64 AS width, 64 AS height,
+              CAST(64*64*3 AS BIGINT) AS n_bytes,
+              md5(text||'@64x64') AS resized_md5
+            FROM documents
+        """,
+        "multimodal_frames": """
+            WITH d AS (
+              SELECT doc_id, text,
+                least(8, greatest(1,
+                  CAST(ceil(strlen(text)/256.0) AS BIGINT))) AS nf
+              FROM documents)
+            , e AS (
+              SELECT doc_id, text, unnest(range(0, nf)) AS f FROM d)
+            SELECT doc_id, CAST(f AS INT) AS frame_id,
+              CAST(strlen(substring(text, CAST(f*256+1 AS BIGINT), 256))
+                   AS INT) AS frame_len,
+              md5(substring(text, CAST(f*256+1 AS BIGINT), 256))
+                AS frame_md5
+            FROM e
         """,
     }
     return o

@@ -69,6 +69,138 @@ def decode_image_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+
+
+def extract_features_stub(
+    df: DataFrame,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    STUB compute: feature_j = md5(payload || ':' || j) first 8 hex
+    digits as a fraction of 2^32, rounded to 6 places — deterministic
+    and reproducible in SQL, so the full Arrow-batch plumbing is
+    oracle-checkable. Replace the inner loop with a real encoder
+    (CLIP/wav2vec) in production; the schema, batching, and partition
+    behavior don't change.
+
+    Scale: output is (id, small fixed-dim vector) — the blobs never
+    leave the scan stage, so any downstream shuffle moves ~dim*8 bytes
+    per row, not the payload.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                # h/2^32 with h < 2^32 is exact in a double, so the
+                # SQL oracle reproduces it bit-for-bit (no rounding)
+                out.append(
+                    [
+                        int(
+                            hashlib.md5(
+                                bytes(p) + b":%d" % j
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        / 4294967296.0
+                        for j in range(dim)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "features": out}
+            )
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, resized_md5 string"
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize-to-fixed-dims over binary payloads via mapInPandas.
+
+    STUB transform: the "resized image" is identified by
+    md5(payload || '@{w}x{h}') and sized w*h*3 (RGB), so the
+    binary-in/binary-out pipeline shape is real while the pixel math
+    is faked deterministically. A real implementation swaps the body
+    for PIL `Image.resize` and yields the actual bytes.
+    """
+    tag = b"@%dx%d" % (width, height)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": width * height * 3,
+                    "resized_md5": [
+                        hashlib.md5(bytes(p) + tag).hexdigest()
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_id int, frame_len int, frame_md5 string"
+
+
+def sample_frames_stub(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling from video-like payloads via mapInPandas — the
+    one multimodal op whose batch SHAPE changes (1 input row → up to
+    `max_frames` output rows), exercising mapInPandas's row-explosion
+    path.
+
+    STUB decode: "frames" are consecutive `frame_bytes` slices of the
+    payload, identified by md5. A real implementation swaps the slicer
+    for ffmpeg keyframe extraction; the fan-out plumbing is identical.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, lens, hashes = [], [], [], []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                b = bytes(p)
+                n = min(max_frames, max(1, -(-len(b) // frame_bytes)))
+                for f in range(n):
+                    chunk = b[f * frame_bytes : (f + 1) * frame_bytes]
+                    ids.append(i)
+                    fids.append(f)
+                    lens.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_id": fids,
+                    "frame_len": lens,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return df.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
 def real_decoders_available() -> bool:
     """True when an actual image library is importable."""
     try:

@@ -189,3 +189,68 @@ def test_multimodal_decode_stub(docs):
     assert out.width == int(h[:4], 16) % 1024 + 1
     assert out.height == int(h[4:8], 16) % 1024 + 1
     assert out.format == "fake/rgb"
+
+
+def test_multimodal_features_deterministic(docs):
+    from locustdb_spark.operators.multimodal import (
+        extract_features_stub,
+        with_binary_payload,
+    )
+
+    out = extract_features_stub(
+        with_binary_payload(docs.limit(5)), dim=4).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r.features) == 4
+        assert all(0.0 <= v < 1.0 for v in r.features)
+    # recompute one vector independently
+    row = docs.limit(5).collect()[0]
+    want = [
+        int(hashlib.md5(
+            row.text.encode() + b":%d" % j).hexdigest()[:8], 16)
+        / 4294967296.0
+        for j in range(4)
+    ]
+    got = {r.doc_id: list(r.features) for r in out}[row.doc_id]
+    assert got == want
+
+
+def test_multimodal_resize_stub(docs):
+    from locustdb_spark.operators.multimodal import (
+        resize_image_stub,
+        with_binary_payload,
+    )
+
+    out = resize_image_stub(
+        with_binary_payload(docs.limit(3)), 32, 16).collect()
+    assert len(out) == 3
+    assert all(
+        (r.width, r.height, r.n_bytes) == (32, 16, 32 * 16 * 3)
+        for r in out
+    )
+    row = docs.limit(3).collect()[0]
+    want = hashlib.md5(row.text.encode() + b"@32x16").hexdigest()
+    assert {r.doc_id: r.resized_md5 for r in out}[row.doc_id] == want
+
+
+def test_multimodal_frames_fan_out(docs):
+    from locustdb_spark.operators.multimodal import (
+        sample_frames_stub,
+        with_binary_payload,
+    )
+
+    sample = docs.limit(4)
+    out = sample_frames_stub(
+        with_binary_payload(sample), frame_bytes=100, max_frames=3
+    ).collect()
+    rows = {r.doc_id: r for r in sample.collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        b = rows[doc_id].text.encode()
+        n_expected = min(3, max(1, -(-len(b) // 100)))
+        assert len(frames) == n_expected
+        f0 = sorted(frames, key=lambda r: r.frame_id)[0]
+        assert f0.frame_md5 == hashlib.md5(b[:100]).hexdigest()
+        assert f0.frame_len == min(100, len(b))
