@@ -258,6 +258,20 @@ def p_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         num_planes=ANN_PLANES)
 
 
+def p_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-kmeans coarse quantizer (deterministic
+    driver-side training on a bounded sample), pandas-UDF cluster
+    assignment, probe-then-brute-force. No SQL oracle — k-means
+    training is not SQL-expressible; the driver records a rows-only
+    check and tests/test_operators.py proves exactness at
+    nprobe=n_clusters against brute force."""
+    from locustdb_spark.operators.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_clusters=8, nprobe=2)
+
+
 def p_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import hyperplane_buckets
 
@@ -450,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": p_embedding_near_dup,
         "sim_cosine_topk": p_cosine_topk,
         "sim_ann_lsh": p_ann_lsh,
+        "sim_ann_ivf": p_ann_ivf,
         "sim_lsh_buckets": p_lsh_buckets,
         "text_langid": p_langid,
         "text_quality": p_quality,

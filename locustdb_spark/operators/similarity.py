@@ -11,11 +11,17 @@ Scale design:
   when the table is written bucketed/partitioned by `bucket`). The
   hyperplanes are pseudo-random ±1 per (plane, dim) derived from md5,
   so bucketing is reproducible in any engine (oracle-checkable).
-- Everything is built-in expression work (JVM, codegen). No UDFs.
+- Exact paths and LSH are built-in expression work (JVM, codegen).
+  IVF (`kmeans_centroids`/`ivf_assign`/`ann_ivf_topk`) is the scale
+  path for repeated queries: a driver-trained coarse quantizer, one
+  Arrow-batched numpy matmul per batch for assignment, and probes
+  that prune to nprobe/n_clusters of the corpus.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +117,104 @@ def hyperplane_buckets(
     return df.select(
         F.col(id_col), bucket_expr(vec, num_planes, dims).alias("bucket")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for IVF, trained on a
+    bounded, deterministic sample (first `sample` vectors by id via
+    TakeOrderedAndProject — no full scan materialized on the driver).
+
+    Deterministic by construction: init is the first `n_clusters`
+    sampled vectors, then `iters` Lloyd steps in numpy. At 100 TB the
+    sample stays 4096 rows regardless of corpus size; training cost is
+    a driver-side matmul, and the centroids ship to executors as a
+    closure constant.
+    """
+    rows = (
+        df.orderBy(id_col)
+        .limit(sample)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=float)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = xn[:n_clusters].copy()
+    for _ in range(iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(n_clusters):
+            members = xn[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid with an
+    Arrow-batched pandas UDF — one numpy matmul per batch, not per row.
+
+    Output: input columns + `cluster` (int). At scale, write the table
+    partitioned by `cluster` so probes prune partitions; re-assignment
+    after retraining is a single scan+write.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=float)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=float)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return pd.Series(np.argmax(xn @ c.T, axis=1).astype("int32"))
+
+    return df.withColumn(
+        "cluster", assign(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` clusters whose
+    centroids are most cosine-similar to the query, brute-force only
+    within them. nprobe == n_clusters degrades to exact search
+    (useful for testing recall).
+
+    Pass precomputed `centroids` to skip training (the production
+    pattern: train once, store, reuse per query).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    c = np.array(centroids, dtype=float)
+    q = np.array(query_vec, dtype=float)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(c @ qn), kind="stable")[:nprobe].tolist()
+    cands = ivf_assign(df, centroids, vec_col, id_col).filter(
+        F.col("cluster").isin([int(p) for p in probe])
+    )
+    return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)
 
 
 def ann_lsh_topk(

@@ -254,3 +254,34 @@ def test_multimodal_frames_fan_out(docs):
         f0 = sorted(frames, key=lambda r: r.frame_id)[0]
         assert f0.frame_md5 == hashlib.md5(b[:100]).hexdigest()
         assert f0.frame_len == min(100, len(b))
+
+
+def test_ann_ivf_exact_when_probing_all(emb):
+    """nprobe == n_clusters must degrade IVF to exact brute force."""
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    exact = cosine_topk(emb, qv, k=10).collect()
+    ivf = ann_ivf_topk(emb, qv, k=10, n_clusters=4, nprobe=4).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in ivf] == [
+        (r.vec_id, r.cosine_sim) for r in exact
+    ]
+
+
+def test_ann_ivf_probe_subset_and_deterministic(emb):
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk,
+        kmeans_centroids,
+    )
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    cents = kmeans_centroids(emb, n_clusters=4)
+    a = ann_ivf_topk(emb, qv, k=5, nprobe=1, centroids=cents).collect()
+    b = ann_ivf_topk(emb, qv, k=5, nprobe=1, centroids=cents).collect()
+    assert a == b and 0 < len(a) <= 5
+    # results are properly ordered by similarity desc
+    sims = [r.cosine_sim for r in a]
+    assert sims == sorted(sims, reverse=True)
