@@ -115,3 +115,86 @@ def test_random_string_lengths(spark):
         partitions=2, partition_size=200)
     lens = [r.l for r in df.select(F.length("s").alias("l")).collect()]
     assert min(lens) >= 3 and max(lens) <= 9
+
+
+@pytest.fixture(scope="module")
+def gen_db(spark, tmp_path_factory):
+    from locustdb_spark import LocustDB
+
+    return LocustDB(spark=spark, db_path=str(tmp_path_factory.mktemp("gen")))
+
+
+def test_long_nullable_grouped_count(gen_db):
+    """gen_table + grouped count over a mostly-null column (reference
+    query_tests.rs test_long_nullable; values differ — our colgen RNG
+    is not the reference's — but the structure is the contract)."""
+    gen_db.gen_table(
+        "t_nullable", partitions=8, partition_size=1 << 12,
+        columns=[("nullable_int", colgen.nullable_ints(
+            [None, 1, -10], [0.9, 0.05, 0.05]))])
+    out = gen_db.run_query(
+        "SELECT nullable_int, count(1) FROM t_nullable;")["rows"]
+    keys = {r[0] for r in out}
+    assert keys <= {None, 1, -10} and None in keys
+    assert sum(r[1] for r in out) == 8 * (1 << 12)
+    # the null group must dominate at p=0.9
+    counts = dict(out)
+    assert counts[None] > 0.8 * 8 * (1 << 12)
+    assert gen_db.run_query(
+        "SELECT nullable_int FROM t_nullable LIMIT 0;")["rows"] == []
+
+
+def test_column_with_null_partitions_query(gen_db):
+    """Half the partitions lack the column entirely (partition_sparse);
+    querying it must surface NULL rows, not errors (reference
+    query_tests.rs test_column_with_null_partitions)."""
+    gen_db.gen_table(
+        "t_sparse", partitions=20, partition_size=1,
+        columns=[("partition_sparse", colgen.partition_sparse(
+            0.5, colgen.string_markov_chain(
+                ["A", "B"], [[0.3, 0.7], [0.3, 0.7]])))])
+    out = gen_db.run_query(
+        "SELECT partition_sparse, count(0) FROM t_sparse;")["rows"]
+    keys = {r[0] for r in out}
+    assert keys <= {None, "A", "B"}
+    assert sum(r[1] for r in out) == 20
+
+
+def test_sequential_int_sort(gen_db):
+    """incrementing_int + IS NOT NULL + ORDER BY returns the sequence
+    (reference query_tests.rs test_sequential_int_sort)."""
+    gen_db.gen_table(
+        "t_seq", partitions=1, partition_size=64,
+        columns=[("_step", colgen.incrementing_int())])
+    out = gen_db.run_query(
+        "SELECT _step FROM t_seq WHERE _step IS NOT NULL ORDER BY _step;"
+    )["rows"]
+    assert out[:9] == [(i,) for i in range(9)]
+
+
+def test_group_by_generated_string(gen_db):
+    """Grouped count over a generated hex-string column, ordered by
+    count (reference query_tests.rs test_group_by_string family via the
+    hex_scrambled harness)."""
+    gen_db.gen_table(
+        "t_hex", partitions=4, partition_size=250,
+        columns=[("scrambled", colgen.random_hex_string(2)),
+                 ("ints", colgen.int_uniform(-10, 10))])
+    top = gen_db.run_query(
+        "SELECT scrambled, count(1) FROM t_hex "
+        "ORDER BY count(1) DESC LIMIT 5;")["rows"]
+    assert len(top) == 5
+    cnts = [r[1] for r in top]
+    assert cnts == sorted(cnts, reverse=True)
+    aliased = gen_db.run_query(
+        "SELECT scrambled, count(1) AS c FROM t_hex ORDER BY c DESC LIMIT 5;"
+    )["rows"]
+    assert aliased == top
+    two_key = gen_db.run_query(
+        "SELECT ints, scrambled, count(1) FROM t_hex "
+        "ORDER BY ints, scrambled LIMIT 5;")["rows"]
+    assert all(r[0] == two_key[0][0] for r in two_key[:1])
+    dup_key = gen_db.run_query(
+        "SELECT scrambled, scrambled, count(1) FROM t_hex;")["rows"]
+    assert all(r[0] == r[1] for r in dup_key)
+    assert sum(r[2] for r in dup_key) == 1000
