@@ -202,6 +202,18 @@ def p_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2)
 
 
+def p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over LSH candidate pairs -> one cluster_id
+    per doc + is_keep flag for the canonical copy (min doc_id)."""
+    from locustdb_spark.operators.dedup import (
+        dedup_clusters, lsh_candidate_pairs, minhash_signatures)
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_MINHASHES)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2)
+    return dedup_clusters(docs, pairs)
+
+
 def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.dedup import simhash
 
@@ -459,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
+        "dedup_clusters": p_dedup_clusters,
         "dedup_simhash": p_simhash,
         "dedup_ngram_jaccard": p_ngram_jaccard,
         "dedup_embedding_cosine": p_embedding_near_dup,
@@ -792,6 +805,37 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_val = r.band_val
              AND l.doc_id < r.doc_id
+            """
+        ),
+        "dedup_clusters": (
+            _duck_minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+            + """,
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     mh0::VARCHAR || '_' || mh1::VARCHAR AS band_val FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     mh2::VARCHAR || '_' || mh3::VARCHAR AS band_val FROM sig
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            cc(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id,
+                   (min(label) = node) AS is_keep
+            FROM cc GROUP BY node
             """
         ),
         "dedup_simhash": _duck_simhash(),

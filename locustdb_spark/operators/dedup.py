@@ -231,6 +231,76 @@ def embedding_near_dup(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over candidate duplicate pairs: assign every
+    document a cluster_id (the minimum doc id reachable through the
+    pair graph) and an is_keep flag (true for the cluster
+    representative). This is the step that turns near-dup *pairs* into
+    an actionable keep/drop decision for a training corpus.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (hash-to-min style). Each round every node takes the min of its own
+    label, its neighbors' labels, and its label's label; converges in
+    O(log n) rounds (dup clusters are near-cliques from LSH banding, so
+    in practice 2-3 rounds). Scale notes:
+    - only (id, label) longs ever shuffle — never documents;
+    - each round is two key-joins + a groupBy over the edge list,
+      whose size is bounded by the candidate-pair count (orders of
+      magnitude below corpus size for any sane banding config);
+    - `localCheckpoint` truncates lineage each round so plan size
+      stays O(1) instead of O(iterations);
+    - convergence is detected with a count of changed labels, an
+      O(nodes) action per round.
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").cast("long").alias("src"),
+                     F.col("id_b").cast("long").alias("dst"))
+        .union(pairs.select(F.col("id_b").cast("long").alias("src"),
+                            F.col("id_a").cast("long").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least(
+                "label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        # pointer jump: label <- label(label)
+        parent = stepped.select(F.col("id").alias("pid"),
+                                F.col("label").alias("plabel"))
+        jumped = (
+            stepped.join(parent, stepped.label == parent.pid, "left")
+            .select("id", F.least(
+                "label", F.coalesce("plabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old")).count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_keep"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -68,6 +68,36 @@ def test_lsh_pairs_symmetric_and_ordered(docs):
     assert len({(p.id_a, p.id_b) for p in pairs}) == len(pairs)
 
 
+def test_dedup_clusters_components(docs, spark):
+    """Chain 1-2-3, clique 10-11-12, singleton 20: every node gets the
+    component-min cluster_id and exactly one is_keep per cluster."""
+    from locustdb_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long")
+    out = {r.doc_id: r for r in dedup_clusters(nodes, pairs).collect()}
+    assert {i: out[i].cluster_id for i in out} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+    assert {i for i in out if out[i].is_keep} == {1, 10, 20}
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A 64-node path graph converges within the iteration budget
+    (pointer jumping makes rounds O(log n), not O(diameter))."""
+    from locustdb_spark.operators.dedup import dedup_clusters
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = dedup_clusters(nodes, pairs, max_iterations=10).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_keep for r in out) == 1
+
+
 def test_simhash_bits_deterministic(docs):
     from locustdb_spark.operators.dedup import simhash
 
