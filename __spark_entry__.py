@@ -247,6 +247,32 @@ def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.1, num_planes=ANN_PLANES)
 
 
+SAMPLE_RATE = 0.1
+VAL_FRAC, TEST_FRAC = 0.05, 0.05
+
+
+def p_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, SAMPLE_RATE).select("doc_id", "lang", "n_chars")
+
+
+def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 20).select("doc_id", "lang")
+
+
+def p_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.sampling import train_val_test_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return train_val_test_split(
+        docs, VAL_FRAC, TEST_FRAC).select("doc_id", "split")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _read(spark, sf_dir, "embeddings")
@@ -475,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": p_simhash,
         "dedup_ngram_jaccard": p_ngram_jaccard,
         "dedup_embedding_cosine": p_embedding_near_dup,
+        "sample_hash": p_sample_hash,
+        "sample_stratified": p_sample_stratified,
+        "sample_split": p_sample_split,
         "sim_cosine_topk": p_cosine_topk,
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf": p_ann_ivf,
@@ -877,6 +906,31 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e eb ON eb.vec_id = bb.vec_id"
             ") WHERE cosine_sim >= 0.1"
         ),
+        "sample_hash": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x'||substr(md5(doc_id::VARCHAR || '|sample'),1,15))::BIGINT
+                  < {int(SAMPLE_RATE * (1 << 60))}
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || '|strata'),1,15))::BIGINT,
+                         doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        "sample_split": f"""
+            SELECT doc_id,
+              CASE WHEN h < {int(VAL_FRAC * (1 << 60))} THEN 'val'
+                   WHEN h < {int((VAL_FRAC + TEST_FRAC) * (1 << 60))} THEN 'test'
+                   ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id,
+                ('0x'||substr(md5(doc_id::VARCHAR || '|split'),1,15))::BIGINT AS h
+              FROM documents
+            )
+        """,
         "sim_cosine_topk": (
             _DUCK_COSINE
             + "SELECT vec_id, cosine_sim FROM sims "

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is sampled, balanced, and split long before training;
+the operators here make those steps reproducible (hash-derived, never
+RNG-dependent) and cheap at scale:
+
+- `hash_sample` is a pure filter: each row's fate depends only on the
+  md5 of its id, so results are stable across partitioning, retries,
+  and engines (DuckDB oracles match exactly), and the filter pushes
+  down next to the scan — no shuffle at any scale.
+- `stratified_sample` takes exactly n docs per stratum with one
+  window (one shuffle on the stratum key). The per-stratum order is
+  the portable hash, i.e. a deterministic uniform draw.
+- `train_val_test_split` assigns each row a split label from its
+  hash bucket — a projection, no shuffle, and adding data later never
+  reassigns existing rows (the property that keeps eval sets stable
+  as a corpus grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+
+# portable_hash64 yields 60-bit values (15 hex chars of md5)
+_HASH_SPACE = 1 << 60
+
+
+def _id_hash(id_col: str, salt: str) -> Column:
+    return portable_hash64(F.concat(F.col(id_col).cast("string"),
+                                    F.lit(f"|{salt}")))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose 60-bit id hash
+    falls below rate * 2^60. Same rows survive on every engine and
+    every run; changing `salt` draws an independent sample."""
+    thresh = int(rate * _HASH_SPACE)
+    return df.filter(_id_hash(id_col, salt) < F.lit(thresh))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Exactly n rows per stratum (fewer if the stratum is smaller),
+    drawn uniformly by ranking on the id hash. One shuffle on the
+    stratum key; ties broken by id for full determinism."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _id_hash(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column ('train' | 'val' | 'test') derived from the
+    id hash. Assignment is per-row and append-stable: rows added later
+    never move earlier rows between splits."""
+    h = _id_hash(id_col, salt)
+    val_t = int(val_frac * _HASH_SPACE)
+    test_t = int((val_frac + test_frac) * _HASH_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(h < val_t, F.lit("val"))
+        .when(h < test_t, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -98,6 +98,45 @@ def test_dedup_clusters_long_chain(spark):
     assert sum(r.is_keep for r in out) == 1
 
 
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    from locustdb_spark.operators.sampling import hash_sample
+
+    a = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    b = {r.doc_id for r in
+         hash_sample(docs.repartition(7), 0.2).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # independent draw under a different salt
+    c = {r.doc_id for r in
+         hash_sample(docs, 0.2, salt="other").select("doc_id").collect()}
+    assert c != a
+
+
+def test_stratified_sample_exact_per_stratum(docs):
+    from locustdb_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(docs, "lang", 5).groupBy("lang").count().collect()
+    full = dict(docs.groupBy("lang").count().collect())
+    for r in out:
+        assert r["count"] == min(5, full[r.lang])
+
+
+def test_train_val_test_split_stable_under_append(docs, spark):
+    """Rows keep their split when the corpus grows — the property that
+    keeps eval sets stable."""
+    from locustdb_spark.operators.sampling import train_val_test_split
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_split = {r.doc_id: r.split
+                  for r in train_val_test_split(docs).collect()}
+    half_split = {r.doc_id: r.split
+                  for r in train_val_test_split(half).collect()}
+    assert all(full_split[i] == s for i, s in half_split.items())
+    assert set(full_split.values()) <= {"train", "val", "test"}
+    n = len(full_split)
+    train_frac = sum(s == "train" for s in full_split.values()) / n
+    assert 0.8 < train_frac < 0.98
+
+
 def test_simhash_bits_deterministic(docs):
     from locustdb_spark.operators.dedup import simhash
 
