@@ -347,6 +347,18 @@ def p_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def p_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(_read(spark, sf_dir, "documents"))
+
+
+def p_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import pattern_counts
+
+    return pattern_counts(_read(spark, sf_dir, "documents"))
+
+
 def p_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: pack text as binary, decode via the
     Arrow-batched mapInPandas stub (deterministic fake metadata)."""
@@ -512,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": p_quality,
         "text_token_counts": p_token_counts,
         "text_fingerprint": p_fingerprint,
+        "text_lexical": p_lexical,
+        "text_patterns": p_patterns,
         "multimodal_decode": p_multimodal_decode,
         "multimodal_features": p_multimodal_features,
         "multimodal_resize": p_multimodal_resize,
@@ -964,6 +978,30 @@ def oracle_sql() -> dict[str, str]:
                 AS fingerprint,
               md5(text) AS content_md5
             FROM d
+        """,
+        "text_lexical": f"""
+            WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              floor(len(list_distinct(toks))
+                    / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000)
+                / 1000000 AS distinct_ratio,
+              floor(coalesce(list_max(list_transform(list_distinct(toks),
+                      d2 -> len(list_filter(toks, t -> t = d2)))), 0)
+                    / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000)
+                / 1000000 AS top_token_ratio
+            FROM d
+        """,
+        "text_patterns": """
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+                AS BIGINT) AS n_urls,
+              CAST(len(regexp_extract_all(text, '[0-9]+'))
+                AS BIGINT) AS n_digit_runs
+            FROM documents
         """,
         "multimodal_decode": """
             SELECT doc_id,

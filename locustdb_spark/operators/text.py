@@ -109,6 +109,60 @@ def token_counts(
     )
 
 
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals (Gopher-style quality rules): distinct-token
+    ratio and the frequency share of the most common token. Pure
+    projection; the per-row cost is O(tokens * distinct) array work,
+    bounded by document length, with no shuffle."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
+
+    def trunc6(c: Column) -> Column:
+        return F.floor(c * 1000000) / 1000000
+
+    occurrences = F.transform(
+        distinct,
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    top = F.coalesce(F.array_max(occurrences), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        trunc6(F.size(distinct) / F.greatest(n, F.lit(1)).cast("double"))
+        .alias("distinct_ratio"),
+        trunc6(top / F.greatest(n, F.lit(1)).cast("double"))
+        .alias("top_token_ratio"),
+    )
+
+
+# deliberately simple patterns every regex engine parses identically
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+URL_REGEX = "https?://[^ ]+"
+DIGIT_RUN_REGEX = "[0-9]+"
+
+
+def pattern_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document counts of email-like strings, URLs, and digit runs
+    — the cheap signals PII scrubbing and boilerplate filters key on.
+    Pure projection, no shuffle."""
+    text = F.col(text_col)
+
+    def cnt(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        cnt(EMAIL_REGEX).alias("n_emails"),
+        cnt(URL_REGEX).alias("n_urls"),
+        cnt(DIGIT_RUN_REGEX).alias("n_digit_runs"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

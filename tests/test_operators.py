@@ -237,6 +237,29 @@ def test_token_counts_consistency(docs):
     assert row.n_chars == len(text)
 
 
+def test_lexical_diversity_known_values(docs, spark):
+    from locustdb_spark.operators.text import lexical_diversity
+
+    d = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_diversity(d).collect()}
+    assert out[1].n_tokens == 5
+    assert out[1].distinct_ratio == 0.4       # 2 distinct / 5
+    assert out[1].top_token_ratio == 0.6      # 'a' appears 3/5
+    assert out[2].distinct_ratio == 1.0 and out[2].top_token_ratio > 0
+    assert out[3].n_tokens == 0 and out[3].top_token_ratio == 0.0
+
+
+def test_pattern_counts_known_values(docs, spark):
+    from locustdb_spark.operators.text import pattern_counts
+
+    d = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or visit https://x.io/a 42 7")],
+        "doc_id long, text string")
+    r = pattern_counts(d).head()
+    assert (r.n_emails, r.n_urls, r.n_digit_runs) == (1, 1, 2)
+
+
 def test_fingerprint_deterministic(docs):
     from locustdb_spark.operators.text import fingerprint
 
