@@ -112,6 +112,38 @@ class LocustDB:
         in-memory tables (BASELINE.md benchmark config)."""
         self._views[name] = df
 
+    def save_bucketed(
+        self,
+        name: str,
+        key: str,
+        num_buckets: int = 32,
+        df: DataFrame | None = None,
+    ) -> DataFrame:
+        """Persist a table hash-bucketed (and sorted) on a join/group
+        key. Tables bucketed the same way join and aggregate on that
+        key WITHOUT a shuffle — at 100 TB this turns the nightly
+        fact-to-fact join from a full-network exchange into a local
+        merge per bucket. Registers `<name>_by_<key>` as a queryable
+        table and returns it.
+
+        The bucket metadata lives in the Spark session catalog; on a
+        real cluster you'd back it with a shared metastore so every
+        session sees the bucketing (local single-session here).
+        """
+        df = df if df is not None else self.snapshot(name)
+        cat_name = f"{name}_by_{key}"
+        path = os.path.join(self.db_path, "bucketed", cat_name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
+        (
+            df.write.mode("overwrite").format("parquet")
+            .bucketBy(num_buckets, key).sortBy(key)
+            .option("path", path)
+            .saveAsTable(cat_name)
+        )
+        out = self.spark.table(cat_name)
+        self.register_df(cat_name, out)
+        return out
+
     def gen_table(
         self,
         name: str,

@@ -84,6 +84,31 @@ def test_exact_dedup_single_shuffle(spark):
     assert n_exchanges(plan) == 1
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key merge without any Exchange —
+    the co-location strategy that makes fact-to-fact joins viable at
+    100 TB (SURVEY.md §7 scale notes)."""
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.register_parquet("lineitem", f"{TESTDATA_SF}/lineitem.parquet")
+    db.register_parquet("orders", f"{TESTDATA_SF}/orders.parquet")
+    li_b = db.save_bucketed("lineitem", "l_orderkey", num_buckets=4)
+    ord_b = db.save_bucketed("orders", "o_orderkey", num_buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey)
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0
+        # and the join actually returns every lineitem row
+        assert joined.count() == li_b.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_plan_introspection_helpers(tpch):
     from locustdb_spark.plans import (
         has_take_ordered,
