@@ -247,6 +247,29 @@ def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.1, num_planes=ANN_PLANES)
 
 
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the same user's most recent
+    click at-or-before it (one shuffle on user_id; window fill)."""
+    from locustdb_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    right_cols=("event_id", "value"))
+    # ts is nanos (nanosAsLong); DuckDB's parquet reader truncates the
+    # same values to microseconds, so truncate before differencing for
+    # an exact oracle match (long arithmetic — doubles lose precision
+    # above 2^53).
+    us = lambda c: F.col(c) - F.col(c) % 1000
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("event_id_r").alias("click_id"),
+        F.col("value_r").alias("click_value"),
+        (us("ts") - us("ts_r")).alias("lag_ns"),
+    )
+
+
 SAMPLE_RATE = 0.1
 VAL_FRAC, TEST_FRAC = 0.05, 0.05
 
@@ -505,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_union": x_union,
         "x_having": x_having,
         "x_events_rollup": x_events_minute_rollup,
+        "x_asof_join": x_asof_join,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -824,6 +848,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_asof_join": """
+            SELECT p.event_id, p.user_id, p.value,
+                   c.event_id AS click_id, c.value AS click_value,
+                   epoch_ns(p.ts) - epoch_ns(c.ts) AS lag_ns
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         # --- LLM-pipeline operators ---
         "dedup_exact": """

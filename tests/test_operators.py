@@ -237,6 +237,39 @@ def test_token_counts_consistency(docs):
     assert row.n_chars == len(text)
 
 
+def test_asof_join_known_values(spark):
+    from locustdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 20), (2, 150, 30), (3, 100, 40)],
+        "user_id long, ts long, event_id long")
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 150, 8), (2, 200, 9)],
+        "user_id long, ts long, event_id long")
+    out = {r.event_id: r for r in
+           asof_join(left, right, on="ts", by="user_id",
+                     right_cols=("event_id",)).collect()}
+    assert out[10].event_id_r == 7      # tie at ts=100 matches
+    assert out[10].ts_r == 100
+    assert out[20].event_id_r == 8      # most recent prior (150), not 100
+    assert out[30].event_id_r is None   # right row is later (200 > 150)
+    assert out[40].event_id_r is None   # no right rows for user 3
+
+
+def test_asof_join_tolerance(spark):
+    from locustdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 500, 1)],
+                                 "user_id long, ts long, event_id long")
+    right = spark.createDataFrame([(1, 100, 7)],
+                                  "user_id long, ts long, event_id long")
+    with_tol = asof_join(left, right, right_cols=("event_id",),
+                         tolerance=100).head()
+    without = asof_join(left, right, right_cols=("event_id",)).head()
+    assert without.event_id_r == 7
+    assert with_tol.event_id_r is None  # 500-100 > tolerance
+
+
 def test_lexical_diversity_known_values(docs, spark):
     from locustdb_spark.operators.text import lexical_diversity
 
