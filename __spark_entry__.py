@@ -247,6 +247,18 @@ def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.1, num_planes=ANN_PLANES)
 
 
+def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (partial on (key, salt), final
+    on key) — result identical to a plain GROUP BY."""
+    from locustdb_spark.operators.skew import salted_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li, ["l_returnflag"],
+        {"cnt": "count(1)", "sum_qty": "sum(l_quantity)",
+         "max_qty": "max(l_quantity)"}, salt=8)
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks up the same user's most recent
     click at-or-before it (one shuffle on user_id; window fill)."""
@@ -529,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_having": x_having,
         "x_events_rollup": x_events_minute_rollup,
         "x_asof_join": x_asof_join,
+        "x_salted_agg": x_salted_agg,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -848,6 +861,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_salted_agg": """
+            SELECT l_returnflag, count(*) AS cnt,
+                   sum(l_quantity) AS sum_qty, max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY 1
         """,
         "x_asof_join": """
             SELECT p.event_id, p.user_id, p.value,

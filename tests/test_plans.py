@@ -109,6 +109,47 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_salted_join_equals_plain_join(spark):
+    from locustdb_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{TESTDATA_SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{TESTDATA_SF}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+        .groupBy().agg(F.count(F.lit(1)), F.sum("o_totalprice")).head()
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4) \
+        .groupBy().agg(F.count(F.lit(1)), F.sum("o_totalprice")).head()
+    assert plain == salted
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from locustdb_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{TESTDATA_SF}/lineitem.parquet")
+    plain = {
+        r.l_returnflag: r for r in
+        li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("s"),
+            F.min("l_extendedprice").alias("mn"),
+            F.avg("l_discount").alias("av")).collect()
+    }
+    salted = {
+        r.l_returnflag: r for r in
+        salted_agg(li, ["l_returnflag"],
+                   {"cnt": "count(1)", "s": "sum(l_quantity)",
+                    "mn": "min(l_extendedprice)",
+                    "av": "avg(l_discount)"}, salt=8).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k].cnt == salted[k].cnt
+        assert abs(plain[k].s - salted[k].s) < 1e-6
+        assert plain[k].mn == salted[k].mn
+        assert abs(plain[k].av - salted[k].av) < 1e-9
+
+
 def test_plan_introspection_helpers(tpch):
     from locustdb_spark.plans import (
         has_take_ordered,
