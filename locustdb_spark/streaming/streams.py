@@ -84,6 +84,26 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose id columns were already
+    seen within the watermark horizon. `dropDuplicatesWithinWatermark`
+    keys the state store on the id columns and expires entries past the
+    watermark, so state stays bounded no matter how long the stream
+    runs — the property that matters on an always-on ingest pipeline
+    (an unbounded dropDuplicates would accumulate state forever).
+    """
+    id_cols = id_cols or ["event_id"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(id_cols)
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, closed boolean"

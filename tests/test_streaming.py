@@ -73,6 +73,48 @@ def test_windowed_counts_batch_semantics(spark):
     assert out[("2024-01-01 11:00:00", "view")] == (1, 3.0)
 
 
+def test_stream_dedup(spark, tmp_path):
+    """Duplicate event_ids within the watermark horizon are dropped
+    across micro-batches (state-store backed, bounded by watermark)."""
+    from locustdb_spark.streaming.streams import stream_dedup
+
+    src = tmp_path / "events"
+    write_json(
+        str(src / "a.json"),
+        [
+            {"ts": "2024-01-01 10:00:00", "event_id": 1, "v": 1.0},
+            {"ts": "2024-01-01 10:01:00", "event_id": 2, "v": 2.0},
+            {"ts": "2024-01-01 10:02:00", "event_id": 1, "v": 9.0},  # dup
+        ],
+    )
+    write_json(
+        str(src / "b.json"),
+        [
+            {"ts": "2024-01-01 10:03:00", "event_id": 2, "v": 9.0},  # dup
+            {"ts": "2024-01-01 10:04:00", "event_id": 3, "v": 3.0},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("ts string, event_id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT event_id, count(*) AS c FROM dedup_out GROUP BY 1"
+    ).collect()
+    assert sorted((r.event_id, r.c) for r in got) == [(1, 1), (2, 1), (3, 1)]
+
+
 def test_sessionize_stream(spark, tmp_path):
     from locustdb_spark.streaming.streams import sessionize
 
