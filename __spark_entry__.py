@@ -247,6 +247,26 @@ def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.1, num_planes=ANN_PLANES)
 
 
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucketized equi-join: clicks within the
+    30 minutes before each error, per user. Timestamps are truncated to
+    microseconds on both sides (DuckDB's parquet reader drops sub-us)."""
+    from locustdb_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = lambda c: F.col(c) - F.col(c) % 1000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", us("ts").alias("ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        (us("ts") - F.lit(1_800_000_000_000)).alias("start"),
+        us("ts").alias("end"),
+    )
+    out = range_join(clicks, errors, by="user_id")
+    return out.select("event_id", "error_id", "user_id")
+
+
 def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (partial on (key, salt), final
     on key) — result identical to a plain GROUP BY."""
@@ -542,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_events_rollup": x_events_minute_rollup,
         "x_asof_join": x_asof_join,
         "x_salted_agg": x_salted_agg,
+        "x_range_join": x_range_join,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -861,6 +882,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_range_join": """
+            WITH c AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS t FROM events
+              WHERE event_type = 'click'
+            ), e AS (
+              SELECT user_id, event_id AS error_id,
+                     epoch_ns(ts) - 1800000000000 AS s, epoch_ns(ts) AS en
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT c.event_id, e.error_id, c.user_id
+            FROM c JOIN e ON c.user_id = e.user_id
+             AND c.t >= e.s AND c.t <= e.en
         """,
         "x_salted_agg": """
             SELECT l_returnflag, count(*) AS cnt,

@@ -22,6 +22,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: str | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval join: pair every left row with the right intervals
+    containing its timestamp (start <= ts <= end), optionally also
+    matching a `by` key.
+
+    Naive inequality joins lower to a nested-loop broadcast — O(|L|x|R|)
+    and a driver OOM at scale. This formulation bucketizes time: each
+    interval is exploded to the buckets it covers, left rows get their
+    single bucket, and the join is a plain equi-join on (by?, bucket)
+    with the exact range predicate applied post-join. A left row's
+    bucket intersects an interval's bucket list at most once, so no
+    dedup pass is needed. Shuffle volume is |L| + |R| * avg_span/width;
+    pick `bucket_width` near the typical interval length (default: the
+    right side's max span, computed with one tiny agg).
+    """
+    if bucket_width is None:
+        row = right.select(
+            F.max(F.col(right_end) - F.col(right_start))).head()
+        bucket_width = max(int(row[0] or 1), 1)
+    w = F.lit(bucket_width)
+    l2 = left.withColumn("_b", (F.col(left_ts) / w).cast("long"))
+    r2 = right.withColumn(
+        "_b",
+        F.explode(F.sequence((F.col(right_start) / w).cast("long"),
+                             (F.col(right_end) / w).cast("long"))),
+    )
+    cond = (l2["_b"] == r2["_b"]) \
+        & (l2[left_ts] >= r2[right_start]) & (l2[left_ts] <= r2[right_end])
+    if by is not None:
+        cond = cond & (l2[by] == r2[by])
+        out = l2.join(r2, cond).drop(l2["_b"]).drop(r2["_b"]).drop(r2[by])
+    else:
+        out = l2.join(r2, cond).drop(l2["_b"]).drop(r2["_b"])
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -256,6 +256,35 @@ def test_asof_join_known_values(spark):
     assert out[40].event_id_r is None   # no right rows for user 3
 
 
+def test_range_join_known_values(spark):
+    from locustdb_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 50), (1, 150), (1, 250), (2, 150)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 200, 77), (2, 0, 1000, 88)],
+        "user_id long, start long, end long, iid long")
+    out = range_join(left, right, by="user_id",
+                     bucket_width=64).collect()
+    got = sorted((r.ts, r.iid) for r in out)
+    assert got == [(150, 77), (150, 88)]  # boundaries inclusive-checked below
+    # inclusive boundaries
+    edge = range_join(
+        spark.createDataFrame([(1, 100), (1, 200)], "user_id long, ts long"),
+        right, by="user_id", bucket_width=64).collect()
+    assert sorted(r.ts for r in edge) == [100, 200]
+
+
+def test_range_join_no_duplicate_matches(spark):
+    """An interval spanning many buckets still matches a row once."""
+    from locustdb_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(5,)], "ts long")
+    right = spark.createDataFrame([(0, 10_000, 1)], "start long, end long, iid long")
+    out = range_join(left, right, bucket_width=10).collect()
+    assert len(out) == 1
+
+
 def test_asof_join_tolerance(spark):
     from locustdb_spark.operators.temporal import asof_join
 
