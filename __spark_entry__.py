@@ -267,6 +267,19 @@ def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "error_id", "user_id")
 
 
+def x_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language doc-length quartiles (interpolated
+    percentile — Spark and DuckDB agree bit-for-bit on the linear
+    interpolation). At scale swap percentile for percentile_approx;
+    the exact variant proves the semantics."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25D)").alias("q25"),
+        F.expr("percentile(n_chars, 0.5D)").alias("q50"),
+        F.expr("percentile(n_chars, 0.75D)").alias("q75"),
+    )
+
+
 def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (partial on (key, salt), final
     on key) — result identical to a plain GROUP BY."""
@@ -563,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_asof_join": x_asof_join,
         "x_salted_agg": x_salted_agg,
         "x_range_join": x_range_join,
+        "x_quantiles": x_quantiles,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -882,6 +896,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_quantiles": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.25) AS q25,
+                   quantile_cont(n_chars, 0.5) AS q50,
+                   quantile_cont(n_chars, 0.75) AS q75
+            FROM documents GROUP BY 1
         """,
         "x_range_join": """
             WITH c AS (
