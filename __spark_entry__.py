@@ -2,11 +2,14 @@
 
 `queries()` covers the reference's SQL surface (SURVEY.md §2.1) routed
 through the LocustDB dialect layer (locustdb_spark.dialect), the
-Spark-first extensions (joins/windows/distinct — free in Spark, absent
-in the reference), and the LLM-data-pipeline operators
-(locustdb_spark.operators: dedup, similarity, text analysis,
-multimodal plumbing). Each entry has a DuckDB oracle in `oracle_sql()`
-with matching column names and types.
+Spark-first extensions (joins/windows/distinct/as-of/range/quantiles/
+salted-skew — absent in the reference dialect), and the
+LLM-data-pipeline operators (locustdb_spark.operators: dedup +
+clustering, similarity, sampling/splits, text analysis, multimodal
+plumbing). Each entry has a DuckDB oracle in `oracle_sql()` with
+matching column names and types (exception: sim_ann_ivf — k-means is
+not SQL-expressible; the driver records a rows-only check). The full
+inventory-to-key mapping is SURVEY.md §8.
 """
 
 from __future__ import annotations
