@@ -344,6 +344,30 @@ def p_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, VAL_FRAC, TEST_FRAC).select("doc_id", "split")
 
 
+def p_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep, the operators composed as a real
+    pipeline: quality-filter (stopword/length score) -> near-dup
+    removal (minhash-LSH clusters, keep the min doc_id per cluster) ->
+    deterministic train/val/test split. Output: the surviving corpus
+    with its split assignment. Every stage is a column expression or an
+    id-only shuffle, so the composition inherits each stage's scale
+    shape."""
+    from locustdb_spark.operators.dedup import (
+        dedup_clusters, lsh_candidate_pairs, minhash_signatures)
+    from locustdb_spark.operators.sampling import train_val_test_split
+    from locustdb_spark.operators.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    quality = quality_score(docs).filter(F.col("quality_score") > 0.05)
+    qdocs = docs.join(quality.select("doc_id"), "doc_id")
+    sigs = minhash_signatures(qdocs, num_hashes=NUM_MINHASHES)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2)
+    keep = dedup_clusters(qdocs, pairs).filter("is_keep")
+    kept = qdocs.join(keep.select("doc_id"), "doc_id")
+    return train_val_test_split(kept, VAL_FRAC, TEST_FRAC).select(
+        "doc_id", "lang", "split")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _read(spark, sf_dir, "embeddings")
@@ -585,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_clusters": p_dedup_clusters,
+        "pipeline_corpus_prep": p_pipeline_corpus_prep,
         "dedup_simhash": p_simhash,
         "dedup_ngram_jaccard": p_ngram_jaccard,
         "dedup_embedding_cosine": p_embedding_near_dup,
@@ -629,14 +654,41 @@ def _duck_minhash_lane(j: int) -> str:
     )
 
 
-def _duck_minhash_cte() -> str:
+def _duck_minhash_cte(where: str = "") -> str:
     lanes = ", ".join(_duck_minhash_lane(j) for j in range(NUM_MINHASHES))
     return (
-        "WITH d AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        f"WITH d AS (SELECT doc_id, lower(text) AS t FROM documents{where}), "
         f"hd AS (SELECT doc_id, [md5(x) for x in {_DUCK_SHINGLES}] AS hs "
         "FROM d), "
         f"sig AS (SELECT doc_id, {lanes} FROM hd)"
     )
+
+
+_DUCK_LSH_CLUSTER_CTES = """,
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             mh0::VARCHAR || '_' || mh1::VARCHAR AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band,
+             mh2::VARCHAR || '_' || mh3::VARCHAR AS band_val FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_val = r.band_val
+       AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    )
+"""
 
 
 def _duck_simhash() -> str:
@@ -961,33 +1013,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": (
             _duck_minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-            + """,
-            bands AS (
-              SELECT doc_id, 0 AS band,
-                     mh0::VARCHAR || '_' || mh1::VARCHAR AS band_val FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band,
-                     mh2::VARCHAR || '_' || mh3::VARCHAR AS band_val FROM sig
-            ),
-            pairs AS (
-              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.band_val = r.band_val
-               AND l.doc_id < r.doc_id
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION ALL
-              SELECT id_b AS src, id_a AS dst FROM pairs
-            ),
-            cc(node, label) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-            )
+            + _DUCK_LSH_CLUSTER_CTES
+            + """
             SELECT node AS doc_id, min(label) AS cluster_id,
                    (min(label) = node) AS is_keep
             FROM cc GROUP BY node
+            """
+        ),
+        "pipeline_corpus_prep": (
+            _duck_minhash_cte(" WHERE doc_id IN (SELECT doc_id FROM q)")
+            .replace(
+                "WITH ",
+                "WITH RECURSIVE q AS (SELECT doc_id FROM ("
+                "SELECT doc_id, floor((len(list_filter(toks, t -> "
+                f"list_contains({_LANGS['en']}, t))) "
+                "/ CAST(greatest(len(toks), 1) AS DOUBLE) * 0.5 "
+                "+ least(len(toks) / 256.0, 1.0) * 0.5) * 1000000) / 1000000 "
+                f"AS qs FROM (SELECT doc_id, {_DUCK_TOKS} AS toks "
+                "FROM documents)) WHERE qs > 0.05), ",
+                1,
+            )
+            + _DUCK_LSH_CLUSTER_CTES
+            + f""",
+            keepers AS (
+              SELECT node AS doc_id FROM cc
+              GROUP BY node HAVING min(label) = node
+            )
+            SELECT doc_id, lang,
+              CASE WHEN h < {int(VAL_FRAC * (1 << 60))} THEN 'val'
+                   WHEN h < {int((VAL_FRAC + TEST_FRAC) * (1 << 60))}
+                     THEN 'test'
+                   ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id, lang,
+                ('0x'||substr(md5(doc_id::VARCHAR || '|split'),1,15))::BIGINT
+                  AS h
+              FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM keepers)
+            )
             """
         ),
         "dedup_simhash": _duck_simhash(),
