@@ -165,6 +165,22 @@ def x_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP) — subtotal rows carry NULL keys."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"))
+
+
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations (CUBE)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("l_quantity").alias("max_qty"))
+
+
 def x_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucket rollup on the event stream table. ts is read as
     nanos-since-epoch (see _read); integer div keeps full precision
@@ -604,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_salted_agg": x_salted_agg,
         "x_range_join": x_range_join,
         "x_quantiles": x_quantiles,
+        "x_rollup": x_rollup,
+        "x_cube": x_cube,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -951,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "x_cube": """
+            SELECT l_returnflag, l_linenumber, count(*) AS cnt,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linenumber)
         """,
         "x_quantiles": """
             SELECT lang,
