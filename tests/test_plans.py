@@ -109,6 +109,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_hash_sample_and_split_are_shuffle_free(spark):
+    """Sampling and split assignment must stay pure projections/filters
+    — no Exchange at any scale."""
+    from locustdb_spark.operators.sampling import (
+        hash_sample, train_val_test_split)
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+    assert n_exchanges(explain_str(hash_sample(docs, 0.1))) == 0
+    assert n_exchanges(explain_str(train_val_test_split(docs))) == 0
+
+
+def test_range_join_lowers_to_hash_join(spark):
+    """The bucketized formulation must produce an equi-join, never a
+    BroadcastNestedLoopJoin."""
+    from locustdb_spark.operators.temporal import range_join
+
+    left = spark.range(100).select(F.col("id").alias("ts"))
+    right = spark.range(10).select(
+        (F.col("id") * 10).alias("start"),
+        (F.col("id") * 10 + 5).alias("end"),
+        F.col("id").alias("iid"))
+    plan = explain_str(range_join(left, right, bucket_width=16))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
 def test_salted_join_equals_plain_join(spark):
     from locustdb_spark.operators.skew import salted_join
 
@@ -148,6 +175,21 @@ def test_salted_agg_equals_plain_agg(spark):
         assert abs(plain[k].s - salted[k].s) < 1e-6
         assert plain[k].mn == salted[k].mn
         assert abs(plain[k].av - salted[k].av) < 1e-9
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter over the full scan."""
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.register_parquet("documents", f"{TESTDATA_SF}/documents.parquet")
+    part = db.save_partitioned("documents", ["lang"])
+    q = part.filter(F.col("lang") == "en").select("doc_id")
+    plan = explain_str(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0]
+    assert q.count() == part.filter("lang = 'en'").count() > 0
 
 
 def test_plan_introspection_helpers(tpch):
