@@ -165,6 +165,18 @@ def x_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type. The
+    reference lists 'precise set sizes' as a non-goal; Spark's sketch
+    aggregates scale to any cardinality in fixed memory. No SQL oracle
+    (sketch implementations differ across engines — the driver records
+    a rows-only check); tests pin the estimates to the exact counts
+    within rsd."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+
+
 def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (ROLLUP) — subtotal rows carry NULL keys."""
     li = _read(spark, sf_dir, "lineitem")
@@ -622,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quantiles": x_quantiles,
         "x_rollup": x_rollup,
         "x_cube": x_cube,
+        "x_approx_distinct": x_approx_distinct,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,

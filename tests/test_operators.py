@@ -237,6 +237,24 @@ def test_token_counts_consistency(docs):
     assert row.n_chars == len(text)
 
 
+def test_approx_distinct_close_to_exact(spark):
+    """HLL estimate within the configured rsd of the exact count."""
+    import __spark_entry__ as entry
+    from conftest import TESTDATA_SF
+    import os
+
+    sf_dir = os.path.dirname(f"{TESTDATA_SF}/x") or TESTDATA_SF
+    approx = {r.event_type: r.approx_users
+              for r in entry.x_approx_distinct(spark, TESTDATA_SF).collect()}
+    ev = spark.read.parquet(f"{TESTDATA_SF}/events.parquet")
+    exact = {r.event_type: r.exact for r in
+             ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("exact")).collect()}
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.1 * exact[k])
+
+
 def test_asof_join_known_values(spark):
     from locustdb_spark.operators.temporal import asof_join
 
