@@ -372,6 +372,25 @@ def p_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, VAL_FRAC, TEST_FRAC).select("doc_id", "split")
 
 
+def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
+def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a 'new batch' (odd doc_ids) against the 'existing corpus'
+    (even doc_ids) by content hash; survivors keep all columns."""
+    from locustdb_spark.operators.dedup import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    out = incremental_dedup(new, existing)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def p_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus prep, the operators composed as a real
     pipeline: quality-filter (stopword/length score) -> near-dup
@@ -640,7 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_clusters": p_dedup_clusters,
+        "dedup_incremental": p_incremental_dedup,
         "pipeline_corpus_prep": p_pipeline_corpus_prep,
+        "text_chunks": p_chunk_documents,
         "dedup_simhash": p_simhash,
         "dedup_ngram_jaccard": p_ngram_jaccard,
         "dedup_embedding_cosine": p_embedding_near_dup,
@@ -1094,6 +1115,38 @@ def oracle_sql() -> dict[str, str]:
             )
             """
         ),
+        "dedup_incremental": """
+            WITH new_b AS (
+              SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents
+              WHERE doc_id % 2 = 1
+            ), existing AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id % 2 = 0
+            ), fresh AS (
+              SELECT * FROM new_b
+              WHERE h NOT IN (SELECT h FROM existing)
+            )
+            SELECT doc_id, lang, n_chars FROM fresh
+            WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2
+                            WHERE f2.h = fresh.h)
+        """,
+        "text_chunks": """
+            WITH d AS (
+              SELECT doc_id, text,
+                greatest(1, CAST(ceil((length(text) - 50) / 150.0)
+                                 AS BIGINT)) AS n
+              FROM documents
+            ), e AS (
+              SELECT doc_id, text, unnest(range(0, n)) AS k FROM d
+            )
+            SELECT doc_id,
+                   CAST(k AS INT) AS chunk_id,
+                   substr(text, CAST(1 + k * 150 AS BIGINT), 200)
+                     AS chunk_text,
+                   CAST(length(substr(text, CAST(1 + k * 150 AS BIGINT),
+                                      200)) AS INT) AS chunk_chars
+            FROM e
+        """,
         "dedup_simhash": _duck_simhash(),
         "dedup_ngram_jaccard": """
             WITH g AS (

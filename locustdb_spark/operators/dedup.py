@@ -231,6 +231,30 @@ def embedding_near_dup(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-shaped dedup: keep only the new-batch rows whose
+    content hash appears neither in the existing corpus nor earlier in
+    the batch itself (min id wins within the batch). Two anti-join-
+    shaped operations on the 16-byte hash — the corpus text never
+    moves, and the existing side can be a pre-computed hash table at
+    scale (store it; don't rescan 100 TB per batch)."""
+    new_h = new_df.select(F.col(id_col),
+                          F.md5(F.col(content_col)).alias("_h"))
+    seen = existing_df.select(
+        F.md5(F.col(content_col)).alias("_h")).distinct()
+    fresh = new_h.join(seen, "_h", "left_anti")
+    first = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return (
+        new_df.join(first.select(id_col), id_col)
+        .select(new_df["*"])
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -163,6 +163,43 @@ def pattern_counts(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 256,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with optional
+    overlap — the sequence-prep step before tokenization/packing.
+    Output: (id, chunk_id, chunk_text, chunk_chars). posexplode over a
+    computed offset array: pure projection + generator, no shuffle; at
+    100 TB this is a map-only pass whose output row count is
+    len/stride per doc."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(text.isNotNull().cast("int"),
+                   F.length(text) - F.lit(overlap)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+        text.alias("_t"),
+    )
+    chunk = F.col("_t").substr(F.col("_start"), F.lit(chunk_chars))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_chars"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -317,6 +317,37 @@ def test_asof_join_tolerance(spark):
     assert with_tol.event_id_r is None  # 500-100 > tolerance
 
 
+def test_chunk_documents_known_values(spark):
+    from locustdb_spark.operators.text import chunk_documents
+
+    d = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    out = sorted(chunk_documents(d, chunk_chars=4, overlap=1).collect(),
+                 key=lambda r: r.chunk_id)
+    assert [(r.chunk_id, r.chunk_text) for r in out] == [
+        (0, "abcd"), (1, "defg"), (2, "ghij")]
+    # short doc -> one whole-doc chunk
+    short = chunk_documents(
+        spark.createDataFrame([(2, "xy")], "doc_id long, text string"),
+        chunk_chars=4, overlap=1).collect()
+    assert len(short) == 1 and short[0].chunk_text == "xy"
+    # overlap reconstructs the doc: stride chars of each chunk + tail
+    joined = "".join(r.chunk_text[:3] for r in out[:-1]) + out[-1].chunk_text
+    assert joined == "abcdefghij"
+
+
+def test_incremental_dedup(spark):
+    from locustdb_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "seen")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "seen"), (11, "fresh"), (12, "fresh"), (13, "other")],
+        "doc_id long, text string")
+    out = sorted(r.doc_id for r in incremental_dedup(new, existing).collect())
+    # 10 dropped (in corpus); 12 dropped (11 is the first 'fresh')
+    assert out == [11, 13]
+
+
 def test_lexical_diversity_known_values(docs, spark):
     from locustdb_spark.operators.text import lexical_diversity
 
