@@ -415,6 +415,13 @@ def p_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "split")
 
 
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _read(spark, sf_dir, "embeddings")
@@ -668,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": p_sample_hash,
         "sample_stratified": p_sample_stratified,
         "sample_split": p_sample_split,
+        "sample_pack": p_pack_sequences,
         "sim_cosine_topk": p_cosine_topk,
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf": p_ann_ivf,
@@ -1210,6 +1218,16 @@ def oracle_sql() -> dict[str, str]:
                 ('0x'||substr(md5(doc_id::VARCHAR || '|split'),1,15))::BIGINT AS h
               FROM documents
             )
+        """,
+        "sample_pack": """
+            SELECT doc_id, lang, n_chars,
+              CAST(floor(coalesce(sum(n_chars) OVER (
+                PARTITION BY lang
+                ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || '|pack'),1,15))::BIGINT,
+                         doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2048) AS BIGINT) AS bin_id
+            FROM documents
         """,
         "sim_cosine_topk": (
             _DUCK_COSINE

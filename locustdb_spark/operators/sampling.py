@@ -67,6 +67,43 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    group_col: str | None = "lang",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Contiguous-stream sequence packing: order documents
+    deterministically (by id hash), then assign each to a bin so that
+    consecutive documents fill a `budget`-sized window —
+    bin_id = floor(running_size_before_doc / budget). This is the
+    standard streaming-concat packing used to fill training context
+    windows; docs larger than the budget get bins to themselves.
+
+    One shuffle on `group_col` (each group is an independent stream);
+    with group_col=None a single global stream means a single-partition
+    window — use a grouping column at scale.
+    """
+    from pyspark.sql.window import Window
+
+    order = [_id_hash(id_col, salt), F.col(id_col)]
+    w = (Window.partitionBy(group_col) if group_col
+         else Window.partitionBy()).orderBy(*order)
+    running_before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        F.col(size_col),
+        F.floor(running_before / F.lit(budget)).cast("long").alias("bin_id"),
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     val_frac: float = 0.05,

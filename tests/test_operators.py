@@ -317,6 +317,35 @@ def test_asof_join_tolerance(spark):
     assert with_tol.event_id_r is None  # 500-100 > tolerance
 
 
+def test_pack_sequences_fills_bins(spark):
+    from locustdb_spark.operators.sampling import pack_sequences
+
+    d = spark.createDataFrame(
+        [(i, "en", 100) for i in range(10)],
+        "doc_id long, lang string, n_chars long")
+    out = pack_sequences(d, budget=300, group_col="lang").collect()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r.bin_id, 0)
+        sizes[r.bin_id] += r.n_chars
+    # 10 docs x 100 chars / 300 budget -> bins 0..3, first three full
+    assert sorted(sizes) == [0, 1, 2, 3]
+    assert [sizes[b] for b in sorted(sizes)] == [300, 300, 300, 100]
+    # bins must equal floor(running_size_before/budget) under the
+    # operator's own deterministic hash order
+    sizes_by_id = {1: 5000, 2: 10, 3: 200}
+    big = spark.createDataFrame(
+        [(i, "en", s) for i, s in sizes_by_id.items()],
+        "doc_id long, lang string, n_chars long")
+    outs = {r.doc_id: r.bin_id for r in
+            pack_sequences(big, budget=300, group_col="lang").collect()}
+    order = sorted(sizes_by_id, key=lambda i: (_py_hash64(f"{i}|pack"), i))
+    run = 0
+    for i in order:
+        assert outs[i] == run // 300, (i, order, outs)
+        run += sizes_by_id[i]
+
+
 def test_chunk_documents_known_values(spark):
     from locustdb_spark.operators.text import chunk_documents
 
