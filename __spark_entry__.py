@@ -459,6 +459,13 @@ def p_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _query_vec(spark, sf_dir), k=10, n_clusters=8, nprobe=2)
 
 
+def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.similarity import label_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
 def p_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import hyperplane_buckets
 
@@ -680,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf": p_ann_ivf,
         "sim_lsh_buckets": p_lsh_buckets,
+        "sim_label_centroids": p_label_centroids,
         "text_langid": p_langid,
         "text_quality": p_quality,
         "text_token_counts": p_token_counts,
@@ -1243,6 +1251,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine_sim DESC, sims.vec_id LIMIT 10"
         ),
         "sim_lsh_buckets": _duck_buckets(),
+        "sim_label_centroids": """
+            SELECT label,
+                   CAST(i - 1 AS INT) AS dim_idx,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6)
+                     AS centroid_val
+            FROM (
+              SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings
+            )
+            GROUP BY 1, 2
+        """,
         "text_langid": _duck_langid(),
         "text_quality": _duck_quality(),
         "text_token_counts": f"""

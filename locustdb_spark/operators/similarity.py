@@ -241,3 +241,33 @@ def ann_lsh_topk(
         with_buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col
     )
     return cosine_topk(candidates, query_vec, k, vec_col, id_col, round_to)
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-label embedding centroids in long form: (label, dim_idx,
+    centroid_val) — the class-prototype computation behind nearest-
+    centroid classification, IVF coarse training, and drift checks.
+
+    posexplode turns the corpus into (label, dim, component) rows and a
+    plain groupBy averages them — no UDAF, fully codegen'd, one shuffle
+    on (label, dim). At 1000 executors the shuffle carries only
+    (label, dim, partial-sum) triples thanks to partial aggregation,
+    not the vectors.
+    """
+    exploded = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim_idx", "component"),
+    )
+    cent = F.avg("component")
+    if round_to is not None:
+        cent = F.round(cent, round_to)
+    return (
+        exploded.groupBy(label_col, "dim_idx")
+        .agg(cent.alias("centroid_val"))
+    )

@@ -488,6 +488,17 @@ def test_multimodal_frames_fan_out(docs):
         assert f0.frame_len == min(100, len(b))
 
 
+def test_label_centroids_known_values(spark):
+    from locustdb_spark.operators.similarity import label_centroids
+
+    d = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<double>")
+    out = {(r.label, r.dim_idx): r.centroid_val
+           for r in label_centroids(d).collect()}
+    assert out == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
 def test_ann_ivf_exact_when_probing_all(emb):
     """nprobe == n_clusters must degrade IVF to exact brute force."""
     from locustdb_spark.operators.similarity import (
