@@ -372,6 +372,12 @@ def p_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, VAL_FRAC, TEST_FRAC).select("doc_id", "split")
 
 
+def p_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_read(spark, sf_dir, "documents"), k=5)
+
+
 def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import chunk_documents
 
@@ -676,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": p_incremental_dedup,
         "pipeline_corpus_prep": p_pipeline_corpus_prep,
         "text_chunks": p_chunk_documents,
+        "text_tfidf": p_tf_idf,
         "dedup_simhash": p_simhash,
         "dedup_ngram_jaccard": p_ngram_jaccard,
         "dedup_embedding_cosine": p_embedding_near_dup,
@@ -1272,6 +1279,23 @@ def oracle_sql() -> dict[str, str]:
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens,
               CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
+        """,
+        "text_tfidf": f"""
+            WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * n.n / dfreq.dft AS score
+              FROM tf, dfreq, n WHERE tf.term = dfreq.term
+            )
+            SELECT doc_id, term, tf, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+              FROM s
+            ) WHERE rn <= 5
         """,
         "text_fingerprint": """
             WITH d AS (SELECT doc_id, text, lower(text) AS t FROM documents)

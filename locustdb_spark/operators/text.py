@@ -163,6 +163,47 @@ def pattern_counts(
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf with a
+    *rational* idf: score = tf * N / df_term. Rankings match the
+    classic tf*log(N/df) whenever only tf or only df varies, and the
+    rational form avoids transcendental functions, so scores (and thus
+    rankings) are bit-identical across engines — IEEE division is
+    correctly rounded, libm log is not. Ties break on the term string.
+
+    Shape at scale: explode -> two partial-aggregated shuffles (term
+    frequencies, then document frequencies keyed on the term) -> one
+    window shuffle on doc_id for the top-k. The corpus size N joins in
+    as a broadcast scalar.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.col("tf") * F.col("_n") / F.col("_df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col), "term", F.col("tf").cast("long").alias("tf"),
+                "score")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 256,

@@ -346,6 +346,24 @@ def test_pack_sequences_fills_bins(spark):
         run += sizes_by_id[i]
 
 
+def test_tf_idf_top_terms_known_values(spark):
+    """'unique' appears only in doc 1 -> highest score there; 'the'
+    appears everywhere -> lowest idf."""
+    from locustdb_spark.operators.text import tf_idf_top_terms
+
+    d = spark.createDataFrame(
+        [(1, "the unique term the"), (2, "the common the"), (3, "the x")],
+        "doc_id long, text string")
+    out = tf_idf_top_terms(d, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = sorted(by_doc[1], key=lambda r: (-r.score, r.term))
+    # doc1: 'the' tf=2 df=3 -> 2*3/3=2.0; 'term'/'unique' tf=1 df=1 -> 3.0
+    assert top1[0].term in ("term", "unique") and top1[0].score == 3.0
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
 def test_chunk_documents_known_values(spark):
     from locustdb_spark.operators.text import chunk_documents
 
