@@ -165,6 +165,19 @@ def x_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation over the events props column
+    (the reference stores JSON as an opaque string; Spark parses it
+    JVM-side with get_json_object — no UDF)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max(k).alias("max_k"))
+    )
+
+
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type. The
     reference lists 'precise set sizes' as a non-goal; Spark's sketch
@@ -674,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rollup": x_rollup,
         "x_cube": x_cube,
         "x_approx_distinct": x_approx_distinct,
+        "x_json_extract": x_json_extract,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -1026,6 +1040,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_json_extract": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+                   count(*) AS cnt,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events WHERE props IS NOT NULL
+            GROUP BY 1
         """,
         "x_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
