@@ -80,6 +80,11 @@ class LocustDB:
         self._external: dict[str, str] = {}
         # name -> DataFrame for registered (possibly cached) views
         self._views: dict[str, DataFrame] = {}
+        # cumulative operation counters (reference PerfCounter analog)
+        self._perf: dict[str, int] = {
+            "queries": 0, "rows_returned": 0, "rows_ingested": 0,
+            "flushes": 0, "csv_loads": 0,
+        }
 
     # ------------------------------------------------------------------
     # table access
@@ -214,6 +219,37 @@ class LocustDB:
         return _union_promote(parts)
 
     # ------------------------------------------------------------------
+    # operational surface (reference locustdb.rs:25-211)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def memory_only(cls, spark: SparkSession | None = None) -> "LocustDB":
+        """Ephemeral instance (reference `memory_only`): tables live in
+        a throwaway tmp dir, nothing is meant to survive the process."""
+        return cls(spark=spark)
+
+    def recover(self) -> list[str]:
+        """Re-attach tables already on disk under db_path (reference
+        `recover` replays WAL + meta; parquet dirs ARE our durable
+        state, so recovery is just enumeration). Returns table names."""
+        return [n for n in self.table_names() if self._has_parquet(n)]
+
+    def perf_counter(self) -> dict[str, Any]:
+        """Cumulative counters (reference PerfCounter surface)."""
+        return dict(self._perf)
+
+    def evict_cache(self) -> int:
+        """Unpersist every cached registered DataFrame; returns how
+        many were evicted (reference `evict_cache` -> bytes freed; we
+        report evicted tables — Spark tracks bytes internally)."""
+        n = 0
+        for df in self._views.values():
+            if df.is_cached:
+                df.unpersist()
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
     # querying
     # ------------------------------------------------------------------
 
@@ -231,6 +267,8 @@ class LocustDB:
         source = self.snapshot(q.table)
         compiled: CompiledQuery = compile_query(q, source)
         rows = [tuple(r) for r in compiled.df.collect()]
+        self._perf["queries"] += 1
+        self._perf["rows_returned"] += len(rows)
         out: dict[str, Any] = {
             "colnames": compiled.colnames,
             "rows": rows,
@@ -243,6 +281,16 @@ class LocustDB:
                 )
             )
         return out
+
+    def ast(self, query: str) -> str:
+        """Formatted parse tree of a dialect query, or the error text —
+        the debug surface of the reference's `ast` (locustdb.rs:149-154)."""
+        import pprint
+
+        try:
+            return pprint.pformat(parse(query))
+        except Exception as err:  # error text, like the reference
+            return repr(err)
 
     def explain(self, query: str) -> str:
         q = parse(query)
@@ -267,7 +315,9 @@ class LocustDB:
         """Row ingestion API (reference table.rs:162-178). Buffered in
         memory; flushed when the buffer exceeds partition_size rows."""
         buf = self._buffers.setdefault(table, [])
+        n0 = len(buf)
         buf.extend(rows)
+        self._perf["rows_ingested"] += len(buf) - n0
         if len(buf) >= self.partition_size:
             self.force_flush(table)
 
@@ -282,6 +332,7 @@ class LocustDB:
         """CSV load with the reference's schema DSL
         (src/ingest/csv_loader.rs, schema.rs:14-60)."""
         df = load_csv_df(self.spark, path, schema, allow_nulls)
+        self._perf["csv_loads"] += 1
         self._append_df(table, df, partition_size or self.partition_size)
 
     def ingest_df(self, table: str, df: DataFrame) -> None:
@@ -296,6 +347,7 @@ class LocustDB:
             if not buf:
                 continue
             self._append_df(name, self._buffer_df(name, buf), self.partition_size)
+            self._perf["flushes"] += 1
 
     def _buffer_df(self, name: str, buf: list[dict[str, Any]]) -> DataFrame:
         # Infer a buffer-level schema with String > Float > Int promotion

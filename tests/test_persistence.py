@@ -77,3 +77,35 @@ def test_gen_table_api(spark, tmp_path):
     ])
     rows = q(db, "SELECT tag, count(0) FROM g")
     assert sum(c for _, c in rows) == 200
+
+
+def test_operational_surface(spark, tmp_path):
+    """ast / recover / perf_counter / evict_cache / memory_only
+    (reference locustdb.rs:25-211)."""
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.ingest("t", [{"a": 1}, {"a": 2}])
+    db.force_flush()
+    db.run_query("SELECT a FROM t")
+
+    pc = db.perf_counter()
+    assert pc["rows_ingested"] == 2 and pc["flushes"] == 1
+    assert pc["queries"] == 1 and pc["rows_returned"] == 2
+
+    # ast: parse tree for valid SQL, error text for invalid
+    assert "a" in db.ast("SELECT a FROM t")
+    assert "NotImplemented" in db.ast("SELECT a FROM t JOIN u")
+
+    # recover: a fresh handle over the same db_path sees the table
+    db2 = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    assert "t" in db2.recover()
+    assert db2.run_query("SELECT a FROM t")["rows"] == [(1,), (2,)]
+
+    # evict_cache: cached registered views get unpersisted
+    df = spark.range(5).cache()
+    df.count()
+    db.register_df("cached", df)
+    assert db.evict_cache() == 1 and not df.is_cached
+
+    assert LocustDB.memory_only(spark=spark).table_names() == []
