@@ -485,6 +485,12 @@ def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb)
 
 
+def p_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+
+
 def p_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import hyperplane_buckets
 
@@ -709,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": p_ann_ivf,
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
+        "sim_quantize": p_quantize,
         "text_langid": p_langid,
         "text_quality": p_quality,
         "text_token_counts": p_token_counts,
@@ -1279,6 +1286,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine_sim DESC, sims.vec_id LIMIT 10"
         ),
         "sim_lsh_buckets": _duck_buckets(),
+        "sim_quantize": """
+            WITH x AS (
+              SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings
+            ), e AS (
+              SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM x
+            ), s AS (
+              SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1
+            )
+            SELECT e.vec_id, CAST(e.i - 1 AS INT) AS dim_idx,
+              CAST(CASE WHEN s.mx = s.mn THEN 0
+                   ELSE least(255, floor((e.v - s.mn) / (s.mx - s.mn) * 256))
+                        - 128 END AS BIGINT) AS q
+            FROM e JOIN s ON e.i = s.i
+        """,
         "sim_label_centroids": """
             SELECT label,
                    CAST(i - 1 AS INT) AS dim_idx,

@@ -506,6 +506,29 @@ def test_multimodal_frames_fan_out(docs):
         assert f0.frame_len == min(100, len(b))
 
 
+def test_quantize_embeddings_bounds_and_reconstruction(emb, spark):
+    from locustdb_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(emb).toPandas()
+    assert q.q.between(-128, 127).all()
+    # min and max of every dimension hit the code range extremes
+    per_dim = q.groupby("dim_idx").q.agg(["min", "max"])
+    assert (per_dim["min"] == -128).all() and (per_dim["max"] == 127).all()
+    # dequantized values stay within one bucket of the originals
+    import numpy as np
+    first = emb.filter("vec_id = 0").head().embedding
+    stats = {}
+    for r in emb.select("embedding").collect():
+        for i, v in enumerate(r.embedding):
+            mn, mx = stats.get(i, (np.inf, -np.inf))
+            stats[i] = (min(mn, v), max(mx, v))
+    codes = q[q.vec_id == 0].set_index("dim_idx").q
+    for i, v in enumerate(first):
+        mn, mx = stats[i]
+        deq = mn + (codes[i] + 128 + 0.5) / 256 * (mx - mn)
+        assert abs(deq - v) <= (mx - mn) / 256
+
+
 def test_label_centroids_known_values(spark):
     from locustdb_spark.operators.similarity import label_centroids
 
