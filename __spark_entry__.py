@@ -165,6 +165,65 @@ def x_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a batch window query: a session
+    breaks after >30 min of inactivity; session_id is the running count
+    of breaks per user (lag + cumulative sum — two passes over one
+    user-keyed shuffle). Timestamps truncated to us for oracle parity."""
+    from pyspark.sql.window import Window
+
+    gap_ns = 1_800_000_000_000
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", "event_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_break = (
+        (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_ns
+    ).cast("long")
+    sess = ev.select(
+        "user_id", "event_id", "ts_us",
+        F.coalesce(is_break, F.lit(0)).alias("_brk"),
+    ).withColumn(
+        "session_id",
+        F.sum("_brk").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("session_start"),
+             F.max("ts_us").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def x_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue total per customer over their order history."""
+    from pyspark.sql.window import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority (rows) x year (columns),
+    expressed as conditional aggregation so the oracle is plain SQL."""
+    orders = _read(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    aggs = [
+        F.sum(F.when(yr == y, 1).otherwise(0)).alias(f"y{y}")
+        for y in (1992, 1993, 1994, 1995)
+    ]
+    return orders.groupBy("o_orderpriority").agg(*aggs)
+
+
 def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation over the events props column
     (the reference stores JSON as an opaque string; Spark parses it
@@ -694,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cube": x_cube,
         "x_approx_distinct": x_approx_distinct,
         "x_json_extract": x_json_extract,
+        "x_sessionize_batch": x_sessionize_batch,
+        "x_window_running_total": x_window_running_total,
+        "x_pivot": x_pivot,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -1047,6 +1109,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_sessionize_batch": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS ts_us FROM events
+            ), b AS (
+              SELECT user_id, event_id, ts_us,
+                CASE WHEN ts_us - lag(ts_us) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > 1800000000000 THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), s AS (
+              SELECT user_id, event_id, ts_us,
+                CAST(sum(brk) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM b
+            )
+            SELECT user_id, session_id,
+                   min(ts_us) AS session_start,
+                   max(ts_us) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
+        "x_window_running_total": """
+            SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+        """,
+        "x_pivot": """
+            SELECT o_orderpriority,
+              CAST(sum(CASE WHEN year(o_orderdate) = 1992 THEN 1 ELSE 0 END) AS BIGINT) AS y1992,
+              CAST(sum(CASE WHEN year(o_orderdate) = 1993 THEN 1 ELSE 0 END) AS BIGINT) AS y1993,
+              CAST(sum(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) AS BIGINT) AS y1994,
+              CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995
+            FROM orders GROUP BY 1
         """,
         "x_json_extract": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
