@@ -224,6 +224,33 @@ def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(*aggs)
 
 
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (funnel shape): lag over
+    the user's event stream, then count (from, to) pairs."""
+    from pyspark.sql.window import Window
+
+    # event_id is monotone in ts (verified), so integer ordering is
+    # time order without the ns-vs-us truncation hazard
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+def x_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per user (min_by / arg_min): the attribution shape."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.min("event_id").alias("min_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation over the events props column
     (the reference stores JSON as an opaque string; Spark parses it
@@ -754,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_distinct": x_approx_distinct,
         "x_json_extract": x_json_extract,
         "x_sessionize_batch": x_sessionize_batch,
+        "x_event_transitions": x_event_transitions,
+        "x_first_touch": x_first_touch,
         "x_window_running_total": x_window_running_total,
         "x_pivot": x_pivot,
         # --- LLM-pipeline operators ---
@@ -1109,6 +1138,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "x_event_transitions": """
+            WITH p AS (
+              SELECT event_type AS to_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS from_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*) AS cnt
+            FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "x_first_touch": """
+            SELECT user_id, arg_min(event_type, event_id) AS first_type,
+                   min(event_id) AS min_event_id, count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "x_sessionize_batch": """
             WITH e AS (
