@@ -626,6 +626,228 @@ def p_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_counts(_read(spark, sf_dir, "documents"))
 
 
+def p_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(_read(spark, sf_dir, "documents"))
+
+
+def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: train = doc_id % 20 != 0, eval = the rest; the
+    eval n-gram set broadcasts so the corpus side never shuffles."""
+    from locustdb_spark.operators.text import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_check(train, ev, n=3)
+
+
+def x_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (rejected by the reference dialect): nations having
+    both customers and suppliers."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def x_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers that never placed an order, as a set op."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"))
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+def x_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev per group via exact integer moments: n, sum,
+    sum-of-squares accumulate as overflow-checked longs (one partial-agg
+    shuffle, same shape as any groupBy), then pop_variance =
+    (n*ssq - s*s) / (n*n) is a single IEEE division of exactly
+    representable integers — correctly rounded, so bit-identical in any
+    engine, unlike naive float accumulation whose result depends on
+    partition order. stddev = sqrt of the truncated variance (sqrt is
+    also correctly rounded)."""
+    li = _read(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_linenumber").alias("_s"),
+        F.sum(F.col("l_linenumber") * F.col("l_linenumber")).alias("_ssq"),
+    )
+    var = (
+        (F.col("n") * F.col("_ssq") - F.col("_s") * F.col("_s"))
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    var6 = F.floor(var * 1000000) / 1000000
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        var6.alias("var_linenumber"),
+        (F.floor(F.sqrt(var6) * 1000000) / 1000000).alias("std_linenumber"),
+    )
+
+
+def x_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, same exact-integer-moments recipe
+    as x_stats: the five sums shuffle as overflow-checked longs; the
+    final scalar expression is an identical IEEE op sequence in any
+    engine, so the result is bit-exact (unlike corr() over doubles,
+    which depends on partition merge order)."""
+    li = _read(spark, sf_dir, "lineitem")
+    x, y = F.col("l_linenumber"), F.col("l_suppkey")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
+    cov_num = (n * F.col("_sxy") - sx * sy).cast("double")
+    var_x = (n * F.col("_sxx") - sx * sx).cast("double")
+    var_y = (n * F.col("_syy") - sy * sy).cast("double")
+    corr = cov_num / (F.sqrt(var_x) * F.sqrt(var_y))
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (F.floor(corr * 1000000) / 1000000).alias("corr_line_supp"),
+    )
+
+
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-5 most frequent part brands. Counts are
+    a partial-agg shuffle; the rank window runs over the tiny
+    aggregated result (one row per brand), never the fact table."""
+    from pyspark.sql.window import Window
+
+    cnt = (
+        _read(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("p_brand"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def x_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group (the reference has MAX but no way to carry the
+    winning row): richest customer per nation, ties broken by lowest
+    custkey so the result is unique. One shuffle on the partition key;
+    row_number prunes inside each partition without materializing a
+    global sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        _read(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: floor-bucket is a per-row
+    IEEE op (deterministic in any engine); count/min/max per bucket are
+    order-independent, so no float-sum divergence is possible."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 1000).cast("long")
+            .alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def x_scalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above half the global max price, counted
+    per priority. The one-row aggregate broadcasts; max (unlike a float
+    sum) is partition-order-independent, so the threshold is bit-exact
+    in any engine."""
+    o = _read(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("_mx"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_totalprice") > F.lit(0.5) * F.col("_mx"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.max("o_totalprice").alias("max_price"))
+    )
+
+
+def x_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of customers by balance within market segment.
+    The order-by includes the unique custkey so bucket assignment is
+    total-order deterministic; per-bucket stats are min/max/count only
+    (order-independent)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey")
+    return (
+        _read(spark, sf_dir, "customer")
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("c_acctbal").alias("min_bal"),
+             F.max("c_acctbal").alias("max_bal"))
+    )
+
+
+def x_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap stats per customer: lag window over each
+    customer's order history (one shuffle on custkey), gaps in whole
+    seconds as longs — integer sums are partition-order-exact. The
+    unique orderkey breaks same-timestamp ties."""
+    from pyspark.sql.window import Window
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.unix_millis(F.col("o_orderdate")).alias("ts_ms"))
+    w = Window.partitionBy("o_custkey").orderBy("ts_ms", "o_orderkey")
+    g = o.withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    return (
+        g.filter(F.col("gap_ms").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_ms").alias("total_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+    )
+
+
+def x_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (upper/lower/substring/concat/length)
+    composed into a derived group key — all JVM-side Catalyst
+    expressions inside whole-stage codegen, no UDF."""
+    p = _read(spark, sf_dir, "part")
+    key = F.concat_ws(
+        "_",
+        F.upper(F.substring(F.col("p_type"), 1, 4)),
+        F.lower(F.col("p_brand")),
+    )
+    return (
+        p.groupBy(key.alias("type_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("p_size").cast("long")).alias("sum_size"),
+            F.max(F.octet_length("p_name").cast("long"))
+            .alias("max_name_len"),
+        )
+    )
+
+
 def p_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: pack text as binary, decode via the
     Arrow-batched mapInPandas stub (deterministic fake metadata)."""
@@ -785,6 +1007,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_first_touch": x_first_touch,
         "x_window_running_total": x_window_running_total,
         "x_pivot": x_pivot,
+        "x_intersect": x_intersect,
+        "x_except": x_except,
+        "x_stats": x_stats,
+        "x_corr": x_corr,
+        "x_heavy_hitters": x_heavy_hitters,
+        "x_argmax": x_argmax,
+        "x_histogram": x_histogram,
+        "x_scalar_threshold": x_scalar_threshold,
+        "x_ntile": x_ntile,
+        "x_order_gaps": x_order_gaps,
+        "x_string_funcs": x_string_funcs,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -813,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": p_fingerprint,
         "text_lexical": p_lexical,
         "text_patterns": p_patterns,
+        "text_gopher": p_gopher,
+        "text_decontaminate": p_decontaminate,
         "multimodal_decode": p_multimodal_decode,
         "multimodal_features": p_multimodal_features,
         "multimodal_resize": p_multimodal_resize,
@@ -1191,6 +1426,117 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995
             FROM orders GROUP BY 1
         """,
+        "x_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "x_except": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "x_stats": """
+            WITH m AS (
+              SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(l_linenumber) AS BIGINT) AS s,
+                CAST(sum(l_linenumber * l_linenumber) AS BIGINT) AS ssq
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n,
+              floor((n*ssq - s*s) / CAST(n*n AS DOUBLE) * 1000000)
+                / 1000000 AS var_linenumber,
+              floor(sqrt(floor((n*ssq - s*s) / CAST(n*n AS DOUBLE) * 1000000)
+                         / 1000000) * 1000000) / 1000000 AS std_linenumber
+            FROM m
+        """,
+        "x_corr": """
+            WITH m AS (
+              SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(l_linenumber) AS BIGINT) AS sx,
+                CAST(sum(l_suppkey) AS BIGINT) AS sy,
+                CAST(sum(l_linenumber * l_linenumber) AS BIGINT) AS sxx,
+                CAST(sum(l_suppkey * l_suppkey) AS BIGINT) AS syy,
+                CAST(sum(l_linenumber * l_suppkey) AS BIGINT) AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n,
+              floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000)
+                / 1000000 AS corr_line_supp
+            FROM m
+        """,
+        "x_heavy_hitters": """
+            WITH c AS (
+              SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+              FROM part GROUP BY 1)
+            SELECT * FROM (
+              SELECT p_brand, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, p_brand)
+                     AS BIGINT) AS rank
+              FROM c)
+            WHERE rank <= 5
+        """,
+        "x_argmax": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+            WHERE rn = 1
+        """,
+        "x_histogram": """
+            SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt,
+              min(o_totalprice) AS min_price,
+              max(o_totalprice) AS max_price
+            FROM orders GROUP BY 1
+        """,
+        "x_scalar_threshold": """
+            SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS cnt,
+              max(o_totalprice) AS max_price
+            FROM orders
+            WHERE o_totalprice >
+              0.5 * (SELECT max(o_totalprice) FROM orders)
+            GROUP BY 1
+        """,
+        "x_ntile": """
+            WITH q AS (
+              SELECT c_mktsegment, c_acctbal,
+                CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+              FROM customer)
+            SELECT c_mktsegment, quartile,
+              CAST(count(*) AS BIGINT) AS cnt,
+              min(c_acctbal) AS min_bal,
+              max(c_acctbal) AS max_bal
+            FROM q GROUP BY 1, 2
+        """,
+        "x_order_gaps": """
+            WITH g AS (
+              SELECT o_custkey,
+                epoch_ms(o_orderdate)
+                - lag(epoch_ms(o_orderdate)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY epoch_ms(o_orderdate), o_orderkey) AS gap_ms
+              FROM orders)
+            SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms,
+              CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+            FROM g WHERE gap_ms IS NOT NULL
+            GROUP BY 1
+        """,
+        "x_string_funcs": """
+            SELECT upper(substr(p_type, 1, 4)) || '_' || lower(p_brand)
+                     AS type_brand,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(p_size) AS BIGINT) AS sum_size,
+              CAST(max(strlen(p_name)) AS BIGINT) AS max_name_len
+            FROM part GROUP BY 1
+        """,
         "x_json_extract": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
                    count(*) AS cnt,
@@ -1517,6 +1863,51 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(text, '[0-9]+'))
                 AS BIGINT) AS n_digit_runs
             FROM documents
+        """,
+        "text_gopher": f"""
+            WITH d AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks
+                       FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n,
+                CAST(list_sum(list_transform(toks, t -> len(t)))
+                     AS BIGINT) AS total_len,
+                CAST(coalesce(list_max(list_transform(list_distinct(toks),
+                  d2 -> len(list_filter(toks, t -> t = d2)))), 0)
+                  AS BIGINT) AS top,
+                len(list_filter(toks,
+                  t -> list_contains(['the','and','of','to','is'], t)))
+                  AS stop_hits
+              FROM d)
+            SELECT doc_id, n AS n_tokens,
+              (n >= 8 AND n <= 100000) AS ok_count,
+              (total_len >= 2*n AND total_len <= 12*n) AS ok_mean_len,
+              (stop_hits >= 1) AS ok_stopword,
+              (2*top <= n) AS ok_repetition,
+              ((n >= 8 AND n <= 100000)
+               AND (total_len >= 2*n AND total_len <= 12*n)
+               AND stop_hits >= 1 AND 2*top <= n) AS passes_gopher
+            FROM m
+        """,
+        "text_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct([
+                array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks) - 3, 0) + 1)
+              ])) AS gram
+              FROM t),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            m AS (
+              SELECT g.doc_id, count(*) AS nm
+              FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 20 <> 0
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(m.nm, 0) AS BIGINT) AS n_matched_ngrams,
+              coalesce(m.nm, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN m USING (doc_id)
         """,
         "multimodal_decode": """
             SELECT doc_id,

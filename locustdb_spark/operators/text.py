@@ -241,6 +241,97 @@ def chunk_documents(
     )
 
 
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_mean_len: int = 2,
+    max_mean_len: int = 12,
+) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021 heuristics
+    adapted to word-level rules): token-count bounds, mean-token-length
+    bounds, at-least-one-stopword, and a repetition cap (most common
+    token <= half of all tokens).
+
+    All rules are *integer* comparisons — mean length is tested as
+    ``min*n <= total_len <= max*n`` instead of dividing — so the result
+    is trivially bit-identical across engines. Pure projection, no
+    shuffle; at 100 TB this is the map-only pre-filter pass that runs
+    before any dedup shuffle touches the data.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    distinct = F.array_distinct(toks)
+    top = F.coalesce(
+        F.array_max(F.transform(
+            distinct, lambda d: F.size(F.filter(toks, lambda t: t == d)))),
+        F.lit(0)).cast("long")
+    ok_count = (n >= min_tokens) & (n <= max_tokens)
+    ok_mean_len = (total_len >= min_mean_len * n) & (total_len <= max_mean_len * n)
+    ok_stopword = _marker_count(F.col(text_col), STOPWORDS) >= 1
+    ok_repetition = (2 * top) <= n
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ok_count.alias("ok_count"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_stopword.alias("ok_stopword"),
+        ok_repetition.alias("ok_repetition"),
+        (ok_count & ok_mean_len & ok_stopword & ok_repetition)
+        .alias("passes_gopher"),
+    )
+
+
+def contamination_check(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set.
+
+    Scale shape: the eval side (benchmark suites — KBs to MBs) is
+    exploded to a distinct n-gram set and **broadcast**; the 100 TB
+    train side streams through a map-side hash join, so the only
+    shuffle is the per-doc match count over the (tiny) joined subset.
+    N-grams are matched as raw strings here for oracle exactness; at
+    scale hash them (xxhash64) to shrink the broadcast table.
+    """
+    def grams(d: DataFrame, *extra: str) -> DataFrame:
+        toks = _tokens(F.col(text_col))
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+        return d.select(*extra, F.explode(g).alias("gram"))
+
+    ev = grams(eval_df).distinct()
+    tr = grams(train_df, id_col)
+    matched = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    return (
+        train_df.select(id_col)
+        .join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_m"), F.lit(0)).cast("long")
+            .alias("n_matched_ngrams"),
+            (F.coalesce(F.col("_m"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

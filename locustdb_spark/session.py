@@ -71,6 +71,13 @@ def get_spark(
         # the pure-Arrow conversion. (Struct columns arrive as dicts
         # instead of Row objects; the engine returns scalars only.)
         .config("spark.sql.execution.pandas.structHandlingMode", "row")
+        # Runtime bloom-filter pruning: for selective joins, build a
+        # bloom filter on the small side and push it into the big
+        # side's scan — at 100 TB this skips row groups that cannot
+        # match before they're read.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+                "true")
         # Parquet encodings ~= LocustDB's dict/delta/lz4/pco column codecs.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -418,6 +418,50 @@ def test_pattern_counts_known_values(docs, spark):
     assert (r.n_emails, r.n_urls, r.n_digit_runs) == (1, 1, 2)
 
 
+def test_gopher_filter_known_values(spark):
+    from locustdb_spark.operators.text import gopher_quality_filter
+
+    d = spark.createDataFrame(
+        [
+            # passes every rule: 8 tokens, mean len in [2,12], has 'the',
+            # top token 1/8
+            (1, "the quick brown fox jumps over lazy dogs"),
+            # too short (3 tokens)
+            (2, "the quick fox"),
+            # repetition: 'spam' is 7 of 8 tokens (and no stopword)
+            (3, "spam spam spam spam spam spam spam the"),
+            # mean token length 1 (< 2)
+            (4, "a b c d e f g h the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_filter(d).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].ok_count and not out[2].passes_gopher
+    assert not out[3].ok_repetition and not out[3].passes_gopher
+    assert not out[4].ok_mean_len and not out[4].passes_gopher
+    assert out[4].ok_stopword
+
+
+def test_contamination_check_known_values(spark):
+    from locustdb_spark.operators.text import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota"),              # clean
+            (3, "x y alpha beta gamma"),             # shares the same 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma zulu")], "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_check(train, ev, n=3).collect()}
+    assert out[1].contaminated and out[1].n_matched_ngrams == 1
+    assert not out[2].contaminated and out[2].n_matched_ngrams == 0
+    assert out[3].contaminated
+
+
 def test_fingerprint_deterministic(docs):
     from locustdb_spark.operators.text import fingerprint
 
