@@ -75,9 +75,11 @@ def get_spark(
         # bloom filter on the small side and push it into the big
         # side's scan — at 100 TB this skips row groups that cannot
         # match before they're read.
+        # (runtimeFilter.semiJoinReduction is deliberately NOT set: on
+        # this Spark build merely setting the conf hangs SparkSession
+        # startup; the bloom-filter runtime filter above is the one
+        # that matters for scan pruning.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
-                "true")
         # Parquet encodings ~= LocustDB's dict/delta/lz4/pco column codecs.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
