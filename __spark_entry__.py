@@ -898,6 +898,103 @@ def p_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_binary_payload(docs), frame_bytes=256, max_frames=8)
 
 
+def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window moving average (ROWS frame) per user over the
+    event stream. One shuffle on user_id; the frame itself is computed
+    within each partition with no further data movement, so at 100 TB
+    the cost is the single partitionBy exchange."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("event_id")
+         .rowsBetween(-3, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg4"),
+    )
+
+
+def x_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank + cume_dist of order price
+    within each priority class. Rank windows shuffle once on the
+    partition key and sort within partitions only."""
+    from pyspark.sql.window import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than ROLLUP/CUBE): per-flag,
+    per-status, and grand-total aggregates in ONE pass over the fact
+    table — Spark's Expand operator replays each row into its sets, so
+    the scan happens once regardless of how many sets are requested."""
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(1) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def x_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (sum/count over CASE WHEN): the
+    filter lives inside the aggregate so one scan produces all the
+    segmented metrics — the 100 TB alternative to N filtered scans."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("n_other"),
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
+                             F.col("o_totalprice")).otherwise(0.0)), 2)
+        .alias("rev_f"),
+    )
+
+
+def x_left_join_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched rows: per-customer order
+    count including zero-order customers. The dim side aggregates
+    BEFORE the join, so the join input is one row per customer."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey,
+                      "left")
+        .select("c_custkey",
+                F.coalesce("cnt", F.lit(0)).alias("order_cnt"))
+    )
+
+
+def x_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column analytics without exploding: per-label mean vector
+    norm-squared and mean element-sum computed with higher-order array
+    functions (aggregate/transform) — the row never unnests, so a
+    100 TB embedding table stays one-row-per-vector through the scan
+    and only (label, partial-sums) shuffle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    elem_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    norm_sq = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(elem_sum), 4).alias("avg_elem_sum"),
+        F.round(F.avg(norm_sq), 4).alias("avg_norm_sq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
@@ -1018,6 +1115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ntile": x_ntile,
         "x_order_gaps": x_order_gaps,
         "x_string_funcs": x_string_funcs,
+        "x_moving_avg": x_moving_avg,
+        "x_percent_rank": x_percent_rank,
+        "x_grouping_sets": x_grouping_sets,
+        "x_conditional_agg": x_conditional_agg,
+        "x_left_join_zero": x_left_join_zero,
+        "x_array_agg": x_array_agg,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_minhash": p_minhash,
@@ -1536,6 +1639,60 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(p_size) AS BIGINT) AS sum_size,
               CAST(max(strlen(p_name)) AS BIGINT) AS max_name_len
             FROM part GROUP BY 1
+        """,
+        "x_moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                     ORDER BY event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                     AS moving_avg4
+            FROM events
+        """,
+        "x_percent_rank": """
+            SELECT o_orderpriority, o_orderkey,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+        """,
+        "x_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   count(1) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "x_conditional_agg": """
+            SELECT o_orderpriority,
+                   CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                        AS BIGINT) AS n_f,
+                   CAST(count(CASE WHEN o_orderstatus <> 'F' THEN 1 END)
+                        AS BIGINT) AS n_other,
+                   round(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN o_totalprice ELSE 0.0 END), 2) AS rev_f
+            FROM orders GROUP BY 1
+        """,
+        "x_left_join_zero": """
+            SELECT c_custkey,
+                   CAST(coalesce(cnt, 0) AS BIGINT) AS order_cnt
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+                       FROM orders GROUP BY 1) p
+              ON c_custkey = p.o_custkey
+        """,
+        "x_array_agg": """
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sub.elem_sum), 4) AS avg_elem_sum,
+                   round(avg(sub.norm_sq), 4) AS avg_norm_sq
+            FROM (
+              SELECT label,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE))) AS elem_sum,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       AS norm_sq
+              FROM embeddings
+            ) sub GROUP BY 1
         """,
         "x_json_extract": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
