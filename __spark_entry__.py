@@ -32,8 +32,9 @@ ANN_PLANES = 4
 def _db(spark: SparkSession, sf_dir: str):
     from locustdb_spark import LocustDB
 
-    # events.ts is TIMESTAMP(NANOS); make the parquet reader accept it
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # temporal queries compare against DuckDB's UTC epoch_*; pin the
+    # session timezone so naive-timestamp casts are instant-preserving
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     db = LocustDB(spark=spark)
     for t in TABLES:
         db.register_parquet(t, f"{sf_dir}/{t}.parquet")
@@ -46,11 +47,28 @@ def _ld(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Naive parquet timestamps (events.ts, orders.o_orderdate) are
+    # interpreted through the session timezone on the NTZ->LTZ cast;
+    # pin it so epoch arithmetic matches DuckDB's UTC epoch_* exactly
+    # even under a driver-provided session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects; read it as raw nanos-since-epoch longs instead.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # events.ts is a parquet TIMESTAMP (isAdjustedToUTC=false),
+        # which Spark reads as TIMESTAMP_NTZ. All temporal operators
+        # work on epoch-nanos longs (integer window arithmetic is
+        # exact and engine-portable); with the session timezone pinned
+        # to UTC the NTZ->LTZ cast is instant-preserving, matching
+        # DuckDB's epoch_ns(ts) exactly.
+        from pyspark.sql import types as T
+
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) *
+                 F.lit(1000)).cast("long"),
+            )
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -432,10 +450,10 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     out = asof_join(purchases, clicks, on="ts", by="user_id",
                     right_cols=("event_id", "value"))
-    # ts is nanos (nanosAsLong); DuckDB's parquet reader truncates the
-    # same values to microseconds, so truncate before differencing for
-    # an exact oracle match (long arithmetic — doubles lose precision
-    # above 2^53).
+    # ts is epoch nanos (see _read); the % 1000 truncation predates the
+    # micros-precision source data and is kept for robustness if the
+    # source ever carries sub-microsecond ticks (long arithmetic —
+    # doubles lose precision above 2^53).
     us = lambda c: F.col(c) - F.col(c) % 1000
     return out.select(
         "event_id", "user_id", "value",
@@ -813,7 +831,8 @@ def x_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _read(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey",
-        F.unix_millis(F.col("o_orderdate")).alias("ts_ms"))
+        F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        .alias("ts_ms"))
     w = Window.partitionBy("o_custkey").orderBy("ts_ms", "o_orderkey")
     g = o.withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
     return (

@@ -74,7 +74,7 @@ def main() -> None:
     from locustdb_spark import LocustDB, get_spark
 
     spark = get_spark(app_name="locustdb-spark-bench")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     db = LocustDB(spark=spark)
     # The reference benches fully-RAM-resident tables (BASELINE.md
     # config: in-memory, mem_lz4), so cache each table. Partition count

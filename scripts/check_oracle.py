@@ -89,17 +89,21 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures += 1
             continue
+        spark_s = time.perf_counter() - t0
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(sdf)} rows)")
+            print(f"SKIP {name}: no oracle ({len(sdf)} rows, "
+                  f"{spark_s:.1f}s)")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
@@ -112,7 +116,7 @@ def main() -> int:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)[:500]}")
         else:
-            print(f"OK   {name} ({len(sdf)} rows)")
+            print(f"OK   {name} ({len(sdf)} rows, {spark_s:.1f}s spark)")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
