@@ -489,6 +489,45 @@ def p_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, VAL_FRAC, TEST_FRAC).select("doc_id", "split")
 
 
+# Domain-mixture target rates: upsample src0, keep src1/src2 at
+# moderate rates, downsample everything else (the Pile/Dolma-style
+# corpus re-weighting step).
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def p_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, MIXTURE_RATES, MIXTURE_DEFAULT).select("doc_id", "source")
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.events import funnel
+
+    return funnel(_read(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.events import retention
+
+    return retention(_read(spark, sf_dir, "events"))
+
+
+def p_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join for a probe batch (every 97th vector)."""
+    from locustdb_spark.operators.similarity import knn_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    return knn_join(emb, probes, k=5)
+
+
 def p_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import tf_idf_top_terms
 
@@ -1121,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sessionize_batch": x_sessionize_batch,
         "x_event_transitions": x_event_transitions,
         "x_first_touch": x_first_touch,
+        "x_funnel": x_funnel,
+        "x_retention": x_retention,
         "x_window_running_total": x_window_running_total,
         "x_pivot": x_pivot,
         "x_intersect": x_intersect,
@@ -1156,7 +1197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": p_sample_stratified,
         "sample_split": p_sample_split,
         "sample_pack": p_pack_sequences,
+        "sample_mixture": p_sample_mixture,
         "sim_cosine_topk": p_cosine_topk,
+        "sim_knn_join": p_knn_join,
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf": p_ann_ivf,
         "sim_lsh_buckets": p_lsh_buckets,
@@ -1937,11 +1980,77 @@ def oracle_sql() -> dict[str, str]:
                 / 2048) AS BIGINT) AS bin_id
             FROM documents
         """,
+        "sample_mixture": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x'||substr(md5(doc_id::VARCHAR || '|mixture'),1,15))::BIGINT
+              < CASE source
+                  WHEN 'src0' THEN {int(MIXTURE_RATES['src0'] * (1 << 60))}
+                  WHEN 'src1' THEN {int(MIXTURE_RATES['src1'] * (1 << 60))}
+                  WHEN 'src2' THEN {int(MIXTURE_RATES['src2'] * (1 << 60))}
+                  ELSE {int(MIXTURE_DEFAULT * (1 << 60))}
+                END
+        """,
+        "x_funnel": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+            ), s1 AS (
+              SELECT user_id, min(t) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(t) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND t >= t1 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(t) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1
+            )
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "x_retention": """
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                epoch_ns(ts) // 86400000000000 AS day
+              FROM events
+            ), c AS (
+              SELECT user_id, day,
+                min(day) OVER (PARTITION BY user_id) AS cohort_day
+              FROM a
+            )
+            SELECT cohort_day, day - cohort_day AS day_offset,
+                   count(DISTINCT user_id) AS users
+            FROM c GROUP BY 1, 2
+        """,
         "sim_cosine_topk": (
             _DUCK_COSINE
             + "SELECT vec_id, cosine_sim FROM sims "
             "ORDER BY cosine_sim DESC, vec_id LIMIT 10"
         ),
+        "sim_knn_join": """
+            WITH q AS (
+              SELECT vec_id AS q_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings WHERE vec_id % 97 = 0
+            ), sims AS (
+              SELECT q.q_id, e.vec_id,
+                round(
+                  list_sum(list_transform(generate_series(1, len(e.embedding)),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+                  / (sqrt(list_sum(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 6
+                ) AS cosine_sim
+              FROM embeddings e, q WHERE e.vec_id <> q.q_id
+            )
+            SELECT q_id, vec_id, cosine_sim FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rn
+              FROM sims
+            ) WHERE rn <= 5
+        """,
         "sim_ann_lsh": (
             _DUCK_COSINE
             + f", b AS ({_duck_buckets()}) "

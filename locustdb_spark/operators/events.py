@@ -1,0 +1,90 @@
+"""Event-stream analytics: ordered funnels and cohort retention.
+
+The reference treats event data as plain rows (its demo workload is a
+logging/metrics store — reference src/logging_client/mod.rs); the
+product-analytics queries a user of such a store runs daily are funnels
+and retention. Both are expressed as single-shuffle aggregations:
+
+- `funnel` groups each user's qualifying timestamps once (one shuffle
+  on user_id) and resolves the step ordering JVM-side with array
+  expressions (`array_min` / `filter`), so per-user state is bounded by
+  that user's event count and no self-joins of the fact table occur.
+  At 100 TB the only shuffle moves (user_id, step-ts-lists) — a tiny
+  fraction of the raw events, and partial aggregation prunes non-step
+  events map-side.
+- `retention` reduces events to distinct (user, day) activity, derives
+  each user's cohort day with a whole-partition window min (no join
+  against a second shuffled copy), and counts distinct users per
+  (cohort_day, day_offset) cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+DAY_NS = 86_400 * 10**9
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: for step i, count users whose first qualifying
+    step-i event is at-or-after their first qualifying step-(i-1)
+    event. Returns one row per step: (step, event_type, users).
+    """
+    ev = events.filter(F.col(type_col).isin(list(steps)))
+    per_user = ev.groupBy(user_col).agg(*[
+        F.collect_list(
+            F.when(F.col(type_col) == s, F.col(ts_col))
+        ).alias(f"_ts_{i}")
+        for i, s in enumerate(steps)
+    ])
+    # Resolve step times left-to-right: t_i = min ts of step i that is
+    # >= t_{i-1}. Pure JVM array expressions over the already-grouped
+    # lists — no further shuffle.
+    per_user = per_user.withColumn("_t_0", F.array_min("_ts_0"))
+    for i in range(1, len(steps)):
+        prev = F.col(f"_t_{i - 1}")
+        per_user = per_user.withColumn(
+            f"_t_{i}",
+            F.array_min(F.filter(F.col(f"_ts_{i}"), lambda x: x >= prev)),
+        )
+    counts = per_user.agg(*[
+        F.count(f"_t_{i}").alias(f"_u_{i}") for i in range(len(steps))
+    ])
+    rows = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"_u_{i}").alias("users"),
+        )
+        for i, s in enumerate(steps)
+    ])
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_ns: int = DAY_NS,
+) -> DataFrame:
+    """Cohort retention: bucket activity by day (ts is epoch-nanos),
+    cohort each user by their first active day, and count distinct
+    users per (cohort_day, day_offset)."""
+    day = F.call_function("div", F.col(ts_col), F.lit(bucket_ns))
+    act = events.select(F.col(user_col), day.alias("day")).distinct()
+    w = Window.partitionBy(user_col)
+    act = act.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        act.groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("users"))
+    )

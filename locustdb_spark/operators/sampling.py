@@ -104,6 +104,31 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Domain-mixture sampling: keep each row with a per-group rate
+    (the upsample/downsample step that hits a target corpus mixture,
+    e.g. wiki at 1.0, web at 0.1). Like `hash_sample` this is a pure
+    deterministic filter — per-group thresholds fold into one CASE
+    expression evaluated next to the scan, so a 100 TB corpus is
+    re-weighted with zero shuffles and stable membership across runs.
+    Rates are capped at 1.0 (no row duplication)."""
+    h = _id_hash(id_col, salt)
+    thresh = F.lit(int(min(default_rate, 1.0) * _HASH_SPACE))
+    for grp, rate in rates.items():
+        thresh = F.when(
+            F.col(group_col) == grp,
+            F.lit(int(min(rate, 1.0) * _HASH_SPACE)),
+        ).otherwise(thresh)
+    return df.filter(h < thresh)
+
+
 def train_val_test_split(
     df: DataFrame,
     val_frac: float = 0.05,

@@ -64,6 +64,49 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """k-NN join: for every query vector, the top-k most-similar corpus
+    vectors by cosine (excluding the query row itself). Returns
+    (q_id, vec_id, cosine_sim).
+
+    The query side is broadcast (it is the small side by construction
+    — a batch of probe vectors), so the corpus never shuffles to
+    compute similarities; only the (q_id, vec_id, sim) pair stream
+    reaches the row_number window, which shuffles |corpus| x |queries|
+    triples on q_id. That bound makes this the exact-answer path for
+    query batches up to ~thousands; larger batches should go through
+    the LSH/IVF indexes (`ann_topk`, `ann_ivf_topk`) which prune the
+    pair space before any join.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("_q_vec"),
+    )
+    sim = cosine(F.col(vec_col).cast("array<double>"), F.col("_q_vec"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pairs = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _plane_sign(plane: int, dim: int) -> float:
     """Deterministic ±1 for (plane, dim): parity of a byte of
     md5('p<plane>_d<dim>') — portable to any engine with md5."""

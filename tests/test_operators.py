@@ -613,3 +613,79 @@ def test_ann_ivf_probe_subset_and_deterministic(emb):
     # results are properly ordered by similarity desc
     sims = [r.cosine_sim for r in a]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_funnel_known_values(spark):
+    from locustdb_spark.operators.events import funnel
+
+    # user 1: full ordered funnel; user 2: click before view (click
+    # must not count — its only click precedes the first view);
+    # user 3: view only; user 4: never enters.
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "buy", 300),
+        (2, "click", 50), (2, "view", 60), (2, "buy", 70),
+        (3, "view", 10),
+        (4, "other", 5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts long")
+    out = {r.step: (r.event_type, r.users)
+           for r in funnel(ev, ["view", "click", "buy"]).collect()}
+    assert out == {1: ("view", 3), 2: ("click", 1), 3: ("buy", 1)}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    from locustdb_spark.operators.events import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "a", 100), (1, "b", 100)],
+        "user_id int, event_type string, ts long")
+    out = {r.step: r.users for r in funnel(ev, ["a", "b"]).collect()}
+    assert out == {1: 1, 2: 1}  # at-or-after: equal ts qualifies
+
+
+def test_retention_known_values(spark):
+    from locustdb_spark.operators.events import retention
+
+    day = 86_400 * 10**9
+    rows = [
+        (1, 0 * day), (1, 1 * day), (1, 1 * day + 5),  # days 0,1
+        (2, 1 * day), (2, 3 * day),                    # cohort 1; 0,+2
+        (3, 0 * day),                                  # cohort 0 only
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts long")
+    out = {(r.cohort_day, r.day_offset): r.users
+           for r in retention(ev).collect()}
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_mixture_sample_rates_and_determinism(docs):
+    from locustdb_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, default_rate=0.5)
+    srcs = {r.source for r in out.collect()}
+    n_src0 = out.filter(F.col("source") == "src0").count()
+    assert n_src0 == docs.filter(F.col("source") == "src0").count()
+    assert "src1" not in srcs
+    # deterministic: same filter twice -> same rows
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, default_rate=0.5).collect())
+    assert a == b
+
+
+def test_knn_join_matches_cosine_topk(emb):
+    """knn_join for a single probe row must agree with cosine_topk
+    (modulo cosine_topk including the query row itself)."""
+    from locustdb_spark.operators.similarity import cosine_topk, knn_join
+
+    probe = emb.filter(F.col("vec_id") == 0)
+    qv = [float(x) for x in probe.head().embedding]
+    knn = knn_join(emb, probe, k=5).orderBy(
+        F.col("cosine_sim").desc(), "vec_id").collect()
+    exact = [r for r in cosine_topk(emb, qv, k=6).collect()
+             if r.vec_id != 0][:5]
+    assert [(r.vec_id, r.cosine_sim) for r in knn] == [
+        (r.vec_id, r.cosine_sim) for r in exact]
+    assert all(r.q_id == 0 for r in knn)
