@@ -519,6 +519,35 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_read(spark, sf_dir, "events"))
 
 
+HOUR_NS = 3600 * 10**9
+
+
+def x_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.temporal import resample_zero_fill
+
+    return resample_zero_fill(_read(spark, sf_dir, "events"), HOUR_NS)
+
+
+def x_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) over a gappy hourly series: bucket-avg the
+    events, expand to the dense spine (gaps become NULL), then carry
+    the last observation forward per event type."""
+    from locustdb_spark.operators.temporal import forward_fill
+
+    ev = _read(spark, sf_dir, "events")
+    bucket = F.call_function("div", F.col("ts"), F.lit(HOUR_NS))
+    agg = ev.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"))
+    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"))
+        .crossJoin(agg.select("event_type").distinct())
+    )
+    sparse = spine.join(F.broadcast(agg), ["bucket", "event_type"], "left")
+    return forward_fill(sparse, "event_type", "bucket", "avg_value")
+
+
 def p_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join for a probe batch (every 97th vector)."""
     from locustdb_spark.operators.similarity import knn_join
@@ -1162,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_first_touch": x_first_touch,
         "x_funnel": x_funnel,
         "x_retention": x_retention,
+        "x_resample": x_resample,
+        "x_locf": x_locf,
         "x_window_running_total": x_window_running_total,
         "x_pivot": x_pivot,
         "x_intersect": x_intersect,
@@ -2023,6 +2054,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT cohort_day, day - cohort_day AS day_offset,
                    count(DISTINCT user_id) AS users
             FROM c GROUP BY 1, 2
+        """,
+        "x_resample": """
+            WITH b AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+                     count(*) AS cnt, round(sum(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT min(bucket) AS mn, max(bucket) AS mx FROM b
+            ), buckets AS (
+              SELECT unnest(generate_series(
+                (SELECT mn FROM bounds), (SELECT mx FROM bounds))) AS bucket
+            ), spine AS (
+              SELECT bucket, event_type
+              FROM buckets CROSS JOIN (SELECT DISTINCT event_type FROM b)
+            )
+            SELECT spine.bucket, spine.event_type,
+                   coalesce(b.cnt, 0) AS cnt,
+                   coalesce(b.sum_value, 0.0) AS sum_value
+            FROM spine LEFT JOIN b
+              ON spine.bucket = b.bucket AND spine.event_type = b.event_type
+        """,
+        "x_locf": """
+            WITH b AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+                     round(avg(value), 6) AS avg_value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT min(bucket) AS mn, max(bucket) AS mx FROM b
+            ), buckets AS (
+              SELECT unnest(generate_series(
+                (SELECT mn FROM bounds), (SELECT mx FROM bounds))) AS bucket
+            ), spine AS (
+              SELECT bucket, event_type
+              FROM buckets CROSS JOIN (SELECT DISTINCT event_type FROM b)
+            ), j AS (
+              SELECT spine.bucket, spine.event_type, b.avg_value
+              FROM spine LEFT JOIN b
+                ON spine.bucket = b.bucket AND spine.event_type = b.event_type
+            )
+            SELECT bucket, event_type, avg_value,
+              last_value(avg_value IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS filled_value
+            FROM j
         """,
         "sim_cosine_topk": (
             _DUCK_COSINE

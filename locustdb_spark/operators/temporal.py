@@ -119,3 +119,65 @@ def asof_join(
             out = out.withColumn(
                 f"{c}{suffix}", F.when(keep, F.col(f"{c}{suffix}")))
     return out
+
+
+def resample_zero_fill(
+    events: DataFrame,
+    bucket_ns: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucket rollup with gap filling: aggregate per
+    (bucket, key), then left-join the aggregates onto the dense
+    bucket x key spine so empty buckets appear with zero counts (the
+    hypertable / time_bucket_gapfill shape).
+
+    The fact table is reduced by one partial-agg shuffle before
+    anything else; the spine is generated from the aggregate's own
+    min/max (rows = #buckets x #keys, independent of fact-table size)
+    and joined broadcast, so gap filling adds no second scan and no
+    second shuffle of event rows at any scale.
+    """
+    bucket = F.call_function("div", F.col(ts_col), F.lit(bucket_ns))
+    agg = events.groupBy(bucket.alias("bucket"), F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    )
+    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    keys = agg.select(key_col).distinct()
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"))
+        .crossJoin(keys)
+    )
+    return (
+        spine.join(F.broadcast(agg), ["bucket", key_col], "left")
+        .select(
+            "bucket",
+            key_col,
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    filled_name: str = "filled_value",
+) -> DataFrame:
+    """Last-observation-carried-forward: fill NULL values with the most
+    recent non-null value in `order_col` order within each key. One
+    shuffle on the key, then a single ordered pass per partition
+    (`last(..., ignorenulls)` over an unbounded-preceding frame) —
+    the standard Spark LOCF idiom, no UDFs, bounded memory."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        filled_name, F.last(value_col, ignorenulls=True).over(w))

@@ -689,3 +689,33 @@ def test_knn_join_matches_cosine_topk(emb):
     assert [(r.vec_id, r.cosine_sim) for r in knn] == [
         (r.vec_id, r.cosine_sim) for r in exact]
     assert all(r.q_id == 0 for r in knn)
+
+
+def test_resample_zero_fill_gaps(spark):
+    from locustdb_spark.operators.temporal import resample_zero_fill
+
+    # key 'a' active in buckets 0 and 3 -> 1,2 are zero-filled;
+    # key 'b' only in bucket 1.
+    rows = [("a", 5, 1.0), ("a", 35, 2.0), ("b", 15, 4.0)]
+    ev = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    out = {(r.event_type, r.bucket): (r.cnt, r.sum_value)
+           for r in resample_zero_fill(ev, bucket_ns=10).collect()}
+    assert len(out) == 8  # buckets 0..3 x 2 keys
+    assert out[("a", 0)] == (1, 1.0)
+    assert out[("a", 1)] == (0, 0.0)
+    assert out[("a", 2)] == (0, 0.0)
+    assert out[("a", 3)] == (1, 2.0)
+    assert out[("b", 1)] == (1, 4.0)
+    assert out[("b", 3)] == (0, 0.0)
+
+
+def test_forward_fill_locf(spark):
+    from locustdb_spark.operators.temporal import forward_fill
+
+    rows = [("k", 1, 10.0), ("k", 2, None), ("k", 3, None),
+            ("k", 4, 40.0), ("j", 1, None), ("j", 2, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {(r.k, r.t): r.filled_value
+           for r in forward_fill(df, "k", "t", "v").collect()}
+    assert out == {("k", 1): 10.0, ("k", 2): 10.0, ("k", 3): 10.0,
+                   ("k", 4): 40.0, ("j", 1): None, ("j", 2): 7.0}
