@@ -532,20 +532,9 @@ def x_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill (LOCF) over a gappy hourly series: bucket-avg the
     events, expand to the dense spine (gaps become NULL), then carry
     the last observation forward per event type."""
-    from locustdb_spark.operators.temporal import forward_fill
+    from locustdb_spark.operators.temporal import resample_forward_fill
 
-    ev = _read(spark, sf_dir, "events")
-    bucket = F.call_function("div", F.col("ts"), F.lit(HOUR_NS))
-    agg = ev.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
-        F.round(F.avg("value"), 6).alias("avg_value"))
-    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
-    spine = (
-        bounds.select(
-            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"))
-        .crossJoin(agg.select("event_type").distinct())
-    )
-    sparse = spine.join(F.broadcast(agg), ["bucket", "event_type"], "left")
-    return forward_fill(sparse, "event_type", "bucket", "avg_value")
+    return resample_forward_fill(_read(spark, sf_dir, "events"), HOUR_NS)
 
 
 def p_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,6 +544,12 @@ def p_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 97 == 0)
     return knn_join(emb, probes, k=5)
+
+
+def p_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import redact_pii
+
+    return redact_pii(_read(spark, sf_dir, "documents"))
 
 
 def p_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_patterns": p_patterns,
         "text_gopher": p_gopher,
         "text_decontaminate": p_decontaminate,
+        "text_redact": p_redact,
         "multimodal_decode": p_multimodal_decode,
         "multimodal_features": p_multimodal_features,
         "multimodal_resize": p_multimodal_resize,
@@ -2223,6 +2219,24 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS n_urls,
               CAST(len(regexp_extract_all(text, '[0-9]+'))
                 AS BIGINT) AS n_digit_runs
+            FROM documents
+        """,
+        "text_redact": """
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+                AS BIGINT) AS n_urls,
+              CAST(len(regexp_extract_all(text, '[0-9]{6,}'))
+                AS BIGINT) AS n_long_digit_runs,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                    '<EMAIL>', 'g'),
+                  'https?://[^ ]+', '<URL>', 'g'),
+                '[0-9]{6,}', '<NUM>', 'g') AS redacted_text
             FROM documents
         """,
         "text_gopher": f"""

@@ -121,6 +121,23 @@ def asof_join(
     return out
 
 
+def _gapfill_spine(agg: DataFrame, key_col: str) -> DataFrame:
+    """Dense bucket x key spine derived from an aggregate that has a
+    `bucket` column. The aggregate is persisted first: it is tiny by
+    construction (#buckets x #keys rows, independent of fact-table
+    size), and the spine/bounds/join subtrees would otherwise each
+    re-scan the full fact table — Spark's exchange reuse does not
+    deduplicate these subtrees (verified on the executed plan), so at
+    100 TB the persist is the difference between one scan and three."""
+    agg.persist()
+    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    return (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"))
+        .crossJoin(agg.select(key_col).distinct())
+    )
+
+
 def resample_zero_fill(
     events: DataFrame,
     bucket_ns: int,
@@ -134,23 +151,15 @@ def resample_zero_fill(
     hypertable / time_bucket_gapfill shape).
 
     The fact table is reduced by one partial-agg shuffle before
-    anything else; the spine is generated from the aggregate's own
-    min/max (rows = #buckets x #keys, independent of fact-table size)
-    and joined broadcast, so gap filling adds no second scan and no
-    second shuffle of event rows at any scale.
+    anything else and scanned exactly once (see `_gapfill_spine`);
+    gap filling itself joins only aggregate-sized inputs broadcast.
     """
     bucket = F.call_function("div", F.col(ts_col), F.lit(bucket_ns))
     agg = events.groupBy(bucket.alias("bucket"), F.col(key_col)).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum(value_col), 4).alias("sum_value"),
     )
-    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
-    keys = agg.select(key_col).distinct()
-    spine = (
-        bounds.select(
-            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"))
-        .crossJoin(keys)
-    )
+    spine = _gapfill_spine(agg, key_col)
     return (
         spine.join(F.broadcast(agg), ["bucket", key_col], "left")
         .select(
@@ -160,6 +169,25 @@ def resample_zero_fill(
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    bucket_ns: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Bucket-average the series, expand to the dense spine (gaps
+    become NULL), then carry the last observation forward per key —
+    gap filling by interpolation-from-the-left rather than zeros.
+    Same single-scan shape as `resample_zero_fill`."""
+    bucket = F.call_function("div", F.col(ts_col), F.lit(bucket_ns))
+    agg = events.groupBy(bucket.alias("bucket"), F.col(key_col)).agg(
+        F.round(F.avg(value_col), 6).alias("avg_value"))
+    spine = _gapfill_spine(agg, key_col)
+    sparse = spine.join(F.broadcast(agg), ["bucket", key_col], "left")
+    return forward_fill(sparse, key_col, "bucket", "avg_value")
 
 
 def forward_fill(

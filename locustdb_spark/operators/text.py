@@ -358,3 +358,34 @@ def fingerprint(
         min_hash.alias("fingerprint"),
         F.md5(F.col(text_col)).alias("content_md5"),
     )
+
+
+LONG_DIGIT_RUN_REGEX = "[0-9]{6,}"  # phone/account/ssn-shaped runs
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: replace email addresses, URLs, and long digit
+    runs with typed placeholder tokens, and report per-pattern match
+    counts (from the original text). Pure projection — regexp work is
+    JVM-side and runs next to the scan, so a 100 TB corpus is scrubbed
+    with zero shuffles. Replacement order (emails, then URLs, then
+    digit runs) is fixed so results are engine-portable."""
+    text = F.col(text_col)
+
+    def cnt(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>"),
+            URL_REGEX, "<URL>"),
+        LONG_DIGIT_RUN_REGEX, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        cnt(EMAIL_REGEX).alias("n_emails"),
+        cnt(URL_REGEX).alias("n_urls"),
+        cnt(LONG_DIGIT_RUN_REGEX).alias("n_long_digit_runs"),
+        redacted.alias("redacted_text"),
+    )

@@ -719,3 +719,24 @@ def test_forward_fill_locf(spark):
            for r in forward_fill(df, "k", "t", "v").collect()}
     assert out == {("k", 1): 10.0, ("k", 2): 10.0, ("k", 3): 10.0,
                    ("k", 4): 40.0, ("j", 1): None, ("j", 2): 7.0}
+
+
+def test_redact_pii_known_values(spark):
+    from locustdb_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at bob.smith@example.com or call 5551234567 now"),
+        (2, "see https://example.com/page?x=1 and http://a.b/c"),
+        (3, "short 123 digits stay, 999999 goes"),
+        (4, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_long_digit_runs == 1
+    assert out[1].redacted_text == "mail me at <EMAIL> or call <NUM> now"
+    assert out[2].n_urls == 2
+    assert out[2].redacted_text == "see <URL> and <URL>"
+    assert out[3].redacted_text == "short 123 digits stay, <NUM> goes"
+    assert out[4].redacted_text == "clean text"
+    assert (out[4].n_emails, out[4].n_urls, out[4].n_long_digit_runs) \
+        == (0, 0, 0)
