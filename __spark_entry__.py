@@ -592,7 +592,10 @@ def p_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     quality = quality_score(docs).filter(F.col("quality_score") > 0.05)
-    qdocs = docs.join(quality.select("doc_id"), "doc_id")
+    # qdocs feeds three stages (signatures, clustering, final join);
+    # persist so the filtered corpus is materialized once instead of
+    # re-scoring quality per stage (MEMORY_AND_DISK — spills at scale)
+    qdocs = docs.join(quality.select("doc_id"), "doc_id").persist()
     sigs = minhash_signatures(qdocs, num_hashes=NUM_MINHASHES)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2)
     keep = dedup_clusters(qdocs, pairs).filter("is_keep")

@@ -123,7 +123,14 @@ def lsh_candidate_pairs(
     Documents sharing any band (a concatenation of rows_per_band
     lanes) become a candidate pair. Only (band_value, id) tuples are
     shuffled. Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    The signature table is persisted first: it is id + num_hashes
+    longs per document (a sliver of the corpus), and it is referenced
+    2 x bands times below (each band, each join side) — without the
+    persist every reference would re-shingle and re-hash the full
+    corpus text.
     """
+    signatures = signatures.persist()
     rpb = num_hashes // bands
     band_rows = []
     for b in range(bands):
@@ -348,7 +355,21 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    doc_grams = df.select(F.col(id_col).alias("gid"), grams.alias("grams"))
+    # Prune the corpus to documents that actually appear in a pair
+    # before computing gram arrays, then persist that small table: the
+    # two pair-joins below would otherwise each scan and re-shingle
+    # the full corpus. Candidate ids are a broadcast-sized set by
+    # construction (LSH has already filtered the pair space).
+    ids = (
+        candidate_pairs.select(F.col("id_a").alias("gid"))
+        .unionByName(candidate_pairs.select(F.col("id_b").alias("gid")))
+        .distinct()
+    )
+    doc_grams = (
+        df.select(F.col(id_col).alias("gid"), grams.alias("grams"))
+        .join(ids, "gid")
+        .persist()
+    )
     out = (
         candidate_pairs.join(
             doc_grams.select(F.col("gid").alias("id_a"),

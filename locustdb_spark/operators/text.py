@@ -185,8 +185,11 @@ def tf_idf_top_terms(
 
     toks = df.select(F.col(id_col),
                      F.explode(_tokens(F.col(text_col))).alias("term"))
+    # tf is referenced twice (scored join + dfreq); persisting it keeps
+    # the corpus to a single tokenize-and-explode pass. count(*) for N
+    # stays a direct corpus count — parquet answers it from footers.
     tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     total = df.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
