@@ -210,3 +210,54 @@ def test_plan_introspection_helpers(tpch):
     assert has_take_ordered(df)
     s = plan_summary(df)
     assert s["take_ordered"] and s["codegen_stages"] >= 1
+
+
+def test_mixture_sample_is_shuffle_free(spark):
+    from locustdb_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+    out = mixture_sample(docs, {"src0": 1.0}, default_rate=0.2)
+    assert n_exchanges(out) == 0
+
+
+def test_knn_join_broadcasts_probe_side(spark):
+    from locustdb_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    plan = explain_str(knn_join(emb, probes, k=3))
+    # the corpus side must never shuffle to meet the probes: the join
+    # is broadcast (nested-loop, because of the != condition)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_resample_scans_fact_table_once(spark):
+    """The spine/bounds/join subtrees must read the persisted
+    aggregate, not re-scan the events table (exchange reuse does not
+    dedupe these — the persist is load-bearing)."""
+    from locustdb_spark.operators.temporal import resample_zero_fill
+
+    ev = spark.read.parquet(f"{TESTDATA_SF}/events.parquet").withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000))
+    out = resample_zero_fill(ev, 3600 * 10**9)
+    try:
+        plan = explain_str(out)
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_ngram_jaccard_prunes_to_candidates(spark):
+    """Gram arrays must only be computed for docs present in the
+    candidate-pair table (inner join against the id set)."""
+    from locustdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    try:
+        out = ngram_jaccard_pairs(docs, pairs)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].id_a == 0 and rows[0].id_b == 1
+    finally:
+        spark.catalog.clearCache()
