@@ -519,6 +519,51 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_read(spark, sf_dir, "events"))
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE shape the reference exposes
+    as table_stats / mem_tree, reference src/locustdb.rs:127-154):
+    per-column row/null/distinct counts and min/max in ONE pass over
+    the table — the aggregates all fold into a single partial+final
+    aggregation, then a constant-sized explode reshapes to long form."""
+    li = _read(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in PROFILE_COLS
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+      CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nulls,
+      count(DISTINCT {c}) AS n_distinct,
+      CAST(min({c}) AS DOUBLE) AS min_value,
+      CAST(max({c}) AS DOUBLE) AS max_value FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
 HOUR_NS = 3600 * 10**9
 
 
@@ -1191,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_retention": x_retention,
         "x_resample": x_resample,
         "x_locf": x_locf,
+        "x_profile": x_profile,
         "x_window_running_total": x_window_running_total,
         "x_pivot": x_pivot,
         "x_intersect": x_intersect,
@@ -2054,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS users
             FROM c GROUP BY 1, 2
         """,
+        "x_profile": _PROFILE_ORACLE,
         "x_resample": """
             WITH b AS (
               SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,

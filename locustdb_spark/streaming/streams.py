@@ -176,3 +176,19 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    dimension table. The static side is broadcast, so enrichment adds
+    no stream-side shuffle and no state store — the canonical pattern
+    for attaching dimension attributes (user profile, document source
+    metadata) to an event stream at any rate. The static side is
+    re-read per micro-batch, so dimension updates are picked up
+    without restarting the query."""
+    return stream_df.join(F.broadcast(dim_df), on, how)

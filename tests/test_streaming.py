@@ -148,3 +148,28 @@ def test_sessionize_stream(spark, tmp_path):
     ).collect()
     # user 1's first session (2 events) closed by the 11:00 event
     assert [(r.user_id, r.n_events) for r in got] == [(1, 2)]
+
+
+def test_stream_enrich_broadcast_join(spark, tmp_path):
+    import json
+
+    from locustdb_spark.streaming.streams import stream_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        json.dumps({"user_id": i % 3, "value": float(i)})
+        for i in range(9)))
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id int, tier string")
+    stream = (spark.readStream.schema("user_id int, value double")
+              .json(str(src)))
+    enriched = stream_enrich(stream, dim, "user_id")
+    q = (enriched.groupBy("tier").agg(F.sum("value").alias("s"))
+         .writeStream.format("memory").queryName("enrich_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r.tier: r.s for r in spark.sql(
+        "SELECT * FROM enrich_t").collect()}
+    assert out == {"bronze": 0 + 3 + 6, "silver": 1 + 4 + 7,
+                   "gold": 2 + 5 + 8}
