@@ -597,6 +597,15 @@ def p_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(_read(spark, sf_dir, "documents"))
 
 
+RP_DIMS = 8
+
+
+def p_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.similarity import random_projection
+
+    return random_projection(_read(spark, sf_dir, "embeddings"), RP_DIMS)
+
+
 def p_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import tf_idf_top_terms
 
@@ -1280,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
         "sim_quantize": p_quantize,
+        "sim_random_projection": p_random_projection,
         "text_langid": p_langid,
         "text_quality": p_quality,
         "text_token_counts": p_token_counts,
@@ -1395,6 +1405,16 @@ def _duck_plane_proj(p: int) -> str:
         f"(('0x'||substr(md5('p{p}_d'||(i-1)),1,2))::BIGINT % 2) = 0 "
         "THEN 1.0 ELSE -1.0 END)))"
     )
+
+
+def _duck_random_projection() -> str:
+    # multiply by the SAME python-double reciprocal literal the Spark
+    # side uses (division by sqrt(8) differs in the last ulp)
+    scale = repr(1.0 / (RP_DIMS ** 0.5))
+    comps = ", ".join(
+        f"round(({_duck_plane_proj(j)}) * {scale}, 6)" for j in range(RP_DIMS)
+    )
+    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
 
 
 def _duck_buckets() -> str:
@@ -2182,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine_sim DESC, sims.vec_id LIMIT 10"
         ),
         "sim_lsh_buckets": _duck_buckets(),
+        "sim_random_projection": _duck_random_projection(),
         "sim_quantize": """
             WITH x AS (
               SELECT vec_id, embedding,

@@ -142,6 +142,43 @@ def bucket_expr(vec: Column, num_planes: int, dims: int) -> Column:
     return bucket
 
 
+def random_projection(
+    df: DataFrame,
+    out_dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Dimensionality reduction by signed random projection
+    (Achlioptas-style +-1 matrix): y_j = (1/sqrt(out_dims)) *
+    sum_i x_i * sign(j, i). Preserves pairwise distances in
+    expectation (Johnson-Lindenstrauss), which is what downstream
+    dedup/ANN need from a cheap reduce step.
+
+    The +-1 matrix reuses the md5-derived `_plane_sign` grid, so the
+    projection is deterministic and engine-portable (oracle-checkable)
+    — and it is inlined as literal arrays, making each output
+    dimension a constant-folded zip_with dot product over the scan:
+    zero shuffles, no UDF, no driver-side matrix broadcast needed.
+    Output: (id, projected array<double>).
+    """
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / (out_dims ** 0.5)
+    comps = []
+    for j in range(out_dims):
+        signs = F.array(*[F.lit(_plane_sign(j, i)) for i in range(dims)])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) * F.lit(scale)
+        comps.append(F.round(proj, round_to) if round_to else proj)
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
 def hyperplane_buckets(
     df: DataFrame,
     num_planes: int = 8,

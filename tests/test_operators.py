@@ -740,3 +740,39 @@ def test_redact_pii_known_values(spark):
     assert out[4].redacted_text == "clean text"
     assert (out[4].n_emails, out[4].n_urls, out[4].n_long_digit_runs) \
         == (0, 0, 0)
+
+
+def test_random_projection_matches_python(emb):
+    import math
+
+    from locustdb_spark.operators.similarity import (
+        _plane_sign, random_projection)
+
+    row = emb.filter(F.col("vec_id") == 0).head()
+    vec = [float(x) for x in row.embedding]
+    out_dims = 4
+    scale = 1.0 / math.sqrt(out_dims)
+    expected = [
+        round(sum(x * _plane_sign(j, i) for i, x in enumerate(vec)) * scale, 6)
+        for j in range(out_dims)
+    ]
+    got = random_projection(emb.filter(F.col("vec_id") == 0),
+                            out_dims).head().projected
+    assert [round(g, 6) for g in got] == expected
+
+
+def test_random_projection_roughly_preserves_norms(emb):
+    """JL sanity: mean squared norm is preserved in expectation by the
+    +-1/sqrt(d') projection (loose 2x tolerance on 50 vectors)."""
+    from locustdb_spark.operators.similarity import random_projection
+
+    sub = emb.filter(F.col("vec_id") < 50)
+    orig = sub.select(
+        F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0),
+                    lambda a, v: a + v * v).alias("n2")).collect()
+    proj = random_projection(sub, 16).select(
+        F.aggregate("projected", F.lit(0.0),
+                    lambda a, v: a + v * v).alias("n2")).collect()
+    mo = sum(r.n2 for r in orig) / len(orig)
+    mp = sum(r.n2 for r in proj) / len(proj)
+    assert 0.5 < mp / mo < 2.0
