@@ -854,6 +854,35 @@ def x_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (slope/intercept of
+    extendedprice on quantity) from exact integer moments — one
+    partial-agg shuffle, bit-exact across engines and partition
+    orders, same recipe as x_stats/x_corr. The OLS closed form over
+    sums is what regr_slope/regr_intercept compute, but those
+    accumulate doubles in merge order and are not reproducible."""
+    li = _read(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.col("l_partkey")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"), F.sum(x * y).alias("_sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
+    num = (n * F.col("_sxy") - sx * sy).cast("double")
+    den = (n * F.col("_sxx") - sx * sx).cast("double")
+    slope = num / den
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / \
+        n.cast("double")
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (F.floor(slope * 1000000) / 1000000).alias("slope"),
+        (F.floor(intercept * 1000000) / 1000000).alias("intercept"),
+    )
+
+
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: top-5 most frequent part brands. Counts are
     a partial-agg shuffle; the rank window runs over the tiny
@@ -1252,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_except": x_except,
         "x_stats": x_stats,
         "x_corr": x_corr,
+        "x_regression": x_regression,
         "x_heavy_hitters": x_heavy_hitters,
         "x_argmax": x_argmax,
         "x_histogram": x_histogram,
@@ -1709,6 +1739,28 @@ def oracle_sql() -> dict[str, str]:
                 / 1000000 AS var_linenumber,
               floor(sqrt(floor((n*ssq - s*s) / CAST(n*n AS DOUBLE) * 1000000)
                          / 1000000) * 1000000) / 1000000 AS std_linenumber
+            FROM m
+        """,
+        "x_regression": """
+            WITH m AS (
+              SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                CAST(sum(l_partkey) AS BIGINT) AS sy,
+                CAST(sum(CAST(l_quantity AS BIGINT) *
+                         CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                CAST(sum(CAST(l_quantity AS BIGINT) * l_partkey)
+                     AS BIGINT) AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n,
+              floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * 1000000) / 1000000 AS slope,
+              floor((CAST(sy AS DOUBLE)
+                     - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE))
+                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                    * 1000000) / 1000000 AS intercept
             FROM m
         """,
         "x_corr": """
