@@ -80,6 +80,12 @@ def get_spark(
         # startup; the bloom-filter runtime filter above is the one
         # that matters for scan pruning.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Bigger in-memory-cache batches keep whole-stage codegen in
+        # one columnar batch longer (~1.4x on cached low-cardinality
+        # group-bys vs the 10k default; analogous to the reference's
+        # 65536-row partitions). Memory cost is per-column-per-batch
+        # and bounded by the partition size.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         # Parquet encodings ~= LocustDB's dict/delta/lz4/pco column codecs.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
