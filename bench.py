@@ -139,8 +139,23 @@ def main() -> None:
              for x in emb.filter(F.col("vec_id") == 0).head().embedding]
         return cosine_topk(emb, q, k=10)
 
+    def funnel_df():
+        from locustdb_spark.operators.events import funnel
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return funnel(ev, ["view", "click", "purchase"])
+
+    def knn_df():
+        from locustdb_spark.operators.similarity import knn_join
+
+        emb = db.snapshot("embeddings")
+        probes = emb.filter(F.col("vec_id") % 97 == 0)
+        return knn_join(emb, probes, k=5)
+
     bench("dedup_minhash", minhash_df)
     bench("sim_cosine_topk", cosine_df)
+    bench("event_funnel", funnel_df)
+    bench("sim_knn_join", knn_df)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
