@@ -582,6 +582,29 @@ def x_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_forward_fill(_read(spark, sf_dir, "events"), HOUR_NS)
 
 
+def x_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event type, the trailing-1-hour
+    sum of `value` at every event (RANGE, not ROWS — the frame is
+    defined by timestamp distance, so bursts widen it and quiet
+    periods shrink it). One shuffle on the partition key; each
+    partition is a single ordered pass with a sliding two-pointer
+    frame, state bounded by the hour horizon."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(-HOUR_NS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("trailing_hour_sum"),
+    )
+
+
 def p_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join for a probe batch (every 97th vector)."""
     from locustdb_spark.operators.similarity import knn_join
@@ -1272,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_first_touch": x_first_touch,
         "x_funnel": x_funnel,
         "x_retention": x_retention,
+        "x_range_window": x_range_window,
         "x_resample": x_resample,
         "x_locf": x_locf,
         "x_profile": x_profile,
@@ -2173,6 +2197,14 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1, 2
         """,
         "x_profile": _PROFILE_ORACLE,
+        "x_range_window": """
+            SELECT event_id, event_type, epoch_ns(ts) AS ts,
+              round(sum(value) OVER (
+                PARTITION BY event_type ORDER BY epoch_ns(ts)
+                RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+              ), 4) AS trailing_hour_sum
+            FROM events
+        """,
         "x_resample": """
             WITH b AS (
               SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
