@@ -614,6 +614,13 @@ def p_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, probes, k=5)
 
 
+def p_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import boilerplate_fraction
+
+    return boilerplate_fraction(_read(spark, sf_dir, "documents"),
+                                chunk_chars=64)
+
+
 def p_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import redact_pii
 
@@ -1353,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": p_gopher,
         "text_decontaminate": p_decontaminate,
         "text_redact": p_redact,
+        "text_boilerplate": p_boilerplate,
         "multimodal_decode": p_multimodal_decode,
         "multimodal_features": p_multimodal_features,
         "multimodal_resize": p_multimodal_resize,
@@ -2375,6 +2383,30 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(text, '[0-9]+'))
                 AS BIGINT) AS n_digit_runs
             FROM documents
+        """,
+        "text_boilerplate": """
+            WITH d AS (
+              SELECT doc_id, text,
+                greatest(1, CAST(ceil(length(text) / 64.0) AS BIGINT)) AS n
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     substr(text, CAST(1 + k * 64 AS BIGINT), 64) AS chunk
+              FROM (SELECT doc_id, text, unnest(range(0, n)) AS k FROM d)
+            ), h AS (
+              SELECT DISTINCT doc_id, md5(chunk) AS ch FROM e
+            ), dph AS (
+              SELECT ch, count(*) AS docs FROM h GROUP BY 1
+            )
+            SELECT h.doc_id,
+              count(*) AS n_chunks,
+              CAST(sum(CASE WHEN dph.docs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_shared_chunks,
+              floor(CAST(sum(CASE WHEN dph.docs > 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*) * 1000000) / 1000000
+                AS shared_fraction
+            FROM h JOIN dph USING (ch)
+            GROUP BY 1
         """,
         "text_redact": """
             SELECT doc_id,

@@ -392,3 +392,44 @@ def redact_pii(
         cnt(LONG_DIGIT_RUN_REGEX).alias("n_long_digit_runs"),
         redacted.alias("redacted_text"),
     )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    chunk_chars: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus boilerplate signal: chunk every document into
+    fixed windows, hash each chunk, and report per document what
+    fraction of its chunks also occur in OTHER documents (headers,
+    footers, nav bars, license blocks).
+
+    Shape at scale: chunking is a map-only generator; only 16-byte
+    chunk hashes shuffle (two partial-agg passes: hash -> distinct doc
+    count, then per-doc rollup). The corpus text crosses no shuffle.
+    Output: (id, n_chunks, n_shared_chunks, shared_fraction).
+    """
+    chunks = chunk_documents(
+        df, chunk_chars=chunk_chars, overlap=0,
+        text_col=text_col, id_col=id_col)
+    hashed = chunks.select(
+        F.col(id_col), F.md5("chunk_text").alias("_h")).distinct()
+    docs_per_hash = hashed.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_docs"))
+    return (
+        hashed.join(docs_per_hash, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_docs") > 1).cast("long"))
+            .alias("n_shared_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_shared_chunks",
+            (F.floor(F.col("n_shared_chunks") / F.col("n_chunks")
+                     * 1000000) / 1000000).alias("shared_fraction"),
+        )
+    )

@@ -776,3 +776,21 @@ def test_random_projection_roughly_preserves_norms(emb):
     mo = sum(r.n2 for r in orig) / len(orig)
     mp = sum(r.n2 for r in proj) / len(proj)
     assert 0.5 < mp / mo < 2.0
+
+
+def test_boilerplate_fraction_known_values(spark):
+    from locustdb_spark.operators.text import boilerplate_fraction
+
+    shared = "X" * 64  # one full chunk, identical across docs 1 and 2
+    rows = [
+        (1, shared + "unique-tail-one"),
+        (2, shared + "a-different-unique-tail"),
+        (3, "entirely unique document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           boilerplate_fraction(df, chunk_chars=64).collect()}
+    assert out[1].n_shared_chunks == 1 and out[1].n_chunks == 2
+    assert out[2].n_shared_chunks == 1
+    assert out[3].n_shared_chunks == 0 and out[3].shared_fraction == 0.0
+    assert abs(out[1].shared_fraction - 0.5) < 1e-9
