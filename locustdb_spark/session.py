@@ -99,3 +99,50 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    target_input_tb: float = 100.0,
+    executors: int = 1000,
+    executor_cores: int = 4,
+) -> dict[str, str]:
+    """Recommended conf overrides for a real cluster deployment,
+    derived from the workload size instead of guessed constants. Local
+    runs ignore this; submit with e.g.
+
+        spark-submit --conf $(k=v pairs from this dict) ...
+
+    Sizing logic (the numbers the 100 TB design depends on):
+    - shuffle partitions ~= min(50k, input_bytes / 200 MB): keeps a
+      shuffle partition's spill-free working set near the per-core
+      memory share while bounding scheduler pressure; AQE coalesces
+      the ones that end up small.
+    - files.maxPartitionBytes 256 MB: fewer, fatter scan tasks — row
+      groups stay intact and per-task overhead amortizes.
+    - broadcast threshold 64 MB: dimension tables broadcast instead of
+      shuffling the fact side (driver/executor memory at cluster scale
+      absorbs 64 MB easily).
+    - AQE advisory 128 MB: post-shuffle partitions coalesce to the
+      same per-task target.
+    """
+    input_bytes = target_input_tb * 1e12
+    shuffle_parts = int(min(50_000, max(
+        executors * executor_cores * 2, input_bytes / 200e6)))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            str(128 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # skewed partitions split when > 5x median and > 256 MB
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.sql.ansi.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }

@@ -261,3 +261,15 @@ def test_ngram_jaccard_prunes_to_candidates(spark):
         assert len(rows) == 1 and rows[0].id_a == 0 and rows[0].id_b == 1
     finally:
         spark.catalog.clearCache()
+
+
+def test_cluster_conf_scales_with_input():
+    from locustdb_spark.session import cluster_conf
+
+    small = cluster_conf(target_input_tb=1.0, executors=50)
+    big = cluster_conf(target_input_tb=100.0, executors=1000)
+    assert int(small["spark.sql.shuffle.partitions"]) < \
+        int(big["spark.sql.shuffle.partitions"])
+    assert int(big["spark.sql.shuffle.partitions"]) <= 50_000
+    # every value must be a valid conf string
+    assert all(isinstance(v, str) for v in big.values())
