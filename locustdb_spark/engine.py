@@ -335,6 +335,26 @@ class LocustDB:
         self._perf["csv_loads"] += 1
         self._append_df(table, df, partition_size or self.partition_size)
 
+    def load_json(
+        self,
+        path: str,
+        table: str,
+        schema: str | None = None,
+        partition_size: int | None = None,
+    ) -> None:
+        """Batch JSON-lines load (the file-based analog of the
+        reference's event-buffer ingestion, inner_locustdb.rs:236-329:
+        one JSON object per line, schema inferred unless given).
+        Completes the source matrix: CSV, parquet registration, rows,
+        JSON files, and streaming JSON all land in the same
+        append/flush path."""
+        reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
+        df = reader.json(path)
+        self._perf["json_loads"] = self._perf.get("json_loads", 0) + 1
+        self._append_df(table, df, partition_size or self.partition_size)
+
     def ingest_df(self, table: str, df: DataFrame) -> None:
         self._append_df(table, df, self.partition_size)
 

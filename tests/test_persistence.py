@@ -111,3 +111,24 @@ def test_operational_surface(spark, tmp_path):
     assert db.evict_cache() == 1 and not df.is_cached
 
     assert LocustDB.memory_only(spark=spark).table_names() == []
+
+
+def test_load_json(spark, tmp_path):
+    """Batch JSON-lines load lands in the same append/flush path as
+    CSV (source-matrix completeness)."""
+    import json
+
+    from locustdb_spark import LocustDB
+
+    src = tmp_path / "ev.jsonl"
+    src.write_text("\n".join(
+        json.dumps({"host": f"h{i % 2}", "cpu": i / 10}) for i in range(6)))
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.load_json(str(src), "metrics")
+    rows = db.run_query("SELECT host, count(0) AS n FROM metrics")["rows"]
+    assert sorted(rows) == [("h0", 3), ("h1", 3)]
+    db.force_flush()
+    assert sorted(db.run_query(
+        "SELECT host, count(0) AS n FROM metrics")["rows"]) == \
+        [("h0", 3), ("h1", 3)]
+    assert db.perf_counter().get("json_loads") == 1
