@@ -650,3 +650,40 @@ def test_sum_where_nullable_and_bool(db_ec):
         db_ec,
         "SELECT SUM(id) FROM default WHERE nullable_float >= 0.1 AND "
         "id > 5;") == [(9,)]
+
+
+def test_gt_float_filter_offset_encoded_int(db_ec):
+    # float literal against int column (comparison in float space)
+    got = rows(db_ec,
+               "SELECT id FROM default WHERE u8_offset_encoded >= 499.123;")
+    assert sorted(got) == [(5,), (8,), (9,)]
+
+
+def test_gt_float_filter_offset_encoded_nullable_int(db_ec):
+    got = rows(db_ec,
+               "SELECT id FROM default WHERE nullable_int2 <= 0.123;")
+    assert sorted(got) == [(1,), (3,)]
+
+
+def test_partition_alias_mismatch(spark, tmp_path):
+    """Schema drift across ingested batches (query_tests.rs
+    test_partition_alias_mismatch): batch 1 has only f1, batch 2 only
+    f2/f3; selecting f1,f2,f3,f4 must null-fill per batch (f4 never
+    exists anywhere -> all NULL). Values are distributionally (not
+    bit-) identical to the reference's RNG, so we assert structure."""
+    from locustdb_spark import LocustDB
+    from locustdb_spark.sources.colgen import gen_table_df, nullable_ints
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    g = nullable_ints([None, 1], [0.1, 0.9])
+    db.ingest_df("t", gen_table_df(spark, [("f1", g)], 1, 5))
+    db.force_flush("t")
+    db.ingest_df("t", gen_table_df(spark, [("f2", g), ("f3", g)], 1, 5))
+    got = rows(db, "SELECT f1, f2, f3, f4 FROM t LIMIT 10;")
+    assert len(got) == 10
+    assert all(r[3] is None for r in got)          # f4 never existed
+    batch1 = [r for r in got if r[1] is None and r[2] is None]
+    batch2 = [r for r in got if r[0] is None and (r[1] is not None
+                                                  or r[2] is not None)]
+    assert len(batch1) >= 5                        # batch-1 rows: no f2/f3
+    assert all(r[0] is None for r in got if r[1] is not None)
