@@ -687,3 +687,22 @@ def test_partition_alias_mismatch(spark, tmp_path):
                                                   or r[2] is not None)]
     assert len(batch1) >= 5                        # batch-1 rows: no f2/f3
     assert all(r[0] is None for r in got if r[1] is not None)
+
+
+def test_group_by_string_nonexistant(db_ec):
+    # grouping by a missing column yields a NULL key (query_tests.rs
+    # test_group_by_string_nonexistant, adapted to the ec fixture)
+    assert rows(
+        db_ec,
+        "SELECT enum, notacolumn, count(1) FROM default "
+        "ORDER BY count(1) DESC LIMIT 3;") == [
+        ("aa", None, 5), ("bb", None, 3), ("cc", None, 2)]
+
+
+def test_group_by_string_string(db_ec):
+    # the same column twice as two group keys
+    assert rows(
+        db_ec,
+        "SELECT enum, enum, count(1) AS c FROM default "
+        "ORDER BY c DESC, enum LIMIT 2;") == [
+        ("aa", "aa", 5), ("bb", "bb", 3)]
