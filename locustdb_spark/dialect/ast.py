@@ -44,6 +44,11 @@ class BinOp:
 class Call:
     func: str  # lower-cased function name
     args: tuple["Expr", ...]
+    # function name as written in the source (case preserved) — only used
+    # when echoing the expression back as a result column name, so it is
+    # excluded from equality/hashing (two-phase planning dedups aggregate
+    # calls by value)
+    src_name: Optional[str] = field(default=None, compare=False)
 
     @property
     def is_aggregate(self) -> bool:

@@ -146,12 +146,15 @@ def expr_name(e: Expr) -> str:
             return f"not {expr_name(e.expr)}"
         return f"-{expr_name(e.expr)}"
     if isinstance(e, BinOp):
-        op = {"and": " and ", "or": " or ", "like": " like ", "notlike": " not like "}.get(
-            e.op, e.op
-        )
-        return f"{expr_name(e.left)}{op}{expr_name(e.right)}"
+        # sqlparser-rs Display form: spaces around every binary operator,
+        # AND/OR/LIKE keywords uppercase (reference parser.rs:143 derives
+        # colnames via format!("{}", ast_node))
+        op = {"and": "AND", "or": "OR", "like": "LIKE",
+              "notlike": "NOT LIKE"}.get(e.op, e.op)
+        return f"{expr_name(e.left)} {op} {expr_name(e.right)}"
     if isinstance(e, Call):
-        return f"{e.func}({', '.join(expr_name(a) for a in e.args)})"
+        fname = e.src_name if getattr(e, "src_name", None) else e.func
+        return f"{fname}({', '.join(expr_name(a) for a in e.args)})"
     raise QueryError(f"cannot name {e!r}")
 
 

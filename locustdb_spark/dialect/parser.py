@@ -321,7 +321,7 @@ class Parser:
             raise NotImplementedQueryError(
                 f"{func.upper()} with {len(args)} arguments"
             )
-        return Call(func, tuple(args))
+        return Call(func, tuple(args), src_name=name)
 
 
 def parse(sql: str) -> Query:

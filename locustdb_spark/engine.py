@@ -85,6 +85,13 @@ class LocustDB:
             "queries": 0, "rows_returned": 0, "rows_ingested": 0,
             "flushes": 0, "csv_loads": 0,
         }
+        # name -> unix-seconds creation time (reference _meta_tables
+        # timestamp column, inner_locustdb.rs:270-289)
+        self._created: dict[str, int] = {}
+
+    def _record_created(self, name: str) -> None:
+        if name not in self._created:
+            self._created[name] = int(time.time())
 
     # ------------------------------------------------------------------
     # table access
@@ -110,12 +117,14 @@ class LocustDB:
     def register_parquet(self, name: str, path: str) -> None:
         """Expose an existing parquet file/dir as a queryable table."""
         self._external[name] = path
+        self._record_created(name)
 
     def register_df(self, name: str, df: DataFrame) -> None:
         """Expose a DataFrame (e.g. a cached in-memory table) as a
         queryable table — the analog of the reference's fully-resident
         in-memory tables (BASELINE.md benchmark config)."""
         self._views[name] = df
+        self._record_created(name)
 
     def save_bucketed(
         self,
@@ -315,6 +324,7 @@ class LocustDB:
         """Row ingestion API (reference table.rs:162-178). Buffered in
         memory; flushed when the buffer exceeds partition_size rows."""
         buf = self._buffers.setdefault(table, [])
+        self._record_created(table)
         n0 = len(buf)
         buf.extend(rows)
         self._perf["rows_ingested"] += len(buf) - n0
@@ -402,6 +412,7 @@ class LocustDB:
         return self.spark.createDataFrame([coerce(r) for r in buf], schema)
 
     def _append_df(self, table: str, df: DataFrame, partition_size: int) -> None:
+        self._record_created(table)
         path = os.path.join(self.tables_dir, table)
         if self._has_parquet(table):
             existing_head = self.spark.read.option("mergeSchema", "true").parquet(
@@ -539,19 +550,35 @@ class LocustDB:
     # ------------------------------------------------------------------
 
     def _meta_tables_df(self) -> DataFrame:
-        names = [n for n in self.table_names() if not n.startswith("_meta")]
+        """Reference schema: (name: str, timestamp: i64 unix seconds of
+        creation) — inner_locustdb.rs:270-289. Each user table also gets a
+        `_meta_columns_<t>` registry row, as in the reference (:252-255)."""
+        rows = []
+        for n in self.table_names():
+            if n.startswith("_meta"):
+                continue
+            ts = self._created.get(n)
+            if ts is None:
+                # table discovered on disk (recover path): use dir mtime
+                p = self._table_path(n)
+                ts = int(os.path.getmtime(p)) if os.path.exists(p) else None
+            rows.append((n, ts))
+            rows.append((f"_meta_columns_{n}", ts))
         return self.spark.createDataFrame(
-            [(n,) for n in names], T.StructType([T.StructField("name", T.StringType())])
+            rows,
+            T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("timestamp", T.LongType()),
+            ]),
         )
 
     def _meta_columns_df(self, table: str) -> DataFrame:
+        """Reference schema: single `column_name` string column
+        (inner_locustdb.rs:290-298); drives SELECT * expansion."""
         cols = self.snapshot(table).columns
         return self.spark.createDataFrame(
-            [(table, c) for c in sorted(cols)],
-            T.StructType([
-                T.StructField("table", T.StringType()),
-                T.StructField("column", T.StringType()),
-            ]),
+            [(c,) for c in sorted(cols)],
+            T.StructType([T.StructField("column_name", T.StringType())]),
         )
 
 

@@ -198,3 +198,25 @@ def test_group_by_generated_string(gen_db):
         "SELECT scrambled, scrambled, count(1) FROM t_hex;")["rows"]
     assert all(r[0] == r[1] for r in dup_key)
     assert sum(r[2] for r in dup_key) == 1000
+
+
+def test_group_by_hexstring_string(gen_db):
+    """Two-key (hex, scrambled) grouped count ordered by count DESC
+    (reference query_tests.rs test_group_by_hexstring_string :1644-1655;
+    golden values differ — our colgen RNG is not the reference's)."""
+    from locustdb_spark.sources import colgen
+
+    gen_db.gen_table(
+        "t_hex2", partitions=3, partition_size=1400,
+        columns=[("hex", colgen.random_hex_string(8)),
+                 ("scrambled", colgen.random_string(1, 2)),
+                 ("ints", colgen.int_uniform(-10, 256))])
+    top = gen_db.run_query(
+        "SELECT hex, scrambled, count(1) AS c FROM t_hex2 "
+        "ORDER BY count(1) DESC LIMIT 5;")["rows"]
+    assert len(top) == 5
+    cnts = [r[2] for r in top]
+    assert cnts == sorted(cnts, reverse=True)
+    total = gen_db.run_query(
+        "SELECT count(0) FROM t_hex2;")["rows"][0][0]
+    assert total == 3 * 1400

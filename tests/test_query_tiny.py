@@ -113,8 +113,32 @@ def test_select_star(db_tiny):
 
 def test_meta_tables(db_tiny):
     assert ("default",) in rows(db_tiny, "select name from _meta_tables;")
-    cols = rows(db_tiny, "select column from _meta_columns_default;")
+    # reference registers the _meta_columns_<t> registry itself as a table
+    # (inner_locustdb.rs:252-255) with a creation timestamp column
+    assert ("_meta_columns_default",) in rows(
+        db_tiny, "select name from _meta_tables;")
+    assert rows(db_tiny,
+                "select name from _meta_tables where timestamp is null;") == []
+    cols = rows(db_tiny, "select column_name from _meta_columns_default;")
     assert ("first_name",) in cols
+
+
+def test_meta_column_names_sorted(db_tiny):
+    # test_meta_column_names (query_tests.rs:1999): _meta_columns_<t>
+    # lists every column, one per row, queryable with ORDER BY
+    cols = rows(
+        db_tiny,
+        "SELECT column_name FROM _meta_columns_default ORDER BY column_name;")
+    assert cols == [(c,) for c in sorted(
+        ["ts", "guid", "first_name", "last_name", "hash", "version", "tld",
+         "num", "opaque_json"])]
+
+
+def test_meta_tables_colnames(db_tiny):
+    # test_colnames (query_tests.rs:1844-1847)
+    out = db_tiny.run_query(
+        "SELECT name, COUNT(1) AS c, timestamp FROM _meta_tables;")
+    assert out["colnames"] == ["name", "c", "timestamp"]
 
 
 def test_search_column_names(db_tiny):
