@@ -273,3 +273,20 @@ def test_cluster_conf_scales_with_input():
     assert int(big["spark.sql.shuffle.partitions"]) <= 50_000
     # every value must be a valid conf string
     assert all(isinstance(v, str) for v in big.values())
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """Fleet-wide scale guard: no queries() entry may compile to a
+    row-at-a-time Python UDF (BatchEvalPython). Python is allowed only
+    through Arrow-batched paths (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) — at 100 TB a per-row Python roundtrip is a
+    ~100x slowdown (SURVEY.md §4, pyspark_guide UDF guidance)."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, TESTDATA_SF)
+        plan = explain_str(df)
+        if "BatchEvalPython" in plan:
+            offenders[name] = plan[:500]
+    assert not offenders, f"row-at-a-time Python UDFs in: {list(offenders)}"
