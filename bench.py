@@ -81,6 +81,13 @@ def main() -> None:
     # is sized to the data, not the core count: tiny SFs get few fat
     # partitions (task-scheduling overhead dominates below ~50 MB/task);
     # at cluster scale the same rule yields one task per ~128 MB split.
+    # The reference benches RAM-resident tables; its committed numbers are
+    # what we compare against, so cache uncompressed — columnar dict/RLE
+    # cache compression costs a per-scan decode (~1.5x on count-style
+    # queries at 105M rows). This is a benchmark-harness choice, not an
+    # engine default: at cluster scale cached-table compression stays on
+    # (memory is the scarcer resource there).
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     tables = ("lineitem", "orders", "customer", "documents", "embeddings")
     total_mb = 0.0
     for t in tables:

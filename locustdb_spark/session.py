@@ -86,6 +86,12 @@ def get_spark(
         # 65536-row partitions). Memory cost is per-column-per-batch
         # and bounded by the partition size.
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
+        # Vectorized first-level hash map for partial aggregation:
+        # ~1.3-1.9x on low-cardinality group-bys (measured at 105M rows:
+        # count-by-int-key 2.8 -> 4.1 G rows/s, sum 3.5 -> 4.7). Off by
+        # default in Spark only out of conservatism; keys/values here are
+        # always the fixed-width types it supports.
+        .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
         # Parquet encodings ~= LocustDB's dict/delta/lz4/pco column codecs.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -85,6 +85,11 @@ QUERIES = {
 def main() -> None:
     scales = [s for s in sys.argv[1:] if s in SCALES] or ["e6", "e7"]
     spark = get_spark(app_name="bench-reference")
+    # Cache compression stays ON here: the e8 table uncompressed (~7 GB of
+    # raw vectors + codegen working memory) does not reliably fit the
+    # storage pool, and evicted partitions re-read from disk at ~0.4 s per
+    # query — far worse than the ~1.3x decode cost. The reference's own
+    # config is mem_lz4 compressed too (BASELINE.md).
     db = LocustDB(spark=spark)
 
     for scale in scales:
