@@ -83,8 +83,9 @@ def get_spark(
         # Bigger in-memory-cache batches keep whole-stage codegen in
         # one columnar batch longer (~1.4x on cached low-cardinality
         # group-bys vs the 10k default; analogous to the reference's
-        # 65536-row partitions). Memory cost is per-column-per-batch
-        # and bounded by the partition size.
+        # 65536-row partitions). 256k/1M measured no reliable further
+        # gain at 105M rows once JIT warm-up ordering was controlled
+        # (ABA runs), so keep the smaller per-batch footprint.
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         # Vectorized first-level hash map for partial aggregation:
         # ~1.3-1.9x on low-cardinality group-bys (measured at 105M rows:

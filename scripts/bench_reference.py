@@ -108,9 +108,9 @@ def main() -> None:
             # plan — each run is a full job: scan, shuffle, agg, Arrow
             # fetch.
             qdf = db.sql(q)
-            qdf.toPandas()  # warm-up
+            qdf.toPandas(); qdf.toPandas()  # warm-up (I/O cache + JIT)
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 qdf.toPandas()
                 best = min(best, time.perf_counter() - t0)
