@@ -131,3 +131,64 @@ def test_global_agg_matches_duckdb(pdb, duck, data):
     theirs = duck.execute(
         f"SELECT {agg}({val}) FROM t WHERE {pred}").fetchall()
     assert _norm(ours, 1) == _norm(theirs, 1), (agg, val, pred)
+
+
+@st.composite
+def int_exprs(draw):
+    """Random integer arithmetic over columns: (our dialect, duckdb).
+    Our `/` is truncating integer division — DuckDB's `//` matches
+    (both truncate toward zero, verified on negatives)."""
+    kind = draw(st.sampled_from(["div", "mod", "add", "mul_sub", "col"]))
+    a = draw(st.sampled_from(INT_COLS))
+    b = draw(st.sampled_from(INT_COLS))
+    k = draw(st.integers(min_value=1, max_value=50))
+    if kind == "div":
+        return f"({a} / {k})", f"({a} // {k})"
+    if kind == "mod":
+        return f"({a} % {k})", f"({a} % {k})"
+    if kind == "add":
+        return f"({a} + {b})", f"({a} + {b})"
+    if kind == "mul_sub":
+        return f"({a} * 2 - {b})", f"({a} * 2 - {b})"
+    return a, a
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_expression_group_agg_matches_duckdb(pdb, duck, data):
+    """Arithmetic expressions as group key AND aggregate argument ==
+    DuckDB (int division/modulo truncation, null propagation through
+    expression chains)."""
+    key_ours, key_duck = data.draw(int_exprs())
+    val_ours, val_duck = data.draw(int_exprs())
+    agg = data.draw(st.sampled_from(["count", "sum", "min", "max"]))
+    pred = data.draw(predicates())
+    ours = pdb.run_query(
+        f"SELECT {key_ours}, {agg}({val_ours}) FROM t WHERE {pred}")["rows"]
+    theirs = duck.execute(
+        f"SELECT {key_duck}, {agg}({val_duck}) FROM t WHERE {pred} "
+        f"GROUP BY 1").fetchall()
+    assert _norm(ours, 2) == _norm(theirs, 2), (key_ours, agg, val_ours, pred)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_order_by_limit_matches_duckdb(pdb, duck, data):
+    """ORDER BY + LIMIT with the dialect's null placement (nulls last
+    ASC, nulls first DESC — fused sentinels, reference types.rs:6-10).
+    Selecting only the sort key keeps the cut deterministic under ties."""
+    col = data.draw(st.sampled_from(INT_COLS + FLOAT_COLS + STR_COLS))
+    desc = data.draw(st.booleans())
+    n = data.draw(st.integers(min_value=1, max_value=12))
+    pred = data.draw(predicates())
+    direction = "DESC" if desc else "ASC"
+    nulls = "NULLS FIRST" if desc else "NULLS LAST"
+    ours = pdb.run_query(
+        f"SELECT {col} FROM t WHERE {pred} "
+        f"ORDER BY {col} {direction} LIMIT {n}")["rows"]
+    theirs = duck.execute(
+        f"SELECT {col} FROM t WHERE {pred} "
+        f"ORDER BY {col} {direction} {nulls} LIMIT {n}").fetchall()
+    assert _norm(ours, 1) == _norm(theirs, 1), (col, direction, n, pred)
