@@ -132,3 +132,73 @@ def test_load_json(spark, tmp_path):
         "SELECT host, count(0) AS n FROM metrics")["rows"]) == \
         [("h0", 3), ("h1", 3)]
     assert db.perf_counter().get("json_loads") == 1
+
+
+def test_ingest_sparse_nullable(spark, tmp_path):
+    """Row-at-a-time ingestion where a column appears only on every
+    7th row (reference ingestion_test.rs test_ingest_sparse_nullable):
+    the sparse column reads as NULL elsewhere, and both filter
+    formulations agree."""
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    vals = []
+    for i in range(15):
+        row = {"row": float(i)}
+        if i % 7 == 0:
+            v = 0.1 + i
+            vals.append(v)
+            row["sparse_float"] = v
+        db.ingest("default", [row])
+    db.force_flush()
+    q1 = q(db, "SELECT row, sparse_float FROM default "
+              "WHERE row IS NOT NULL AND (sparse_float IS NOT NULL)")
+    q2 = q(db, "SELECT row, sparse_float FROM default "
+              "WHERE (sparse_float IS NOT NULL)")
+    assert q1 == [(float(i * 7), v) for i, v in enumerate(vals)]
+    assert q1 == q2
+
+
+def test_persist_meta_tables(spark, tmp_path):
+    """_meta_tables survives a restart and lists each table plus its
+    _meta_columns_<t> registry (reference ingestion_test.rs
+    test_persist_meta_tables)."""
+    path = str(tmp_path / "db")
+    db = LocustDB(spark=spark, db_path=path)
+    db.ingest("qwerty", [{"value": 1.0}])
+    db.ingest("asdf", [{"value": 1.0}])
+    db.force_flush()
+
+    db2 = LocustDB(spark=spark, db_path=path)
+    names = {r[0] for r in db2.run_query("SELECT name FROM _meta_tables")["rows"]}
+    assert {"qwerty", "_meta_columns_qwerty",
+            "asdf", "_meta_columns_asdf"} <= names
+
+
+def test_concurrent_queries_during_ingest(spark, tmp_path):
+    """Queries racing row ingestion must each see a consistent snapshot
+    (reference ingestion_test.rs test_many_concurrent_requests,
+    scaled down): every result is a valid prefix count, never a crash
+    or a torn read."""
+    import threading
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.ingest("m", [{"i": 0}])
+    errors = []
+    counts = []
+
+    def reader():
+        try:
+            for _ in range(5):
+                counts.append(db.run_query("SELECT count(0) FROM m")["rows"][0][0])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for batch in range(10):
+        db.ingest("m", [{"i": batch + 1}])
+    for t in threads:
+        t.join()
+    assert not errors
+    assert all(1 <= c <= 11 for c in counts)
+    assert db.run_query("SELECT count(0) FROM m")["rows"] == [(11,)]
