@@ -522,6 +522,43 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py — the batch
+    analog of the reference's WAL flush + MergeAggregate cycle,
+    inner_locustdb.rs:334-430, batch_merging.rs:171-184): lineitem is
+    appended in two batches, the rollup refreshed after each by reading
+    ONLY the new files, and the final state must equal a one-shot
+    groupBy over everything (the DuckDB oracle). Aggregates are chosen
+    bit-exact across engines: sum over integer-valued doubles, count,
+    min/max."""
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.rollup import IncrementalRollup
+
+    li = _read(spark, sf_dir, "lineitem")
+    work = tempfile.mkdtemp(prefix="rollup-entry-")
+    try:
+        fact = f"{work}/fact"
+        r = IncrementalRollup(
+            spark, fact, f"{work}/rollup", keys=["l_returnflag"],
+            aggs={"sum_qty": ("sum", "l_quantity"),
+                  "cnt": ("count", "l_quantity"),
+                  "min_price": ("min", "l_extendedprice"),
+                  "max_price": ("max", "l_extendedprice")})
+        for half in (0, 1):
+            li.filter(F.col("l_orderkey") % 2 == half).write.mode(
+                "append").parquet(fact)
+            r.maintain()
+        out = r.read().orderBy("l_returnflag")
+        # materialize before the workdir vanishes (the returned plan
+        # must not depend on the temp files)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the ANALYZE TABLE shape the reference exposes
     as table_stats / mem_tree, reference src/locustdb.rs:127-154):
@@ -1306,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_resample": x_resample,
         "x_locf": x_locf,
         "x_profile": x_profile,
+        "x_incremental_rollup": x_incremental_rollup,
         "x_window_running_total": x_window_running_total,
         "x_pivot": x_pivot,
         "x_intersect": x_intersect,
@@ -2205,6 +2243,13 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1, 2
         """,
         "x_profile": _PROFILE_ORACLE,
+        "x_incremental_rollup": """
+            SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+                   count(l_quantity) AS cnt,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "x_range_window": """
             SELECT event_id, event_type, epoch_ns(ts) AS ts,
               round(sum(value) OVER (
