@@ -192,3 +192,52 @@ def test_order_by_limit_matches_duckdb(pdb, duck, data):
         f"SELECT {col} FROM t WHERE {pred} "
         f"ORDER BY {col} {direction} {nulls} LIMIT {n}").fetchall()
     assert _norm(ours, 1) == _norm(theirs, 1), (col, direction, n, pred)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_like_pattern_matches_duckdb(pdb, duck, data):
+    """Random LIKE / NOT LIKE patterns (with regex metacharacters as
+    literals) == DuckDB — exercises the dialect's LIKE-to-regex
+    translation and its escaping (reference query_plan.rs:1236-1294)."""
+    col = data.draw(st.sampled_from(STR_COLS))
+    tokens = data.draw(st.lists(
+        st.sampled_from(["%", "_", "a", "b", "x", "y", "z", "A", ".",
+                         "(", "[", "*", "G", "e"]),
+        min_size=1, max_size=6))
+    pat = "".join(tokens)
+    neg = data.draw(st.booleans())
+    op = "NOT LIKE" if neg else "LIKE"
+    ours = pdb.run_query(f"SELECT {col} FROM t WHERE {col} {op} '{pat}'")["rows"]
+    theirs = duck.execute(f"SELECT {col} FROM t WHERE {col} {op} '{pat}'").fetchall()
+    assert _norm(ours, 1) == _norm(theirs, 1), (col, op, pat)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_multi_key_order_by_matches_duckdb(pdb, duck, data):
+    """Random multi-key ORDER BY with mixed ASC/DESC and the dialect's
+    null placement, full result (no LIMIT, so ties cannot change the
+    multiset) — compared positionally against DuckDB with explicit
+    NULLS FIRST/LAST."""
+    ncols = data.draw(st.integers(min_value=2, max_value=3))
+    cols = data.draw(st.lists(
+        st.sampled_from(INT_COLS + STR_COLS + FLOAT_COLS),
+        min_size=ncols, max_size=ncols, unique=True))
+    dirs = [data.draw(st.booleans()) for _ in cols]
+    our_order = ", ".join(
+        f"{c} {'DESC' if d else 'ASC'}" for c, d in zip(cols, dirs))
+    duck_order = ", ".join(
+        f"{c} {'DESC NULLS FIRST' if d else 'ASC NULLS LAST'}"
+        for c, d in zip(cols, dirs))
+    sel = ", ".join(cols)
+    ours = pdb.run_query(
+        f"SELECT {sel} FROM t ORDER BY {our_order}")["rows"]
+    theirs = duck.execute(
+        f"SELECT {sel} FROM t ORDER BY {duck_order}").fetchall()
+    # positional comparison — the ordering itself is under test
+    a = [_norm([r], len(cols))[0] for r in ours]
+    b = [_norm([r], len(cols))[0] for r in theirs]
+    assert a == b, (sel, our_order)
