@@ -148,9 +148,32 @@ class LoggingClient:
         return _post(f"{self.url}/query", {"query": sql},
                      bearer_token=self.bearer_token)
 
-    def multi_query(self, queries: list[str]) -> list[dict]:
-        return _post(f"{self.url}/multi_query_cols", {"queries": queries},
-                     bearer_token=self.bearer_token)
+    def multi_query(
+        self,
+        queries: list[str],
+        encoding_opts: dict | None = None,
+    ) -> list[dict]:
+        """Run several queries in one round trip. With ``encoding_opts``
+        ({"xor_float_compression": True, "mantissa": int?,
+        "full_precision_cols": [..]}) float columns arrive xor-float
+        compressed and are transparently decoded back to value lists
+        (NULL sentinel -> None)."""
+        req: dict[str, Any] = {"queries": queries}
+        if encoding_opts is not None:
+            req["encoding_opts"] = encoding_opts
+        out = _post(f"{self.url}/multi_query_cols", req,
+                    bearer_token=self.bearer_token)
+        if encoding_opts and encoding_opts.get("xor_float_compression"):
+            import base64
+
+            from .compression import decode as xor_decode
+
+            for resp in out:
+                for name, col in list(resp["cols"].items()):
+                    if isinstance(col, dict) and "xor_f64_b64" in col:
+                        resp["cols"][name] = xor_decode(
+                            base64.b64decode(col["xor_f64_b64"]))
+        return out
 
     def columns(self, tables: list[str], pattern: str | None = None,
                 limit: int | None = None, offset: int | None = None) -> dict:

@@ -18,8 +18,11 @@ Divergence from the reference: /insert_bin takes a JSON event buffer
 locustdb-serialization/src/event_buffer.rs:92-101 — same nested
 tables->columns->values shape, different wire encoding; JSON is the
 Python-native equivalent and keeps the route/semantics identical).
-/multi_query_cols supports only the JSON response (no xor-float binary
-encoding, server/mod.rs:252-287).
+/multi_query_cols accepts the reference's EncodingOpts
+({"xor_float_compression", "mantissa", "full_precision_cols"} —
+server/mod.rs:252-287): float columns then travel as base64 xor-float
+streams (compression.py, the reference's Gorilla-style double codec)
+inside the JSON body rather than a capnp binary frame.
 
 Error mapping follows map_err_response (server/mod.rs:321-331):
 NotImplemented -> 501, other query errors -> 400, crashes -> 500.
@@ -87,14 +90,35 @@ def _rows_output(result: dict) -> dict:
     }
 
 
-def _cols_output(result: dict) -> dict:
+def _cols_output(result: dict, encoding_opts: dict | None = None) -> dict:
     """Column-major shaping (reference query_output_to_json_cols,
-    server/mod.rs:400-425)."""
-    cols: dict[str, list] = {}
+    server/mod.rs:400-425). With ``encoding_opts``
+    ({"xor_float_compression": bool, "mantissa": int?,
+    "full_precision_cols": [name, ...]} — reference EncodingOpts,
+    locustdb-serialization/src/api.rs:40-44), float columns travel as
+    base64 xor-float streams instead of JSON number arrays (the JSON
+    analog of the reference's capnp binary MultiQueryResponse)."""
+    cols: dict[str, object] = {}
     names = result["colnames"]
     rows = result["rows"]
+    xor = bool(encoding_opts and encoding_opts.get("xor_float_compression"))
+    mantissa = encoding_opts.get("mantissa") if encoding_opts else None
+    full_precision = set(
+        encoding_opts.get("full_precision_cols", ())) if encoding_opts else set()
     for i, name in enumerate(names):
-        cols[name] = [_to_json_val(r[i]) for r in rows]
+        vals = [r[i] for r in rows]
+        if xor and vals and all(
+                v is None or isinstance(v, float) for v in vals):
+            import base64
+
+            from .compression import encode as xor_encode
+
+            blob = xor_encode(
+                vals,
+                mantissa=None if name in full_precision else mantissa)
+            cols[name] = {"xor_f64_b64": base64.b64encode(blob).decode()}
+        else:
+            cols[name] = [_to_json_val(v) for v in vals]
     return {"colnames": names, "cols": cols, "stats": result["stats"]}
 
 
@@ -189,7 +213,8 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/query_cols":
                 self._send(200, _cols_output(self._run_query(req["query"])))
             elif self.path == "/multi_query_cols":
-                out = [_cols_output(self._run_query(q))
+                out = [_cols_output(self._run_query(q),
+                                    req.get("encoding_opts"))
                        for q in req["queries"]]
                 self._send(200, out)
             elif self.path == "/columns":
