@@ -99,6 +99,16 @@ def main() -> None:
         df.cache()
         n = df.count()  # materialize the cache (reference: in-memory table)
         db.register_df(name, df)
+        # Same sizing rule as bench.py: below ~1 GB of input a handful of
+        # shuffle partitions keeps stage latency low and AQE's per-stage
+        # re-planning (~100 ms/job here) costs more than it saves; its
+        # value (coalescing/skew-splitting multi-GB shuffles) only exists
+        # at scale, so e6/e7 disable it and e8 keeps it on.
+        small = n * 72 < 1e9  # ~72 B/row across the 9 columns
+        spark.conf.set("spark.sql.adaptive.enabled",
+                       "false" if small else "true")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       "8" if small else "32")
 
         out = {}
         for qname, sql in QUERIES.items():
