@@ -58,11 +58,21 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 5,
     lowercase: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature, one column per hash lane.
 
     Zero-shuffle: shingling and the k min-hash lanes are all column
     expressions evaluated in one projection over the scan.
+
+    ``hash_fn``:
+    - ``"md5"`` (default): every lane derives from an md5 digest, so the
+      signatures are bit-reproducible in any engine with md5 — this is
+      what makes the dedup family DuckDB-oracle-checkable.
+    - ``"xxhash64"``: Spark's native 64-bit hash (no hex round-trip),
+      ~3x faster per shingle. Same statistical guarantees, but the
+      exact signature values are Spark-specific — use at production
+      scale where cross-engine bit-parity is not required.
     """
     # Spread a few-files input across all cores: shingle hashing is
     # CPU-bound and a single parquet file would otherwise pin the whole
@@ -85,21 +95,39 @@ def minhash_signatures(
     # cheaper than hashing per lane; the multiply-add stays within i64
     # even under ANSI mode (h < 2^56, j < 128).
     mask = (1 << 56) - 1
-    shingled = df.select(
-        F.col(id_col),
-        F.transform(sh, lambda s: F.md5(s)).alias("_hs"),
-    )
-    pre = shingled.select(
-        F.col(id_col),
-        F.transform(
-            "_hs",
-            lambda h: F.conv(F.substring(h, 1, 14), 16, 10).cast("long"),
-        ).alias("_h1"),
-        F.transform(
-            "_hs",
-            lambda h: F.conv(F.substring(h, 15, 14), 16, 10).cast("long"),
-        ).alias("_h2"),
-    )
+    if hash_fn == "xxhash64":
+        # two independent 56-bit hashes straight from the native 64-bit
+        # hash (different seed inputs), no hex string round-trip; the
+        # shingle array is materialized once so substrings aren't
+        # generated per hash lane
+        pre = df.select(F.col(id_col), sh.alias("_sh")).select(
+            F.col(id_col),
+            F.transform(
+                "_sh", lambda s: F.xxhash64(s).bitwiseAND(F.lit(mask))
+            ).alias("_h1"),
+            F.transform(
+                "_sh",
+                lambda s: F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(mask)),
+            ).alias("_h2"),
+        )
+    elif hash_fn == "md5":
+        shingled = df.select(
+            F.col(id_col),
+            F.transform(sh, lambda s: F.md5(s)).alias("_hs"),
+        )
+        pre = shingled.select(
+            F.col(id_col),
+            F.transform(
+                "_hs",
+                lambda h: F.conv(F.substring(h, 1, 14), 16, 10).cast("long"),
+            ).alias("_h1"),
+            F.transform(
+                "_hs",
+                lambda h: F.conv(F.substring(h, 15, 14), 16, 10).cast("long"),
+            ).alias("_h2"),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     cols = [F.col(id_col)]
     for j in range(num_hashes):
         lane = F.array_min(

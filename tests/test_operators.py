@@ -794,3 +794,27 @@ def test_boilerplate_fraction_known_values(spark):
     assert out[2].n_shared_chunks == 1
     assert out[3].n_shared_chunks == 0 and out[3].shared_fraction == 0.0
     assert abs(out[1].shared_fraction - 0.5) < 1e-9
+
+
+def test_minhash_xxhash64_fast_path(spark):
+    """hash_fn='xxhash64' (the production fast path): same schema and
+    MinHash property — identical texts get identical signatures, and
+    the near-dup pair found by the md5 basis is found here too."""
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content with no shared shingles xyz")],
+        ["doc_id", "text"])
+    for hf in ("md5", "xxhash64"):
+        sig = minhash_signatures(docs, num_hashes=4, hash_fn=hf)
+        assert sig.columns == ["doc_id", "mh0", "mh1", "mh2", "mh3"]
+        rows = {r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3)
+                for r in sig.collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, hash_fn="sha9000")
