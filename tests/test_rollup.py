@@ -56,9 +56,8 @@ def test_matches_full_recompute_across_appends(spark, db, tmp_path):
         assert _rolled(r) == _full(db)
     # no new data -> no-op, result unchanged
     before = _rolled(r)
-    assert r.maintain() == {"new_files": 0,
-                            "total_files": r.maintain()["total_files"],
-                            "refreshed": False}
+    stats = r.maintain()
+    assert stats["new_files"] == 0 and not stats["refreshed"]
     assert _rolled(r) == before
 
 
