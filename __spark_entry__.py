@@ -41,6 +41,18 @@ def _db(spark: SparkSession, sf_dir: str):
     return db
 
 
+def _micro(col, decimals: int):
+    """Scale a float expression to exact integer units (for
+    order-independent summation). Float sums are partition-order
+    dependent; rounding one lands on knife edges where engines (or two
+    cluster layouts) disagree in the last digit — the x_locf failure at
+    sf0.1 was exactly this. int64 sums are associative, so any
+    aggregate built on _micro is bit-identical everywhere. The per-row
+    product/scale arithmetic is IEEE-deterministic on identical inputs,
+    so DuckDB oracles mirror it exactly."""
+    return F.round(col * (10 ** decimals)).cast("long")
+
+
 def _ld(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     """A query routed through the LocustDB dialect engine."""
     return lambda spark, sf_dir: _db(spark, sf_dir).sql(sql)
@@ -103,7 +115,8 @@ def x_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_revenue"))
+             F.round(F.sum(_micro(F.col("o_totalprice"), 2)).cast("double")
+                     / 100, 2).alias("total_revenue"))
     )
 
 
@@ -119,8 +132,9 @@ def x_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2)
-             .alias("revenue"))
+        .agg(F.round(
+            F.sum(_micro(li.l_extendedprice * (1 - li.l_discount), 6))
+            .cast("double") / 1e6, 2).alias("revenue"))
     )
 
 
@@ -226,7 +240,8 @@ def x_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return orders.select(
         "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(_micro(F.col("o_totalprice"), 2)).over(w)
+                .cast("double") / 100, 2).alias("running_total"),
     )
 
 
@@ -319,7 +334,8 @@ def x_events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(hour.alias("hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             F.round(F.sum(_micro(F.col("value"), 6)).cast("double") / 1e6,
+                     4).alias("sum_value"))
     )
 
 
@@ -638,7 +654,8 @@ def x_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "ts",
-        F.round(F.sum("value").over(w), 4).alias("trailing_hour_sum"),
+        F.round(F.sum(_micro(F.col("value"), 6)).over(w).cast("double")
+                / 1e6, 4).alias("trailing_hour_sum"),
     )
 
 
@@ -1146,7 +1163,8 @@ def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-3, Window.currentRow))
     return ev.select(
         "user_id", "event_id",
-        F.round(F.avg("value").over(w), 4).alias("moving_avg4"),
+        F.round(F.sum(_micro(F.col("value"), 6)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w) / 1e6, 4).alias("moving_avg4"),
     )
 
 
@@ -1190,8 +1208,9 @@ def x_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
         F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("n_other"),
         F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
-                             F.col("o_totalprice")).otherwise(0.0)), 2)
-        .alias("rev_f"),
+                             _micro(F.col("o_totalprice"), 2))
+                      .otherwise(F.lit(0).cast("long"))).cast("double")
+                / 100, 2).alias("rev_f"),
     )
 
 
@@ -1225,8 +1244,10 @@ def x_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x.cast("double") * x.cast("double"))
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg(elem_sum), 4).alias("avg_elem_sum"),
-        F.round(F.avg(norm_sq), 4).alias("avg_norm_sq"),
+        F.round(F.sum(_micro(elem_sum, 6)).cast("double")
+                / F.count(F.lit(1)) / 1e6, 4).alias("avg_elem_sum"),
+        F.round(F.sum(_micro(norm_sq, 6)).cast("double")
+                / F.count(F.lit(1)) / 1e6, 4).alias("avg_norm_sq"),
     )
 
 
@@ -1683,13 +1704,16 @@ def oracle_sql() -> dict[str, str]:
         # --- extensions ---
         "x_join_broadcast": """
             SELECT c_mktsegment, count(*) AS order_cnt,
-                   round(sum(o_totalprice), 2) AS total_revenue
+                   round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / 100, 2) AS total_revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
         "x_join_chain": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(CAST(sum(CAST(round(l_extendedprice
+                       * (1 - l_discount) * 1000000) AS BIGINT))
+                       AS DOUBLE) / 1000000, 2) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1732,7 +1756,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_events_rollup": """
             SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
-                   count(*) AS cnt, round(sum(value), 4) AS sum_value
+                   count(*) AS cnt,
+                   round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                              AS DOUBLE) / 1000000, 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "x_event_transitions": """
@@ -1774,9 +1800,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_window_running_total": """
             SELECT o_custkey, o_orderkey,
-              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
-                ROWS UNBOUNDED PRECEDING), 2) AS running_total
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100, 2)
+                AS running_total
             FROM orders
         """,
         "x_pivot": """
@@ -1922,11 +1950,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_moving_avg": """
             SELECT user_id, event_id,
-                   round(avg(value) OVER (PARTITION BY user_id
-                     ORDER BY event_id
-                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
-                     AS moving_avg4
+                   round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                       OVER w AS DOUBLE)
+                     / (count(*) OVER w) / 1000000, 4) AS moving_avg4
             FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "x_percent_rank": """
             SELECT o_orderpriority, o_orderkey,
@@ -1948,8 +1977,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_f,
                    CAST(count(CASE WHEN o_orderstatus <> 'F' THEN 1 END)
                         AS BIGINT) AS n_other,
-                   round(sum(CASE WHEN o_orderstatus = 'F'
-                             THEN o_totalprice ELSE 0.0 END), 2) AS rev_f
+                   round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 100, 2) AS rev_f
             FROM orders GROUP BY 1
         """,
         "x_left_join_zero": """
@@ -1962,8 +1992,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_array_agg": """
             SELECT label, count(*) AS n_vecs,
-                   round(avg(sub.elem_sum), 4) AS avg_elem_sum,
-                   round(avg(sub.norm_sq), 4) AS avg_norm_sq
+                   round(CAST(sum(CAST(round(sub.elem_sum * 1000000)
+                       AS BIGINT)) AS DOUBLE) / count(*) / 1000000, 4)
+                     AS avg_elem_sum,
+                   round(CAST(sum(CAST(round(sub.norm_sq * 1000000)
+                       AS BIGINT)) AS DOUBLE) / count(*) / 1000000, 4)
+                     AS avg_norm_sq
             FROM (
               SELECT label,
                      list_sum(list_transform(embedding,
@@ -2252,16 +2286,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_range_window": """
             SELECT event_id, event_type, epoch_ns(ts) AS ts,
-              round(sum(value) OVER (
+              round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
                 PARTITION BY event_type ORDER BY epoch_ns(ts)
                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
-              ), 4) AS trailing_hour_sum
+              ) AS DOUBLE) / 1000000, 4) AS trailing_hour_sum
             FROM events
         """,
         "x_resample": """
             WITH b AS (
               SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
-                     count(*) AS cnt, round(sum(value), 4) AS sum_value
+                     count(*) AS cnt,
+                     round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                                AS DOUBLE) / 1000000, 4) AS sum_value
               FROM events GROUP BY 1, 2
             ), bounds AS (
               SELECT min(bucket) AS mn, max(bucket) AS mx FROM b
@@ -2281,7 +2317,9 @@ def oracle_sql() -> dict[str, str]:
         "x_locf": """
             WITH b AS (
               SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
-                     round(avg(value), 6) AS avg_value
+                     round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                                AS DOUBLE) / count(value) / 1000000, 6)
+                       AS avg_value
               FROM events GROUP BY 1, 2
             ), bounds AS (
               SELECT min(bucket) AS mn, max(bucket) AS mx FROM b

@@ -155,9 +155,17 @@ def resample_zero_fill(
     gap filling itself joins only aggregate-sized inputs broadcast.
     """
     bucket = F.call_function("div", F.col(ts_col), F.lit(bucket_ns))
+    # Sum in exact integer micro-units: float summation is
+    # partition-order-dependent, and rounding an order-dependent sum
+    # lands on knife edges (engines disagree in the last printed
+    # digit). int64 sums are associative, so the result is bit-exact
+    # on any cluster layout and in any oracle engine. Headroom: 9e18 /
+    # 1e6-units supports ~9e12-unit-sums per (bucket, key).
+    micro = F.round(F.col(value_col) * 1e6).cast("long")
     agg = events.groupBy(bucket.alias("bucket"), F.col(key_col)).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum(value_col), 4).alias("sum_value"),
+        F.round(F.sum(micro).cast("double") / F.lit(1e6), 4)
+        .alias("sum_value"),
     )
     spine = _gapfill_spine(agg, key_col)
     return (
@@ -183,8 +191,15 @@ def resample_forward_fill(
     gap filling by interpolation-from-the-left rather than zeros.
     Same single-scan shape as `resample_zero_fill`."""
     bucket = F.call_function("div", F.col(ts_col), F.lit(bucket_ns))
+    # exact integer-moment average (see resample_zero_fill): the int64
+    # sum is order-independent, and the single double division is IEEE
+    # deterministic, so the rounded average is bit-identical across
+    # partitionings and engines
+    micro = F.round(F.col(value_col) * 1e6).cast("long")
     agg = events.groupBy(bucket.alias("bucket"), F.col(key_col)).agg(
-        F.round(F.avg(value_col), 6).alias("avg_value"))
+        F.round(
+            F.sum(micro).cast("double") / F.count(value_col) / F.lit(1e6), 6
+        ).alias("avg_value"))
     spine = _gapfill_spine(agg, key_col)
     sparse = spine.join(F.broadcast(agg), ["bucket", key_col], "left")
     return forward_fill(sparse, key_col, "bucket", "avg_value")
