@@ -2397,8 +2397,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_centroids": """
             SELECT label,
                    CAST(i - 1 AS INT) AS dim_idx,
-                   round(avg(CAST(embedding[i] AS DOUBLE)), 6)
-                     AS centroid_val
+                   round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)
+                       * 100000000) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100000000, 6) AS centroid_val
             FROM (
               SELECT label, embedding,
                      unnest(range(1, len(embedding) + 1)) AS i

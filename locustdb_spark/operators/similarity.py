@@ -344,7 +344,13 @@ def label_centroids(
         F.posexplode(F.col(vec_col).cast("array<double>"))
         .alias("dim_idx", "component"),
     )
-    cent = F.avg("component")
+    # exact integer-moment mean: float accumulation is partition-order
+    # dependent and rounding it lands on knife edges across engines /
+    # cluster layouts; int64 sums of 1e-8-unit components are
+    # associative and bit-identical everywhere (float32 components are
+    # fully captured at 1e-8 for the 6-decimal output)
+    micro = F.round(F.col("component") * 1e8).cast("long")
+    cent = F.sum(micro).cast("double") / F.count(F.lit(1)) / F.lit(1e8)
     if round_to is not None:
         cent = F.round(cent, round_to)
     return (
