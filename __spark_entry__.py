@@ -854,6 +854,12 @@ def p_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(_read(spark, sf_dir, "documents"))
 
 
+def p_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from locustdb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination: train = doc_id % 20 != 0, eval = the rest; the
     eval n-gram set broadcasts so the corpus side never shuffles."""
@@ -1417,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lexical": p_lexical,
         "text_patterns": p_patterns,
         "text_gopher": p_gopher,
+        "text_repetition": p_repetition,
         "text_decontaminate": p_decontaminate,
         "text_redact": p_redact,
         "text_boilerplate": p_boilerplate,
@@ -2534,6 +2541,24 @@ def oracle_sql() -> dict[str, str]:
                AND (total_len >= 2*n AND total_len <= 12*n)
                AND stop_hits >= 1 AND 2*top <= n) AS passes_gopher
             FROM m
+        """,
+        "text_repetition": f"""
+            WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END AS grams
+              FROM d)
+            SELECT doc_id,
+              CAST(len(grams) AS BIGINT) AS n_ngrams,
+              CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+              CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+                AS n_dup,
+              ((len(grams) - len(list_distinct(grams))) * 100
+               <= 20 * len(grams)) AS keep
+            FROM g
         """,
         "text_decontaminate": f"""
             WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),

@@ -433,3 +433,44 @@ def boilerplate_fraction(
                      * 1000000) / 1000000).alias("shared_fraction"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    max_dup_fraction_pct: int = 20,
+) -> DataFrame:
+    """Duplicate word-n-gram repetition statistics per document (the
+    Gopher / FineWeb "repetition removal" heuristic family, Rae et al.
+    2021 §A1.1: documents whose content loops are low-quality even when
+    every individual token looks fine).
+
+    Output: (id, n_ngrams, n_distinct, n_dup, keep) where
+    n_dup = n_ngrams - n_distinct and keep applies the threshold as an
+    integer cross-multiplication (``n_dup * 100 <= pct * n_ngrams``) —
+    no float division, so results are bit-identical in any engine.
+
+    Pure projection over the scan (array expressions only): at 100 TB
+    this runs in the same map-only pre-filter pass as the other quality
+    rules, before anything shuffles.
+    """
+    toks = _tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    grams = F.when(n_toks >= ngram, F.transform(
+        F.sequence(F.lit(0), n_toks - ngram),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]),
+    )).otherwise(F.array().cast("array<string>"))
+    n_ngrams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    n_dup = (n_ngrams - n_distinct).alias("n_dup")
+    return df.select(
+        F.col(id_col),
+        n_ngrams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        (n_ngrams - n_distinct).alias("n_dup"),
+        ((n_ngrams - n_distinct) * 100
+         <= F.lit(max_dup_fraction_pct) * n_ngrams).alias("keep"),
+    )

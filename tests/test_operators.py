@@ -818,3 +818,21 @@ def test_minhash_xxhash64_fast_path(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hash_fn"):
         minhash_signatures(docs, hash_fn="sha9000")
+
+
+def test_repetition_stats(spark):
+    """Duplicate-3-gram repetition: a looping doc is flagged, a
+    non-repeating doc keeps, and counts are exact."""
+    from locustdb_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"),      # loops: heavy dup 3-grams
+         (2, "one two three four five six"),  # all distinct
+         (3, "x")],                           # too short for any 3-gram
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[2].n_ngrams == 4 and out[2].n_dup == 0 and out[2].keep
+    assert out[3].n_ngrams == 0 and out[3].keep
+    # doc 1: 10 3-grams, only 3 distinct ('a b c','b c a','c a b')
+    assert out[1].n_ngrams == 10 and out[1].n_distinct == 3
+    assert out[1].n_dup == 7 and not out[1].keep
