@@ -192,3 +192,44 @@ def stream_enrich(
     re-read per micro-batch, so dimension updates are picked up
     without restarting the query."""
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def stream_ingest_with_rollup(
+    db,
+    source_dir: str,
+    table: str,
+    schema: str,
+    checkpoint_dir: str,
+    rollup,
+    available_now: bool = True,
+):
+    """`stream_ingest_json` + continuous aggregate maintenance: after
+    each micro-batch commits to the fact table, the IncrementalRollup
+    folds exactly the newly-written files into its persisted aggregate
+    (operators/rollup.py) — the full analog of the reference's
+    WAL-flush -> partition-merge cycle (inner_locustdb.rs:334-430)
+    where the merged aggregate stays queryable the whole time.
+
+    Crash semantics compose: a replayed micro-batch re-appends files
+    the checkpoint didn't commit, and the rollup manifest skips files
+    it already folded, so the rollup converges to the full recompute
+    regardless of where a crash lands. Maintenance work per trigger is
+    O(micro-batch), never O(table).
+    """
+    stream = (
+        db.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .json(source_dir)
+    )
+
+    def append_and_maintain(batch_df: DataFrame, batch_id: int) -> None:
+        db.ingest_df(table, batch_df)
+        rollup.maintain()
+
+    writer = (
+        stream.writeStream.foreachBatch(append_and_maintain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

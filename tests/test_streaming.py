@@ -173,3 +173,46 @@ def test_stream_enrich_broadcast_join(spark, tmp_path):
         "SELECT * FROM enrich_t").collect()}
     assert out == {"bronze": 0 + 3 + 6, "silver": 1 + 4 + 7,
                    "gold": 2 + 5 + 8}
+
+
+def test_stream_ingest_with_rollup(spark, tmp_path):
+    """Streamed micro-batches keep the incremental rollup equal to a
+    full recompute after every drain (streams.stream_ingest_with_rollup
+    + operators/rollup.py)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.engine import LocustDB
+    from locustdb_spark.operators.rollup import IncrementalRollup
+    from locustdb_spark.streaming.streams import stream_ingest_with_rollup
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rollup = IncrementalRollup(
+        spark,
+        fact_dir=os.path.join(db.tables_dir, "m"),
+        rollup_dir=str(tmp_path / "rollup"),
+        keys=["host"],
+        aggs={"total": ("sum", "v"), "cnt": ("count", "v")})
+
+    def drain(batch_rows):
+        path = src / f"batch-{len(list(src.iterdir()))}.json"
+        path.write_text("\n".join(_json.dumps(r) for r in batch_rows))
+        q = stream_ingest_with_rollup(
+            db, str(src), "m", "host string, v long",
+            str(tmp_path / "ckpt"), rollup)
+        q.awaitTermination(60)
+
+    drain([{"host": "a", "v": 1}, {"host": "b", "v": 2}])
+    drain([{"host": "a", "v": 10}])
+    db.force_flush()
+    rollup.maintain()  # fold anything the last trigger left buffered
+
+    got = sorted(map(tuple, rollup.read().select(
+        "host", "total", "cnt").collect()))
+    want = sorted(map(tuple, db.snapshot("m").groupBy("host").agg(
+        F.sum("v").alias("total"), F.count("v").alias("cnt")).collect()))
+    assert got == want == [("a", 11, 2), ("b", 2, 1)]
