@@ -241,3 +241,92 @@ def test_multi_key_order_by_matches_duckdb(pdb, duck, data):
     a = [_norm([r], len(cols))[0] for r in ours]
     b = [_norm([r], len(cols))[0] for r in theirs]
     assert a == b, (sel, our_order)
+
+
+# ---- second fixture: driver-provided lineitem (6k rows at sf0.001) ----
+# The ec fixture has 10 rows; real aggregation/merge paths (partial +
+# final over many partitions) only get exercised with thousands of rows.
+
+LI_INT = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+LI_STR = ["l_returnflag", "l_linestatus"]
+
+
+@pytest.fixture(scope="module")
+def li_db(spark):
+    from conftest import TESTDATA_SF
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark)
+    db.register_parquet("t", f"{TESTDATA_SF}/lineitem.parquet")
+    return db
+
+
+@pytest.fixture(scope="module")
+def li_duck():
+    from conftest import TESTDATA_SF
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{TESTDATA_SF}/lineitem.parquet')")
+    return con
+
+
+@st.composite
+def li_predicates(draw, depth: int = 2):
+    kind = draw(st.sampled_from(
+        ["cmp", "str_eq", "and", "or", "not"] if depth > 0
+        else ["cmp", "str_eq"]))
+    if kind == "cmp":
+        col = draw(st.sampled_from(LI_INT))
+        op = draw(st.sampled_from(CMP))
+        lit = draw(st.integers(min_value=0, max_value=6000))
+        return f"({col} {op} {lit})"
+    if kind == "str_eq":
+        col = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+        v = draw(st.sampled_from(["A", "N", "R", "O", "F"]))
+        return f"({col} = '{v}')"
+    if kind == "not":
+        return f"(NOT {draw(li_predicates(depth=depth - 1))})"
+    a = draw(li_predicates(depth=depth - 1))
+    b = draw(li_predicates(depth=depth - 1))
+    return f"({a} {'AND' if kind == 'and' else 'OR'} {b})"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_lineitem_filter_agg_matches_duckdb(li_db, li_duck, data):
+    """Random grouped aggregates over the 6k-row lineitem table —
+    exercises multi-partition partial+final aggregation paths the
+    10-row fixture cannot."""
+    key = data.draw(st.sampled_from(LI_STR + ["l_linenumber"]))
+    agg = data.draw(st.sampled_from(["count", "sum", "min", "max"]))
+    val = data.draw(st.sampled_from(LI_INT))
+    pred = data.draw(li_predicates())
+    ours = li_db.run_query(
+        f"SELECT {key}, {agg}({val}) FROM t WHERE {pred}")["rows"]
+    theirs = li_duck.execute(
+        f"SELECT {key}, {agg}({val}) FROM t WHERE {pred} "
+        f"GROUP BY {key}").fetchall()
+    assert _norm(ours, 2) == _norm(theirs, 2), (key, agg, val, pred)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_lineitem_topn_matches_duckdb(li_db, li_duck, data):
+    """Random ORDER BY expr DESC/ASC LIMIT n over lineitem — the
+    TakeOrderedAndProject path under filters, at enough rows that
+    per-partition heaps actually merge."""
+    col = data.draw(st.sampled_from(LI_INT))
+    k = data.draw(st.integers(min_value=1, max_value=30))
+    desc = data.draw(st.booleans())
+    pred = data.draw(li_predicates())
+    d = "DESC" if desc else "ASC"
+    ours = li_db.run_query(
+        f"SELECT {col} FROM t WHERE {pred} ORDER BY {col} {d} LIMIT {k}"
+    )["rows"]
+    theirs = li_duck.execute(
+        f"SELECT {col} FROM t WHERE {pred} ORDER BY {col} {d} LIMIT {k}"
+    ).fetchall()
+    assert _norm(ours, 1) == _norm(theirs, 1), (col, d, k, pred)
