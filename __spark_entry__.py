@@ -535,6 +535,61 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_read(spark, sf_dir, "events"))
 
 
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (operators/events.py): one
+    shuffle on user_id; the per-session rollup reuses the window's
+    partitioning so no second Exchange appears."""
+    from locustdb_spark.operators.events import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"))
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per year, one column per
+    order status. Pivot values are passed explicitly — with an implicit
+    value list Spark first runs a whole-table DISTINCT job to discover
+    them, an extra full scan + shuffle that is pure waste at 100 TB
+    when the domain is known."""
+    o = _read(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "yr",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s.lower()}")
+          for s in PIVOT_STATUSES],
+    )
+
+
+UNPIVOT_MEASURES = ["l_quantity", "l_discount", "l_tax"]
+
+
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide->long), the shape every feature-extraction
+    pipeline hits before a per-measure aggregate. unpivot() lowers to
+    an Expand node — each input row is emitted k times map-side with
+    NO shuffle or self-union; the only Exchange is the final
+    aggregation's. A UNION ALL of k selects would scan the fact table
+    k times instead."""
+    li = _read(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_micro(F.col("value"), 6)).cast("double") / 1e6,
+                4).alias("total"),
+    )
+
+
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -1366,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_first_touch": x_first_touch,
         "x_funnel": x_funnel,
         "x_retention": x_retention,
+        "x_sessionize": x_sessionize,
+        "x_pivot": x_pivot,
+        "x_unpivot": x_unpivot,
         "x_range_window": x_range_window,
         "x_resample": x_resample,
         "x_locf": x_locf,
@@ -2282,6 +2340,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT cohort_day, day - cohort_day AS day_offset,
                    count(DISTINCT user_id) AS users
             FROM c GROUP BY 1, 2
+        """,
+        "x_sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch_ns(ts) AS t FROM events
+            ), flagged AS (
+              SELECT user_id, t,
+                CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), numbered AS (
+              SELECT user_id, t,
+                CAST(sum(new_session) OVER (
+                  PARTITION BY user_id ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq, min(t) AS session_start,
+                   max(t) AS session_end, count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "x_pivot": """
+            SELECT year(o_orderdate) AS yr,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+            FROM orders GROUP BY 1
+        """,
+        "x_unpivot": """
+            WITH long AS (
+              SELECT l_orderkey, 'l_quantity' AS measure,
+                     l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+            )
+            SELECT measure, count(*) AS n,
+              round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000, 4) AS total
+            FROM long GROUP BY measure
         """,
         "x_profile": _PROFILE_ORACLE,
         "x_incremental_rollup": """

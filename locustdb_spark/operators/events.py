@@ -16,6 +16,15 @@ and retention. Both are expressed as single-shuffle aggregations:
   each user's cohort day with a whole-partition window min (no join
   against a second shuffled copy), and counts distinct users per
   (cohort_day, day_offset) cell.
+- `sessionize` assigns gap-based session ids with one shuffle on
+  user_id: a lag window flags session starts, a running sum numbers
+  them, and the per-session rollup reuses the window's hash
+  partitioning (HashPartitioning(user_id) already satisfies the
+  (user_id, session_seq) clustering requirement, so Catalyst inserts
+  no second Exchange). Batch analog of streaming/streams.py
+  sessionization (applyInPandasWithState), oracle-checkable because
+  tie ordering cannot change any session boundary (equal timestamps
+  have gap 0).
 """
 
 from __future__ import annotations
@@ -66,6 +75,40 @@ def funnel(
         for i, s in enumerate(steps)
     ])
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_ns: int = 30 * 60 * 10**9,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (ts is epoch-nanos): a new session
+    starts when a user's inter-event gap exceeds `gap_ns`. Returns one
+    row per session: (user, session_seq, session_start, session_end,
+    n_events). Single shuffle on user_col; the session rollup adds no
+    further Exchange (see module docstring)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    flagged = events.select(
+        F.col(user_col), F.col(ts_col),
+        F.when(
+            prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap_ns)), 1
+        ).otherwise(0).alias("_new_session"),
+    )
+    # Both windows share (partition key, sort key), so Catalyst plans
+    # them in one Window stage over one shuffle+sort.
+    numbered = flagged.select(
+        F.col(user_col), F.col(ts_col),
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return numbered.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 def retention(

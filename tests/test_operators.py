@@ -659,6 +659,38 @@ def test_retention_known_values(spark):
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
 
 
+def test_sessionize_known_values(spark):
+    from locustdb_spark.operators.events import sessionize
+
+    m = 60 * 10**9
+    rows = [
+        (1, 0), (1, 10 * m), (1, 50 * m),  # 40-min gap splits here
+        (2, 5 * m),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts long")
+    out = {(r.user_id, r.session_seq):
+           (r.session_start, r.session_end, r.n_events)
+           for r in sessionize(ev).collect()}
+    assert out == {
+        (1, 1): (0, 10 * m, 2),
+        (1, 2): (50 * m, 50 * m, 1),
+        (2, 1): (5 * m, 5 * m, 1),
+    }
+
+
+def test_sessionize_gap_boundary_and_ties(spark):
+    from locustdb_spark.operators.events import sessionize
+
+    # a gap exactly equal to the threshold stays in-session (> not >=),
+    # and duplicate timestamps can never open a session (gap 0)
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 100), (1, 201)], "user_id int, ts long")
+    out = sessionize(ev, gap_ns=100).collect()
+    assert len(out) == 2
+    by_seq = {r.session_seq: r.n_events for r in out}
+    assert by_seq == {1: 3, 2: 1}
+
+
 def test_mixture_sample_rates_and_determinism(docs):
     from locustdb_spark.operators.sampling import mixture_sample
 

@@ -120,6 +120,40 @@ def test_hash_sample_and_split_are_shuffle_free(spark):
     assert n_exchanges(explain_str(train_val_test_split(docs))) == 0
 
 
+def test_sessionize_single_shuffle(spark):
+    """The lag/running-sum windows and the per-session rollup all run
+    over ONE Exchange on user_id: both windows share (partition, sort)
+    keys, and HashPartitioning(user_id) already satisfies the
+    (user_id, session_seq) clustering the final groupBy requires, so
+    Catalyst inserts no second shuffle. At 100 TB events this is the
+    difference between one and three full-data shuffles."""
+    from locustdb_spark.operators.events import sessionize
+
+    ev = (
+        spark.read.parquet(f"{TESTDATA_SF}/events.parquet")
+        .select("user_id",
+                (F.unix_micros(F.col("ts").cast("timestamp")) *
+                 F.lit(1000)).alias("ts"))
+        .repartition(8)
+    )
+    plan = explain_str(sessionize(ev))
+    # one exchange for our explicit repartition + one for the window
+    assert n_exchanges(plan) <= 2
+
+
+def test_unpivot_is_expand_not_union(spark):
+    """unpivot() must lower to a map-side Expand (rows emitted k times
+    in place) — a UNION ALL formulation would scan the fact table k
+    times. The only Exchange belongs to the final aggregate."""
+    import __spark_entry__ as e
+
+    df = e.queries()["x_unpivot"](spark, TESTDATA_SF)
+    plan = explain_str(df)
+    assert "Expand" in plan
+    assert n_exchanges(plan) == 1
+    assert "Union" not in plan
+
+
 def test_range_join_lowers_to_hash_join(spark):
     """The bucketized formulation must produce an equi-join, never a
     BroadcastNestedLoopJoin."""
