@@ -226,6 +226,64 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert q.count() == part.filter("lang = 'en'").count() > 0
 
 
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Joining a partitioned fact table to a FILTERED dim on the
+    partition column must prune fact partitions at runtime (DPP): the
+    fact scan's PartitionFilters gains a dynamicpruning subquery fed by
+    the dim's broadcast. At 100 TB this is what makes 'join facts to
+    this month's dim slice' read 1/36 of the files instead of all."""
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    li = (
+        spark.read.parquet(f"{TESTDATA_SF}/lineitem.parquet")
+        .withColumn("yr", F.year("l_shipdate"))
+    )
+    part = db.save_partitioned("lineitem", ["yr"], df=li)
+    years = sorted(r.yr for r in part.select("yr").distinct().collect())
+    # the dim predicate must be one Catalyst deems "likely selective"
+    # (equality/IN/LIKE) for the PartitionPruning rule to fire — a bare
+    # boolean attribute does not qualify
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == years[0] else "drop") for y in years],
+        "yr int, tag string")
+    joined = part.join(F.broadcast(dim.filter(F.col("tag") == "keep")), "yr")
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower()
+    # and the pruned join returns exactly the first year's rows
+    assert joined.count() == part.filter(F.col("yr") == years[0]).count() > 0
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark):
+    """When the small side of a shuffle join carries a selective
+    filter, Spark injects a bloom filter on the large side's scan
+    (BloomFilterMightContain) so non-joining fact rows die before the
+    exchange — the row-level complement to DPP, and the session enables
+    it (session.py runtime.bloomFilter.enabled). Thresholds are floored
+    here because local test inputs are KB-sized; at cluster scale the
+    defaults (10 MB creation side) gate it to genuinely large joins."""
+    li = spark.read.parquet(f"{TESTDATA_SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{TESTDATA_SF}/orders.parquet")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey)
+        plan = explain_str(joined)
+        assert "mightcontain" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_plan_introspection_helpers(tpch):
     from locustdb_spark.plans import (
         has_take_ordered,
