@@ -194,6 +194,35 @@ def stream_enrich(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+def stream_stream_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair right-stream events with
+    same-key left-stream events that happened at-or-before them within
+    `within` (the attribution shape: click joins the impression that
+    preceded it). Both sides carry watermarks AND the join condition
+    bounds event-time distance — together these let the state store
+    evict rows past the horizon; without them stream-stream join state
+    grows without limit. The two event-time columns must have distinct
+    names. State is partitioned by join key, so scale-out is linear in
+    key cardinality."""
+    l = left_df.withWatermark(left_ts, watermark)
+    r = right_df.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop(r[key])
+
+
 def stream_ingest_with_rollup(
     db,
     source_dir: str,

@@ -175,6 +175,46 @@ def test_stream_enrich_broadcast_join(spark, tmp_path):
                    "gold": 2 + 5 + 8}
 
 
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Click-to-impression attribution via watermarked stream-stream
+    join: each click pairs with same-user impressions at-or-before it
+    within the hour; a click 2h later must NOT match."""
+    import json
+
+    from locustdb_spark.streaming.streams import stream_stream_join
+
+    imps = tmp_path / "imps"
+    clicks = tmp_path / "clicks"
+    imps.mkdir()
+    clicks.mkdir()
+    (imps / "a.json").write_text("\n".join([
+        json.dumps({"user_id": 1, "imp_ts": "2026-01-01T10:00:00"}),
+        json.dumps({"user_id": 1, "imp_ts": "2026-01-01T12:00:00"}),
+        json.dumps({"user_id": 2, "imp_ts": "2026-01-01T10:00:00"}),
+    ]))
+    (clicks / "a.json").write_text("\n".join([
+        # in-window for user 1's 10:00 impression only
+        json.dumps({"user_id": 1, "click_ts": "2026-01-01T10:30:00"}),
+        # 2h after user 2's impression: out of window
+        json.dumps({"user_id": 2, "click_ts": "2026-01-01T12:00:00"}),
+    ]))
+    imp_stream = (spark.readStream
+                  .schema("user_id int, imp_ts timestamp")
+                  .json(str(imps)))
+    click_stream = (spark.readStream
+                    .schema("user_id int, click_ts timestamp")
+                    .json(str(clicks)))
+    joined = stream_stream_join(
+        imp_stream, click_stream, "user_id", "imp_ts", "click_ts",
+        within="1 hour")
+    q = (joined.writeStream.format("memory").queryName("attrib_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = [(r.user_id, str(r.imp_ts), str(r.click_ts))
+           for r in spark.sql("SELECT * FROM attrib_t").collect()]
+    assert out == [(1, "2026-01-01 10:00:00", "2026-01-01 10:30:00")]
+
+
 def test_stream_ingest_with_rollup(spark, tmp_path):
     """Streamed micro-batches keep the incremental rollup equal to a
     full recompute after every drain (streams.stream_ingest_with_rollup
