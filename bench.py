@@ -119,8 +119,13 @@ def main() -> None:
         # like the reference benchmark's per-iteration runs.
         t0 = time.perf_counter()
         df = make_df()
-        df.toPandas()  # warm-up (I/O cache, codegen)
+        df.toPandas()  # first run: I/O cache + codegen compile
         plan_times[name] = round(time.perf_counter() - t0, 4)
+        # JIT warm-up: C2 compilation is still in progress after one
+        # run at these 20-30 ms query times; a handful more converges
+        # (measured A/B/A at 105M rows: same plan 1.9x faster hot).
+        for _ in range(int(os.environ.get("BENCH_WARMUPS", "8"))):
+            df.toPandas()
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

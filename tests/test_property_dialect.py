@@ -243,6 +243,86 @@ def test_multi_key_order_by_matches_duckdb(pdb, duck, data):
     assert a == b, (sel, our_order)
 
 
+@st.composite
+def scalar_func_exprs(draw):
+    """Random scalar-function expressions: (ours, duckdb). Covers the
+    dialect's function surface (to_year / length-in-bytes / floor,
+    reference operators/functions.rs) composed with arithmetic."""
+    kind = draw(st.sampled_from(["to_year", "length", "floor", "neg"]))
+    if kind == "to_year":
+        col = draw(st.sampled_from(INT_COLS))
+        # any int is a valid unix-seconds input; DuckDB's to_timestamp
+        # yields TIMESTAMPTZ, so the view connection pins UTC
+        return f"to_year({col})", f"year(to_timestamp({col}))"
+    if kind == "length":
+        col = draw(st.sampled_from(STR_COLS))
+        # ours is BYTE length (reference functions.rs:45-50) = strlen
+        return f"length({col})", f"strlen({col})"
+    if kind == "floor":
+        # float01 only: `float`/`nullable_float` contain ~1e30 values
+        # whose i64 floor overflows — our ANSI mode raises there (by
+        # design, overflow parity) while DuckDB's CAST also errors, so
+        # neither side produces a comparable row.
+        col = "float01"
+        k = draw(st.integers(min_value=1, max_value=9))
+        return (f"floor({col} * {k})",
+                f"CAST(floor({col} * {k}) AS BIGINT)")
+    col = draw(st.sampled_from(INT_COLS))
+    return f"-{col}", f"-{col}"
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_scalar_funcs_match_duckdb(pdb, duck_utc, data):
+    """Random scalar-function projections (with a filter) == DuckDB."""
+    expr_ours, expr_duck = data.draw(scalar_func_exprs())
+    pred = data.draw(predicates())
+    ours = pdb.run_query(
+        f"SELECT {expr_ours} FROM t WHERE {pred}")["rows"]
+    theirs = duck_utc.execute(
+        f"SELECT {expr_duck} FROM t WHERE {pred}").fetchall()
+    assert _norm(ours, 1) == _norm(theirs, 1), (expr_ours, pred)
+
+
+@pytest.fixture(scope="module")
+def duck_utc():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_csv_auto('{CSV}', header=true)")
+    return con
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_expr_over_aggregates_matches_duckdb(pdb, duck, data):
+    """Expressions over aggregates (the dialect's two-phase final pass,
+    reference query.rs:509-553): sum(x)/count(0)+k and friends ==
+    DuckDB with truncating integer division."""
+    key = data.draw(st.sampled_from(STR_COLS + ["non_dense_ints"]))
+    val = data.draw(st.sampled_from(INT_COLS))
+    k = data.draw(st.integers(min_value=1, max_value=20))
+    shape = data.draw(st.sampled_from(["ratio", "plus", "scaled"]))
+    if shape == "ratio":
+        ours_e = f"sum({val}) / count(0) + {k}"
+        duck_e = f"sum({val}) // count(*) + {k}"
+    elif shape == "plus":
+        ours_e = f"sum({val}) + count({val})"
+        duck_e = f"sum({val}) + count({val})"
+    else:
+        ours_e = f"max({val}) * {k} - min({val})"
+        duck_e = f"max({val}) * {k} - min({val})"
+    pred = data.draw(predicates())
+    ours = pdb.run_query(
+        f"SELECT {key}, {ours_e} FROM t WHERE {pred}")["rows"]
+    theirs = duck.execute(
+        f"SELECT {key}, {duck_e} FROM t WHERE {pred} GROUP BY {key}"
+    ).fetchall()
+    assert _norm(ours, 2) == _norm(theirs, 2), (key, ours_e, pred)
+
+
 # ---- second fixture: driver-provided lineitem (6k rows at sf0.001) ----
 # The ec fixture has 10 rows; real aggregation/merge paths (partial +
 # final over many partitions) only get exercised with thousands of rows.
