@@ -181,6 +181,68 @@ class LocustDB:
         self.register_df(cat_name, out)
         return out
 
+    def save_zordered(
+        self,
+        name: str,
+        cols: list[str],
+        df: DataFrame | None = None,
+        num_files: int = 16,
+        bits: int = 16,
+    ) -> DataFrame:
+        """Persist a table clustered on a Z-order (Morton) curve over
+        two or more numeric columns. Sorting on one key gives perfect
+        file-level min/max skipping on that key and none on any other;
+        interleaving the keys' bits makes every file a small hyper-cube
+        in (col1, col2, ...) space, so range filters on ANY of the
+        curve columns skip most files. At 100 TB with parquet
+        row-group/file stats this is the difference between scanning
+        the corpus and scanning a thin slab for the 2nd, 3rd filter
+        column. Each column is linearly scaled to `bits`-bit space
+        using its (min, max) from a single aggregate pass — adequate
+        for roughly uniform keys; heavily skewed keys would want
+        equi-depth boundaries instead.
+
+        Registers `<name>_zorder` as a queryable table and returns it.
+        """
+        df = df if df is not None else self.snapshot(name)
+        stats = df.agg(*[
+            f(F.col(c).cast("double")).alias(f"{c}__{nm}")
+            for c in cols for nm, f in (("min", F.min), ("max", F.max))
+        ]).head()
+        scaled = []
+        for c in cols:
+            lo = stats[f"{c}__min"]
+            hi = stats[f"{c}__max"]
+            span = (hi - lo) or 1.0
+            scaled.append(F.least(
+                F.lit((1 << bits) - 1),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                 * F.lit((1 << bits) - 1)).cast("long"),
+            ))
+        # interleave: bit i of column j lands at position i*ncols + j —
+        # a pure JVM-side shift/mask expression tree, no UDF
+        morton = F.lit(0)
+        for i in range(bits):
+            for j, s in enumerate(scaled):
+                morton = morton.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(s, i).bitwiseAND(F.lit(1)),
+                        i * len(scaled) + j,
+                    )
+                )
+        cat_name = f"{name}_zorder"
+        path = os.path.join(self.db_path, "zorder", cat_name)
+        (
+            df.withColumn("_z", morton)
+            .repartitionByRange(num_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite").parquet(path)
+        )
+        out = self.spark.read.parquet(path)
+        self.register_df(cat_name, out)
+        return out
+
     def gen_table(
         self,
         name: str,

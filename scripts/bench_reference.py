@@ -111,29 +111,29 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions",
                        "8" if small else "32")
 
+        # The reference's cargo-bench numbers are ns/iter in a
+        # long-lived, fully-JIT-warmed process. Matching that takes two
+        # levels of warm-up here: per-query warm iterations (C2-compile
+        # this query's codegen), and a whole-suite warm pass first —
+        # shared JVM paths (scheduler, cache scan, Arrow transfer) keep
+        # speeding up for minutes of process life, and an A/B/A
+        # experiment showed the same plan+config 1.9x faster in an aged
+        # JVM than in a fresh one. Each timed run is still a full job:
+        # scan, shuffle, agg, Arrow fetch.
         out = {}
-        for qname, sql in QUERIES.items():
-            q = sql.format(t=name)
-            # parse+analyze once (fixed ~0.2s Python/Catalyst cost that
-            # amortizes at scale), then time executions of the analyzed
-            # plan — each run is a full job: scan, shuffle, agg, Arrow
-            # fetch.
-            qdf = db.sql(q)
-            # Warm-up: the reference's cargo-bench numbers are ns/iter
-            # over hundreds of fully-JIT-warmed iterations; two warm
-            # runs leave C2 compilation still in progress at these
-            # 15-35 ms query times (an A/B/A experiment showed the
-            # same plan 1.9x faster once the JVM was hot, regardless
-            # of config). A dozen warm-ups costs <0.5 s and converges.
-            for _ in range(int(os.environ.get("BENCH_WARMUPS", "12"))):
-                qdf.toPandas()
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                qdf.toPandas()
-                best = min(best, time.perf_counter() - t0)
-            out[qname] = {"sec": round(best, 4),
-                          "rows_per_s": int(n / best)}
+        warmups = int(os.environ.get("BENCH_WARMUPS", "12"))
+        for benched_pass in range(2):
+            for qname, sql in QUERIES.items():
+                qdf = db.sql(sql.format(t=name))
+                for _ in range(warmups):
+                    qdf.toPandas()
+                best = float("inf")
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    qdf.toPandas()
+                    best = min(best, time.perf_counter() - t0)
+                out[qname] = {"sec": round(best, 4),
+                              "rows_per_s": int(n / best)}
         print(json.dumps({"table": name, "rows": n, "queries": out}),
               flush=True)
         df.unpersist()

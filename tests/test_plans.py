@@ -226,6 +226,60 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert q.count() == part.filter("lang = 'en'").count() > 0
 
 
+def test_zorder_write_skips_on_second_dimension(spark, tmp_path):
+    """Z-order clustering must give file-level min/max skipping on the
+    SECOND curve column too: after save_zordered(l_orderkey, l_partkey),
+    a narrow l_partkey range overlaps only a fraction of files, while a
+    plain orderkey-range layout leaves l_partkey spread across every
+    file (zero skipping). This is what parquet stats + Catalyst turn
+    into skipped IO at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.register_parquet("lineitem", f"{TESTDATA_SF}/lineitem.parquet")
+    li = db.snapshot("lineitem")
+    z = db.save_zordered("lineitem", ["l_orderkey", "l_partkey"],
+                         num_files=16)
+    # baseline: the single-key layout every naive pipeline writes
+    naive_dir = str(tmp_path / "naive")
+    (li.repartitionByRange(16, "l_orderkey")
+       .sortWithinPartitions("l_orderkey")
+       .write.mode("overwrite").parquet(naive_dir))
+
+    pmin, pmax = li.agg(F.min("l_partkey"), F.max("l_partkey")).head()
+    lo, hi = pmin, pmin + (pmax - pmin) // 10  # ~10% slice of partkey
+
+    def files_overlapping(d):
+        hits = total = 0
+        for fp in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(fp).metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            ci = names.index("l_partkey")
+            fmin = min(md.row_group(g).column(ci).statistics.min
+                       for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(ci).statistics.max
+                       for g in range(md.num_row_groups))
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = files_overlapping(
+        str(tmp_path / "db" / "zorder" / "lineitem_zorder"))
+    n_hits, n_total = files_overlapping(naive_dir)
+    assert z_total == n_total == 16
+    assert n_hits == 16          # single-key layout: no skipping
+    assert z_hits <= 8           # z-order: most files skippable
+    # and the clustered copy is the same table
+    pred = (F.col("l_partkey") >= lo) & (F.col("l_partkey") <= hi)
+    assert z.filter(pred).count() == li.filter(pred).count() > 0
+
+
 def test_dynamic_partition_pruning_on_join(spark, tmp_path):
     """Joining a partitioned fact table to a FILTERED dim on the
     partition column must prune fact partitions at runtime (DPP): the
