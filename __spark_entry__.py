@@ -544,28 +544,6 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_read(spark, sf_dir, "events"))
 
 
-PIVOT_STATUSES = ["F", "O", "P"]
-
-
-def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long->wide): order counts per year, one column per
-    order status. Pivot values are passed explicitly — with an implicit
-    value list Spark first runs a whole-table DISTINCT job to discover
-    them, an extra full scan + shuffle that is pure waste at 100 TB
-    when the domain is known."""
-    o = _read(spark, sf_dir, "orders")
-    wide = (
-        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
-        .pivot("o_orderstatus", PIVOT_STATUSES)
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.select(
-        "yr",
-        *[F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s.lower()}")
-          for s in PIVOT_STATUSES],
-    )
-
-
 UNPIVOT_MEASURES = ["l_quantity", "l_discount", "l_tax"]
 
 
@@ -1422,7 +1400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_funnel": x_funnel,
         "x_retention": x_retention,
         "x_sessionize": x_sessionize,
-        "x_pivot": x_pivot,
         "x_unpivot": x_unpivot,
         "x_range_window": x_range_window,
         "x_resample": x_resample,
@@ -2360,13 +2337,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, min(t) AS session_start,
                    max(t) AS session_end, count(*) AS n_events
             FROM numbered GROUP BY user_id, session_seq
-        """,
-        "x_pivot": """
-            SELECT year(o_orderdate) AS yr,
-                   count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
-                   count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
-                   count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
-            FROM orders GROUP BY 1
         """,
         "x_unpivot": """
             WITH long AS (
