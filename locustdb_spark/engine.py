@@ -243,6 +243,19 @@ class LocustDB:
         self.register_df(cat_name, out)
         return out
 
+    def versioned(self, name: str):
+        """Manifest-based atomic table (versioned.py): appends commit
+        atomically, compaction never breaks concurrent readers, and
+        `read(version=k)` time-travels. Use for tables that need the
+        reference's consistent-snapshot contract (table.rs:62-102)
+        under concurrent maintenance — plain parquet-dir tables race
+        with compact()'s directory swap."""
+        from .versioned import VersionedTable
+
+        self._record_created(name)
+        return VersionedTable(
+            self.spark, os.path.join(self.db_path, "versioned", name))
+
     def gen_table(
         self,
         name: str,

@@ -1,0 +1,171 @@
+"""Manifest-based atomic table versions: a minimal Delta-style commit
+log over plain parquet files.
+
+Why this exists: a parquet *directory* is not a table. Directory-listing
+reads race with writers — a reader that lists files while `compact()`
+swaps the directory (rmtree + rename) sees missing or duplicate rows,
+and object stores make rename non-atomic to begin with. The reference
+solves the same problem with its meta store: partitions are immutable
+segments and the `meta` blob names the live set, updated atomically
+(reference src/disk_store/meta_store.rs:16-102, storage.rs:49-230).
+This module is that idea on Spark terms:
+
+- layout: ``<root>/data/<files>.parquet`` + ``<root>/_manifests/v{N}.json``
+- a manifest is THE table: an explicit file list + schema JSON
+- ``append(df)`` writes new immutable files via a staging dir, then
+  commits manifest N+1 = manifest N + new files (tmp + atomic rename)
+- ``compact()`` writes replacement files and commits a manifest that
+  drops the small ones — old files are NOT deleted, so a reader
+  pinned to version N keeps a consistent view mid-compaction
+- ``read(version=k)`` is time travel; ``read()`` is the latest commit
+- ``vacuum(keep_last)`` deletes files no kept manifest references —
+  including orphans from a crashed append, which never became visible
+  because their manifest was never committed
+
+Scale shape: manifests hold file names only (KB per thousand files);
+reads pass the explicit list to the parquet source, so Catalyst still
+does pushdown/pruning per file; appends and compaction never rewrite
+live data in place, which is exactly the contract object stores need.
+Single-writer, like the reference engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.json")
+
+    def _load_manifest(self, version: int) -> dict:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(have: {self.versions()})")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], schema_json: str) -> int:
+        new_version = (self.latest_version() or 0) + 1
+        manifest = {"version": new_version, "files": sorted(files),
+                    "schema": schema_json}
+        tmp = self._manifest_path(new_version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, self._manifest_path(new_version))  # atomic commit
+        return new_version
+
+    # -- writes --------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as new immutable files in data/ (via staging so a
+        crash leaves only orphans no manifest references)."""
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(staging)
+        names = []
+        for f in os.listdir(staging):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, f),
+                      os.path.join(self.data_dir, name))
+            names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
+
+    def append(self, df: DataFrame) -> int:
+        """Atomically append: new files become visible only when the
+        next manifest commits. Returns the new version."""
+        new_files = self._write_files(df)
+        latest = self.latest_version()
+        prev = self._load_manifest(latest)["files"] if latest else []
+        return self._commit(prev + new_files, df.schema.json())
+
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Rewrite the live file set into right-sized files and commit.
+        Old files stay on disk until vacuum(), so concurrent readers of
+        any committed version are never broken (the fix for the
+        rmtree+rename race a directory-swap compaction has)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError("nothing to compact")
+        m = self._load_manifest(latest)
+        total = sum(
+            os.path.getsize(os.path.join(self.data_dir, f))
+            for f in m["files"])
+        n = max(1, int(total // (target_file_mb * 1024 * 1024)))
+        df = self.read(latest).repartition(n)
+        new_files = self._write_files(df)
+        return self._commit(new_files, m["schema"])
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data files referenced by none of the kept (most
+        recent `keep_last`) manifests — dropped by compaction or
+        orphaned by a crashed append — and retire older manifests.
+        Returns the deleted file names."""
+        vs = self.versions()
+        keep = vs[-keep_last:] if keep_last else []
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._load_manifest(v)["files"])
+        deleted = []
+        for f in os.listdir(self.data_dir):
+            if f.endswith(".parquet") and f not in live:
+                os.remove(os.path.join(self.data_dir, f))
+                deleted.append(f)
+        for v in vs[:-keep_last] if keep_last else vs:
+            os.remove(self._manifest_path(v))
+        return sorted(deleted)
+
+    # -- reads ---------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """DataFrame over exactly the files the manifest names. Passing
+        the explicit list (not the directory) is what makes readers
+        immune to concurrent appends/compactions — and uncommitted
+        orphan files are invisible by construction."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no committed version")
+        m = self._load_manifest(v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"version {v} references vacuumed files "
+                f"(e.g. {os.path.basename(missing[0])}); "
+                f"only {self.latest_version()} is guaranteed readable")
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths))

@@ -1,0 +1,88 @@
+"""Manifest-based versioned tables (locustdb_spark/versioned.py):
+atomic append, time travel, reader-safe compaction, vacuum, and
+crash-orphan invisibility — the consistent-snapshot contract the
+reference gets from its meta store (meta_store.rs:16-102)."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    return db.versioned("events_v")
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_and_time_travel(spark, vt):
+    v1 = vt.append(_rows(spark, 0, 10))
+    v2 = vt.append(_rows(spark, 10, 25))
+    assert (v1, v2) == (1, 2)
+    assert vt.read().count() == 25
+    assert vt.read(version=1).count() == 10
+    assert sorted(r.id for r in vt.read(version=1).collect()) == list(range(10))
+
+
+def test_compaction_preserves_data_and_old_versions(spark, vt):
+    for i in range(4):
+        vt.append(_rows(spark, i * 10, (i + 1) * 10))
+    before = sorted(r.id for r in vt.read().collect())
+    n_files_before = len(vt._load_manifest(vt.latest_version())["files"])
+    # pin a reader to the pre-compaction version
+    pinned = vt.read(version=4)
+    vt.compact(target_file_mb=128)  # tiny data -> 1 file
+    after = sorted(r.id for r in vt.read().collect())
+    assert after == before == list(range(40))
+    assert len(vt._load_manifest(vt.latest_version())["files"]) == 1
+    assert n_files_before > 1
+    # the pinned reader still materializes: its files were not deleted
+    assert pinned.count() == 40
+    assert vt.read(version=4).count() == 40
+
+
+def test_vacuum_removes_dropped_files_and_orphans(spark, vt):
+    vt.append(_rows(spark, 0, 10))
+    vt.append(_rows(spark, 10, 20))
+    vt.compact()
+    # simulate a crashed append: files written, manifest never committed
+    orphan = os.path.join(vt.data_dir, "deadbeef-orphan.parquet")
+    _rows(spark, 900, 910).coalesce(1).write.mode(
+        "overwrite").parquet(orphan + ".dir")
+    os.rename(
+        next(os.path.join(orphan + ".dir", f)
+             for f in os.listdir(orphan + ".dir") if f.endswith(".parquet")),
+        orphan)
+    # invisible to every committed version
+    assert vt.read().count() == 20
+    deleted = vt.vacuum(keep_last=1)
+    assert "deadbeef-orphan.parquet" in deleted
+    assert vt.read().count() == 20          # latest unaffected
+    with pytest.raises(ValueError):
+        vt.read(version=1)                  # retired by vacuum
+    # all remaining files are referenced by the kept manifest
+    live = set(vt._load_manifest(vt.latest_version())["files"])
+    on_disk = {f for f in os.listdir(vt.data_dir) if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_empty_version_history_raises(vt):
+    with pytest.raises(ValueError):
+        vt.read()
+
+
+def test_append_is_atomic_under_schema(spark, vt):
+    """The manifest stores the schema, so even a files-empty version
+    reads with a stable schema."""
+    df = _rows(spark, 0, 5)
+    vt.append(df.limit(0))
+    out = vt.read()
+    # parquet round-trips relax nullability; names/types must hold
+    assert [(f.name, f.dataType) for f in out.schema.fields] == \
+        [(f.name, f.dataType) for f in df.schema.fields]
+    assert out.count() == 0
