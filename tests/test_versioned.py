@@ -46,6 +46,27 @@ def test_compaction_preserves_data_and_old_versions(spark, vt):
     assert vt.read(version=4).count() == 40
 
 
+def test_compaction_is_incremental(spark, vt):
+    """Only under-sized files are rewritten; right-sized files carry
+    into the new manifest untouched (O(small bytes), not O(table))."""
+    vt.append(_rows(spark, 0, 50_000).coalesce(1))      # one big file
+    vt.append(_rows(spark, 50_000, 50_010).coalesce(1))  # small
+    vt.append(_rows(spark, 50_010, 50_020).coalesce(1))  # small
+    before = set(vt._load_manifest(vt.latest_version())["files"])
+    sizes = {f: os.path.getsize(os.path.join(vt.data_dir, f))
+             for f in before}
+    big = max(sizes, key=sizes.get)
+    cutoff_mb = (sizes[big] - 1) / 1024 / 1024  # big stays, smalls go
+    vt.compact(target_file_mb=128, small_file_mb=cutoff_mb)
+    after = vt._load_manifest(vt.latest_version())["files"]
+    assert big in after                      # untouched
+    assert len(after) == 2                   # big + 1 combined file
+    assert vt.read().count() == 50_020
+    # a no-op cutoff commits nothing
+    v = vt.latest_version()
+    assert vt.compact(small_file_mb=0.0) == v
+
+
 def test_vacuum_removes_dropped_files_and_orphans(spark, vt):
     vt.append(_rows(spark, 0, 10))
     vt.append(_rows(spark, 10, 20))
