@@ -110,6 +110,21 @@ class VersionedTable:
         prev = self._load_manifest(latest)["files"] if latest else []
         return self._commit(prev + new_files, df.schema.json())
 
+    def append_if_absent(self, df: DataFrame, key: str) -> int:
+        """Idempotent append: commit only rows whose `key` is not
+        already in the table (left-anti join against the current
+        version). Replaying a failed ingestion batch therefore cannot
+        duplicate rows — the batch-level analog of the streaming
+        checkpoint's exactly-once append. The anti-join's build side is
+        only the key column of the live table; at scale Catalyst plans
+        it as a shuffle join on the key, never a corpus broadcast."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.append(df)
+        existing = self.read(latest).select(key)
+        fresh = df.join(existing, on=key, how="left_anti")
+        return self.append(fresh)
+
     def compact(self, target_file_mb: int = 128,
                 small_file_mb: float | None = None) -> int:
         """Incremental compaction: rewrite only files smaller than

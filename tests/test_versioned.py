@@ -92,6 +92,30 @@ def test_vacuum_removes_dropped_files_and_orphans(spark, vt):
     assert on_disk == live
 
 
+def test_append_if_absent_is_idempotent(spark, vt):
+    vt.append_if_absent(_rows(spark, 0, 10), key="id")
+    # replay the same batch + 5 new rows: only the new rows land
+    vt.append_if_absent(_rows(spark, 0, 15), key="id")
+    assert vt.read().count() == 15
+    assert sorted(r.id for r in vt.read().collect()) == list(range(15))
+    # full replay commits an empty delta but stays consistent
+    vt.append_if_absent(_rows(spark, 0, 15), key="id")
+    assert vt.read().count() == 15
+
+
+def test_schema_drift_on_append(spark, vt):
+    """Later versions may add columns (schemaless ingest, reference
+    raw_col.rs:58-106): old files read as NULL for the new column."""
+    vt.append(spark.range(0, 5).selectExpr("id"))
+    vt.append(spark.range(5, 8).selectExpr("id", "id * 10 AS extra"))
+    out = vt.read()
+    assert set(out.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in out.collect()}
+    assert rows[0] is None and rows[7] == 70
+    # time travel still sees the old shape
+    assert vt.read(version=1).columns == ["id"]
+
+
 def test_empty_version_history_raises(vt):
     with pytest.raises(ValueError):
         vt.read()
