@@ -350,6 +350,15 @@ def p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_read(spark, sf_dir, "documents"))
 
 
+def p_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus segment dedup (operators/dedup.py
+    dedup_segments): first global occurrence of each 8-word segment
+    survives, docs reassembled from survivors."""
+    from locustdb_spark.operators.dedup import dedup_segments
+
+    return dedup_segments(_read(spark, sf_dir, "documents"))
+
+
 def p_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.dedup import minhash_signatures
 
@@ -1428,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_array_agg": x_array_agg,
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
+        "dedup_segments": p_dedup_segments,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_clusters": p_dedup_clusters,
@@ -2106,6 +2116,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS dup_count,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "dedup_segments": """
+            WITH w AS (
+              SELECT doc_id AS id, string_split(text, ' ') AS ws
+              FROM documents
+            ), seg AS (
+              SELECT id, g AS seg_idx,
+                     array_to_string(ws[g*8+1 : g*8+8], ' ') AS segment
+              FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+                       AS g)
+            ), rn AS (
+              SELECT id, seg_idx, segment,
+                     row_number() OVER (
+                       PARTITION BY segment ORDER BY id, seg_idx) AS rn
+              FROM seg
+            )
+            SELECT id, count(*) AS n_segments,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   coalesce(string_agg(
+                     CASE WHEN rn = 1 THEN segment END, ' '
+                     ORDER BY seg_idx), '') AS text_clean
+            FROM rn GROUP BY id
         """,
         "dedup_minhash": (
             _duck_minhash_cte() + " SELECT * FROM sig"

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 60-bit portable hash: conv(substr(md5(x), 1, 15), 16, 10)
 # == DuckDB ('0x' || substr(md5(x), 1, 15))::BIGINT
@@ -421,3 +422,63 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """Cross-corpus segment-level exact dedup (the C4/RefinedWeb
+    "remove duplicated lines/paragraphs across the whole corpus" rule;
+    our synthetic docs have no newlines, so a "line" is a fixed
+    n_words-word segment, trailing remainder included). The globally
+    FIRST occurrence of a segment — ordered by (doc_id, seg_idx) —
+    survives; every later occurrence is dropped, and each doc's
+    surviving segments are reassembled in order.
+
+    Scale shape: segmentation is a map-side explode; the keep/drop
+    decision is one window over the segment value (a single shuffle
+    that carries each segment exactly once — unavoidable for EXACT
+    global dedup; a hash-prefilter variant would shuffle only 8-byte
+    hashes, at the price of collision semantics no SQL oracle can
+    mirror); reassembly is one groupBy(doc_id). No self-joins of the
+    corpus anywhere.
+
+    Returns (id, n_segments, n_kept, text_clean).
+    """
+    words = F.split(F.col(content_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda g: F.struct(
+            g.alias("seg_idx"),
+            F.array_join(
+                F.slice(words, g * n_words + 1, n_words), " "
+            ).alias("segment"),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
+        .select("id", "s.seg_idx", "s.segment")
+    )
+    w = Window.partitionBy("segment").orderBy("id", "seg_idx")
+    kept = exploded.withColumn("_rn", F.row_number().over(w))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_rn") == 1,
+                        F.struct("seg_idx", "segment")))),
+                    lambda s: s.segment,
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

@@ -659,6 +659,29 @@ def test_retention_known_values(spark):
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
 
 
+def test_dedup_segments_known_values(spark):
+    """C4-rule segment dedup: the globally-first occurrence (by
+    doc_id, seg_idx) survives; later copies are cut and docs
+    reassembled in order — including trailing partial segments."""
+    from locustdb_spark.operators.dedup import dedup_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # segs: "a b", "c d"
+            (2, "c d a b x"),        # "c d" and "a b" are dups; "x" new
+            (3, "x"),                # "x" already taken by doc 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: (r.n_segments, r.n_kept, r.text_clean)
+           for r in dedup_segments(docs, n_words=2).collect()}
+    assert out == {
+        1: (2, 2, "a b c d"),
+        2: (3, 1, "x"),
+        3: (1, 0, ""),
+    }
+
+
 def test_sessionize_known_values(spark):
     from locustdb_spark.operators.events import sessionize
 
