@@ -4,6 +4,7 @@ SURVEY.md), plus large-scale training-data pipeline operators."""
 
 from .engine import LocustDB
 from .session import get_spark
+from .versioned import VersionedTable
 
-__all__ = ["LocustDB", "get_spark"]
+__all__ = ["LocustDB", "VersionedTable", "get_spark"]
 __version__ = "0.1.0"
