@@ -343,6 +343,19 @@ class LocustDB:
         source = self.snapshot(q.table)
         return compile_query(q, source).df
 
+    def sql_extended(self, query: str) -> DataFrame:
+        """Full Spark SQL over this engine's tables (snapshot views,
+        buffered rows included). The default `sql()` keeps the
+        reference dialect's restrictions and error parity (no JOIN /
+        HAVING / DISTINCT, parser.rs:92-105); this is the growth path
+        past them — joins, windows, CTEs, set ops, everything Catalyst
+        accepts — without leaving the engine's table registry."""
+        for name in self.table_names():
+            # skip names Spark can't use as bare view identifiers
+            if name.replace("_", "").isalnum() and not name[0].isdigit():
+                self.snapshot(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     def run_query(self, query: str, explain: bool = False) -> dict[str, Any]:
         """Run a query, returning a QueryOutput-shaped dict
         (reference query_task.rs:59-85)."""

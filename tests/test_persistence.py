@@ -79,6 +79,35 @@ def test_gen_table_api(spark, tmp_path):
     assert sum(c for _, c in rows) == 200
 
 
+def test_sql_extended_full_spark_sql(spark, tmp_path):
+    """sql_extended: full Spark SQL (JOIN / HAVING / DISTINCT / CTEs)
+    over engine tables incl. buffered rows — the growth path past the
+    dialect's reference-parity restrictions, which sql() still
+    enforces."""
+    import pytest as _pytest
+
+    from locustdb_spark.dialect.parser import NotImplementedQueryError
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.ingest("users", [{"uid": 1, "name": "ann"}, {"uid": 2, "name": "bo"}])
+    db.ingest("orders2", [{"uid": 1, "amt": 10.0}, {"uid": 1, "amt": 5.0},
+                          {"uid": 2, "amt": 1.0}])
+    # buffered (unflushed) rows are visible to extended SQL too
+    rows = db.sql_extended("""
+        WITH totals AS (
+          SELECT uid, sum(amt) AS total FROM orders2 GROUP BY uid
+        )
+        SELECT DISTINCT u.name, t.total
+        FROM users u JOIN totals t ON u.uid = t.uid
+        GROUP BY u.name, t.total HAVING t.total > 2
+        ORDER BY u.name
+    """).collect()
+    assert [(r.name, r.total) for r in rows] == [("ann", 15.0)]
+    # the default dialect still rejects with reference parity
+    with _pytest.raises(NotImplementedQueryError):
+        db.sql("SELECT name FROM users JOIN orders2 ON uid = uid")
+
+
 def test_operational_surface(spark, tmp_path):
     """ast / recover / perf_counter / evict_cache / memory_only
     (reference locustdb.rs:25-211)."""
