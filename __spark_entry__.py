@@ -932,6 +932,64 @@ def x_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(o)
 
 
+def x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier counts (the robust-pipeline 'drop rows beyond
+    k·sigma' quality filter) with NO floats anywhere: the |x-mean| >
+    1.5*stddev test is squared into 4*(n*x-s)^2 > 9*(n*ssq-s*s), all
+    overflow-checked int64 — partition-order independent and
+    bit-identical to the SQL oracle (no sqrt, no division at all).
+    Shape: one moments aggregation, broadcast of the tiny per-group
+    moments back onto rows, one counting aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+    )
+    m = rows.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ssq"),
+    )
+    j = rows.join(F.broadcast(m), "flag")
+    lhs = F.col("n") * F.col("x") - F.col("s")
+    is_out = (F.lit(4) * lhs * lhs >
+              F.lit(9) * (F.col("n") * F.col("ssq") -
+                          F.col("s") * F.col("s")))
+    return j.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long")
+        .alias("n_outliers"),
+    )
+
+
+def x_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two event populations (even vs
+    odd event_id — stand-ins for 'last week's corpus vs this week's'):
+    per value-bucket chi-square contribution (a*Nb - b*Na)^2 /
+    (Na*Nb*(a+b)). Counts and cross products stay exact int64; the one
+    float op is a single correctly-rounded IEEE divide of exactly
+    representable integers, so the oracle matches bit-for-bit. Shape:
+    one bucket aggregation + a broadcast 1-row totals join — the fact
+    table never shuffles twice."""
+    ev = _read(spark, sf_dir, "events")
+    pop_b = (F.col("event_id") % 2 == 1)
+    c = ev.groupBy(F.floor("value").cast("long").alias("bucket")).agg(
+        F.sum(F.when(~pop_b, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(pop_b, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    tot = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    j = c.crossJoin(F.broadcast(tot))
+    num = F.col("a") * F.col("nb") - F.col("b") * F.col("na")
+    denom = F.col("na") * F.col("nb") * (F.col("a") + F.col("b"))
+    contrib = (
+        (num.cast("double") * num.cast("double")) / denom.cast("double")
+    )
+    return j.select(
+        "bucket", "a", "b",
+        F.round(contrib, 6).alias("chi2_contrib"),
+    )
+
+
 def x_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance/stddev per group via exact integer moments: n, sum,
     sum-of-squares accumulate as overflow-checked longs (one partial-agg
@@ -1420,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_intersect": x_intersect,
         "x_except": x_except,
         "x_stats": x_stats,
+        "x_outliers": x_outliers,
+        "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
         "x_heavy_hitters": x_heavy_hitters,
@@ -1876,6 +1936,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer
             EXCEPT
             SELECT o_custkey AS custkey FROM orders
+        """,
+        "x_outliers": """
+            WITH r AS (
+              SELECT l_returnflag AS flag,
+                     CAST(round(l_quantity) AS BIGINT) AS x
+              FROM lineitem
+            ), m AS (
+              SELECT flag, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS s,
+                     CAST(sum(x * x) AS BIGINT) AS ssq
+              FROM r GROUP BY flag
+            )
+            SELECT flag, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN
+                     4 * (n * x - s) * (n * x - s) >
+                     9 * (n * ssq - s * s)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM r JOIN m USING (flag) GROUP BY flag
+        """,
+        "x_drift_chi2": """
+            WITH c AS (
+              SELECT CAST(floor(value) AS BIGINT) AS bucket,
+                     CAST(sum(CASE WHEN event_id % 2 = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN event_id % 2 = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b
+              FROM events GROUP BY 1
+            ), t AS (
+              SELECT CAST(sum(a) AS BIGINT) AS na,
+                     CAST(sum(b) AS BIGINT) AS nb FROM c
+            )
+            SELECT bucket, a, b,
+                   round(
+                     (CAST(a * nb - b * na AS DOUBLE) *
+                      CAST(a * nb - b * na AS DOUBLE)) /
+                     CAST(na * nb * (a + b) AS DOUBLE),
+                     6) AS chi2_contrib
+            FROM c, t
         """,
         "x_stats": """
             WITH m AS (
