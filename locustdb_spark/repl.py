@@ -10,6 +10,7 @@ Commands (reference main.rs:255-281 help text):
     :memtree                    memory/storage tree per table
     :load <TABLE> <SCHEMA> <FILES>...   load CSVs (SCHEMA '' infers)
     :explain <QUERY>            show the physical plan
+    :x <QUERY>                  full Spark SQL (joins/windows/CTEs)
     :table_stats                per-table stats
     :exit / :quit / ctrl-d      leave
 Anything else is executed as a query.
@@ -79,6 +80,14 @@ def run_command(db: LocustDB, line: str, out=sys.stdout) -> bool:
             print(f"Loaded {len(files)} file(s) into {table}", file=out)
         elif s.startswith(":explain"):
             print(db.explain(s[len(":explain"):].strip()), file=out)
+        elif s.startswith(":x "):
+            t0 = time.time()
+            df = db.sql_extended(s[3:].strip())
+            rows = [tuple(r) for r in df.collect()]
+            elapsed = time.time() - t0
+            print(format_table(list(df.columns), rows), file=out)
+            print(f"\n{len(rows)} rows returned in "
+                  f"{elapsed * 1000:.0f}ms", file=out)
         else:
             t0 = time.time()
             result = db.run_query(s)

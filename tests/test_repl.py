@@ -29,6 +29,17 @@ def test_query(db):
     assert "rows returned" in text
 
 
+def test_extended_sql_command(db):
+    """:x routes to full Spark SQL — a self-join the dialect rejects."""
+    cont, text = run(
+        db, ":x SELECT l.a, count(*) AS c FROM t l JOIN t r ON l.a = r.a "
+            "GROUP BY l.a ORDER BY l.a")
+    assert cont
+    assert "rows returned" in text
+    # a=2 appears twice -> 2x2=4 join rows
+    assert "4" in text
+
+
 def test_exit_variants(db):
     for cmd in (":exit", ":quit", "exit", "quit"):
         assert run(db, cmd)[0] is False
