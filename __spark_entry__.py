@@ -962,6 +962,25 @@ def x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median via the custom-UDAF escape hatch
+    (operators/custom_agg.py, GROUPED_AGG pandas UDF — the analog of
+    the reference's add-a-Rust-kernel extension point,
+    operators/map_operator.rs): price-cents median weighted by
+    quantity per return flag. Values collapse to distinct JVM-side
+    first, so Python sees Arrow batches bounded by distinct-value
+    count. Integer-exact, so the SQL oracle matches bit-for-bit."""
+    from locustdb_spark.operators.custom_agg import weighted_median
+
+    li = _read(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        _micro(F.col("l_extendedprice"), 2).alias("v"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    return weighted_median(rows, "v", "w", ["flag"])
+
+
 def x_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift check between two event populations (even vs
     odd event_id — stand-ins for 'last week's corpus vs this week's'):
@@ -1479,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_except": x_except,
         "x_stats": x_stats,
         "x_outliers": x_outliers,
+        "x_weighted_median": x_weighted_median,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -1936,6 +1956,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer
             EXCEPT
             SELECT o_custkey AS custkey FROM orders
+        """,
+        "x_weighted_median": """
+            WITH r AS (
+              SELECT l_returnflag AS flag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(round(l_quantity) AS BIGINT) AS w
+              FROM lineitem
+            ), d AS (
+              SELECT flag, v, CAST(sum(w) AS BIGINT) AS w
+              FROM r GROUP BY flag, v
+            ), c AS (
+              SELECT flag, v,
+                     sum(w) OVER (PARTITION BY flag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(w) OVER (PARTITION BY flag) AS total
+              FROM d
+            )
+            SELECT flag, min(v) AS weighted_median
+            FROM c WHERE cum * 2 >= total GROUP BY flag
         """,
         "x_outliers": """
             WITH r AS (

@@ -659,6 +659,43 @@ def test_retention_known_values(spark):
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
 
 
+def test_weighted_median_known_values(spark):
+    """GROUPED_AGG pandas UDAF (operators/custom_agg.py): lower
+    weighted median, integer-exact, duplicate values pre-collapsed
+    JVM-side."""
+    from locustdb_spark.operators.custom_agg import weighted_median
+
+    rows = [
+        # group a: values 1(w1), 2(w1), 3(w98) -> median 3
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 98),
+        # group b: 10(w1), 20(w1) -> cum*2>=total first at 10
+        ("b", 10, 1), ("b", 20, 1),
+        # group c: duplicate values collapse: 5 appears twice w=1 each,
+        # 1 has w=1 -> weights {1:1, 5:2}, total 3 -> median 5
+        ("c", 5, 1), ("c", 5, 1), ("c", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    out = {r.g: r.weighted_median
+           for r in weighted_median(df, "v", "w", ["g"]).collect()}
+    assert out == {"a": 3, "b": 10, "c": 5}
+
+
+def test_weighted_median_plan_is_arrow_batched(spark):
+    """The UDAF must plan as AggregateInPandas (Arrow), never
+    BatchEvalPython (row-at-a-time)."""
+    from locustdb_spark.operators.custom_agg import weighted_median
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, v long, w long")
+    plan = weighted_median(df, "v", "w", ["g"])._jdf.queryExecution() \
+        .explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+    # Spark 4 names the Arrow UDAF node ArrowAggregatePython
+    # (AggregateInPandas in 3.x)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_dedup_segments_known_values(spark):
     """C4-rule segment dedup: the globally-first occurrence (by
     doc_id, seg_idx) survives; later copies are cut and docs
