@@ -21,6 +21,10 @@ This module is that idea on Spark terms:
 - ``vacuum(keep_last)`` deletes files no kept manifest references —
   including orphans from a crashed append, which never became visible
   because their manifest was never committed
+- manifests also carry per-file column [min,max] (collected once from
+  the footers at write time); ``read(where={col: (lo, hi)})`` prunes
+  non-overlapping files from the manifest alone — Delta-style data
+  skipping with no footer reads or directory listing at query time
 
 Scale shape: manifests hold file names only (KB per thousand files);
 reads pass the explicit list to the parquet source, so Catalyst still
@@ -48,6 +52,9 @@ class VersionedTable:
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # per-file column [min,max] collected at write, committed with
+        # the next manifest
+        self._pending_stats: dict[str, dict] = {}
 
     # -- manifest bookkeeping ------------------------------------------
 
@@ -75,9 +82,18 @@ class VersionedTable:
             return json.load(fh)
 
     def _commit(self, files: list[str], schema_json: str) -> int:
-        new_version = (self.latest_version() or 0) + 1
+        latest = self.latest_version()
+        prev_stats = (self._load_manifest(latest).get("stats", {})
+                      if latest else {})
+        stats = {}
+        for f in files:
+            s = self._pending_stats.get(f, prev_stats.get(f))
+            if s:
+                stats[f] = s
+        self._pending_stats.clear()
+        new_version = (latest or 0) + 1
         manifest = {"version": new_version, "files": sorted(files),
-                    "schema": schema_json}
+                    "schema": schema_json, "stats": stats}
         tmp = self._manifest_path(new_version) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -88,7 +104,12 @@ class VersionedTable:
 
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write df as new immutable files in data/ (via staging so a
-        crash leaves only orphans no manifest references)."""
+        crash leaves only orphans no manifest references). Collects
+        per-file column min/max from the parquet footers ONCE at write
+        time into `_stats` for manifest-level file skipping — reading
+        a KB of manifest instead of every footer at query time."""
+        import pyarrow.parquet as pq
+
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(staging)
         names = []
@@ -96,9 +117,26 @@ class VersionedTable:
             if not f.endswith(".parquet"):
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(staging, f),
-                      os.path.join(self.data_dir, name))
+            src = os.path.join(staging, f)
+            md = pq.ParquetFile(src).metadata
+            stats: dict[str, list] = {}
+            for ci in range(md.num_columns):
+                cname = md.schema.column(ci).name
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    s = md.row_group(g).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        break
+                    if not isinstance(s.min, (int, float, str)):
+                        break  # JSON-safe scalar stats only
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                else:
+                    if mins:
+                        stats[cname] = [min(mins), max(maxs)]
+            os.rename(src, os.path.join(self.data_dir, name))
             names.append(name)
+            self._pending_stats[name] = stats
         shutil.rmtree(staging, ignore_errors=True)
         return names
 
@@ -178,19 +216,37 @@ class VersionedTable:
 
     # -- reads ---------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             where: dict[str, tuple] | None = None) -> DataFrame:
         """DataFrame over exactly the files the manifest names. Passing
         the explicit list (not the directory) is what makes readers
         immune to concurrent appends/compactions — and uncommitted
-        orphan files are invisible by construction."""
+        orphan files are invisible by construction.
+
+        `where={col: (lo, hi)}` additionally prunes files whose
+        manifest [min,max] for `col` cannot overlap the range — Delta-
+        style data skipping from the manifest alone (no footer reads,
+        no file listing; at 100 TB the planner touches KBs of JSON to
+        discard most of the scan). The range predicate itself is NOT
+        applied to surviving rows — add the real `.filter()` on top;
+        files without stats for `col` are conservatively kept."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("table has no committed version")
         m = self._load_manifest(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
+        files = m["files"]
+        if where:
+            stats = m.get("stats", {})
+            for col, (lo, hi) in where.items():
+                files = [
+                    f for f in files
+                    if col not in stats.get(f, {})
+                    or (stats[f][col][1] >= lo and stats[f][col][0] <= hi)
+                ]
+        if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        paths = [os.path.join(self.data_dir, f) for f in files]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
             raise ValueError(

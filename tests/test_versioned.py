@@ -92,6 +92,26 @@ def test_vacuum_removes_dropped_files_and_orphans(spark, vt):
     assert on_disk == live
 
 
+def test_manifest_file_skipping(spark, vt):
+    """read(where=...) prunes files via manifest [min,max] stats —
+    no footer reads at query time; files without stats are kept."""
+    vt.append(_rows(spark, 0, 100).coalesce(1))
+    vt.append(_rows(spark, 100, 200).coalesce(1))
+    vt.append(_rows(spark, 200, 300).coalesce(1))
+    pruned = vt.read(where={"id": (120, 130)})
+    assert len(pruned.inputFiles()) == 1          # only the middle file
+    assert pruned.count() == 100                  # pruning, not filtering
+    assert pruned.filter("id BETWEEN 120 AND 130").count() == 11
+    # a range overlapping nothing -> empty frame with the right schema
+    empty = vt.read(where={"id": (10_000, 20_000)})
+    assert empty.count() == 0 and "id" in empty.columns
+    # unknown column -> conservatively keep everything
+    assert vt.read(where={"nope": (0, 1)}).count() == 300
+    # stats carry forward through later commits for untouched files
+    vt.append(_rows(spark, 300, 310).coalesce(1))
+    assert len(vt.read(where={"id": (120, 130)}).inputFiles()) == 1
+
+
 def test_append_if_absent_is_idempotent(spark, vt):
     vt.append_if_absent(_rows(spark, 0, 10), key="id")
     # replay the same batch + 5 new rows: only the new rows land
