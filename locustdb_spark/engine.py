@@ -204,32 +204,18 @@ class LocustDB:
 
         Registers `<name>_zorder` as a queryable table and returns it.
         """
+        from .functions import morton_interleave
+
         df = df if df is not None else self.snapshot(name)
         stats = df.agg(*[
             f(F.col(c).cast("double")).alias(f"{c}__{nm}")
             for c in cols for nm, f in (("min", F.min), ("max", F.max))
         ]).head()
-        scaled = []
-        for c in cols:
-            lo = stats[f"{c}__min"]
-            hi = stats[f"{c}__max"]
-            span = (hi - lo) or 1.0
-            scaled.append(F.least(
-                F.lit((1 << bits) - 1),
-                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
-                 * F.lit((1 << bits) - 1)).cast("long"),
-            ))
-        # interleave: bit i of column j lands at position i*ncols + j —
-        # a pure JVM-side shift/mask expression tree, no UDF
-        morton = F.lit(0)
-        for i in range(bits):
-            for j, s in enumerate(scaled):
-                morton = morton.bitwiseOR(
-                    F.shiftleft(
-                        F.shiftright(s, i).bitwiseAND(F.lit(1)),
-                        i * len(scaled) + j,
-                    )
-                )
+        morton = morton_interleave(
+            [(F.col(c), stats[f"{c}__min"], stats[f"{c}__max"])
+             for c in cols],
+            bits=bits,
+        )
         cat_name = f"{name}_zorder"
         path = os.path.join(self.db_path, "zorder", cat_name)
         (

@@ -22,7 +22,38 @@ __all__ = [
     "floor_int",
     "int_div",
     "like_pattern_to_regex",
+    "morton_interleave",
 ]
+
+
+def morton_interleave(
+    cols_with_bounds: list[tuple[Column, float, float]],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key: each column is linearly scaled to
+    `bits`-bit space using its (lo, hi) bounds, then the columns' bits
+    are interleaved — bit i of column j lands at position
+    i*ncols + j. A pure shift/mask Catalyst expression tree (no UDF),
+    used by `LocustDB.save_zordered` and `VersionedTable.cluster` to
+    make min/max file stats tight on EVERY curve column."""
+    scaled = []
+    for col, lo, hi in cols_with_bounds:
+        span = (hi - lo) or 1.0
+        scaled.append(F.least(
+            F.lit((1 << bits) - 1),
+            ((col.cast("double") - F.lit(lo)) / F.lit(span)
+             * F.lit((1 << bits) - 1)).cast("long"),
+        ))
+    morton = F.lit(0)
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            morton = morton.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, i).bitwiseAND(F.lit(1)),
+                    i * len(scaled) + j,
+                )
+            )
+    return morton
 
 
 def to_year(col: Column, is_timestamp: bool = False) -> Column:

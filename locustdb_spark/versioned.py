@@ -195,6 +195,42 @@ class VersionedTable:
         new_files = self._write_files(df)
         return self._commit(keep + new_files, m["schema"])
 
+    def cluster(self, cols: list[str], num_files: int = 16,
+                bits: int = 16) -> int:
+        """OPTIMIZE-ZORDER analog: rewrite the live file set clustered
+        on a Morton curve over `cols` and commit. Afterward every
+        file is a small hyper-cube in the curve columns' space, so the
+        manifest [min,max] stats become tight on EVERY curve column
+        and `read(where=...)` skips most files for range filters on
+        any of them — not just a single sort key. Same reader-safety
+        as compact(): old files live until vacuum()."""
+        from pyspark.sql import functions as F
+
+        from .functions import morton_interleave
+
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError("nothing to cluster")
+        m = self._load_manifest(latest)
+        df = self.read(latest)
+        stats = df.agg(*[
+            f(F.col(c).cast("double")).alias(f"{c}__{nm}")
+            for c in cols for nm, f in (("min", F.min), ("max", F.max))
+        ]).head()
+        morton = morton_interleave(
+            [(F.col(c), stats[f"{c}__min"], stats[f"{c}__max"])
+             for c in cols],
+            bits=bits,
+        )
+        clustered = (
+            df.withColumn("_z", morton)
+            .repartitionByRange(num_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        new_files = self._write_files(clustered)
+        return self._commit(new_files, m["schema"])
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by none of the kept (most
         recent `keep_last`) manifests — dropped by compaction or

@@ -112,6 +112,21 @@ def test_manifest_file_skipping(spark, vt):
     assert len(vt.read(where={"id": (120, 130)}).inputFiles()) == 1
 
 
+def test_cluster_makes_stats_tight_on_second_dimension(spark, vt):
+    """cluster() (OPTIMIZE-ZORDER analog): after Morton-clustering on
+    (id, v), a manifest-stat range filter on the SECOND dimension
+    prunes most files — the combination of z-order + manifest skipping."""
+    df = spark.range(0, 4000).selectExpr(
+        "id", "CAST((id * 7919) % 1000 AS LONG) AS v")
+    vt.append(df)
+    vt.cluster(["id", "v"], num_files=16)
+    pruned = vt.read(where={"v": (0, 99)})
+    assert 0 < len(pruned.inputFiles()) <= 8
+    assert pruned.filter("v < 100").count() == \
+        df.filter("v < 100").count() > 0
+    assert vt.read().count() == 4000
+
+
 def test_append_if_absent_is_idempotent(spark, vt):
     vt.append_if_absent(_rows(spark, 0, 10), key="id")
     # replay the same batch + 5 new rows: only the new rows land
