@@ -194,6 +194,39 @@ def stream_enrich(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+def stream_ingest_versioned(
+    spark,
+    source_dir: str,
+    table,
+    schema: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously ingest JSON files into a VersionedTable with
+    EXACTLY-ONCE appends end-to-end: the micro-batch id is passed as
+    the table's txn_id, so a batch replayed after a crash between the
+    manifest commit and the checkpoint commit is recognized and
+    skipped (versioned.py append txn_id — the Delta idempotent-writer
+    pattern). The checkpoint alone only guarantees at-least-once into
+    a non-transactional sink; the txn_id closes that gap."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .json(source_dir)
+    )
+
+    def append_batch(batch_df, batch_id: int) -> None:
+        table.append(batch_df, txn_id=batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_stream_join(
     left_df: DataFrame,
     right_df: DataFrame,

@@ -81,10 +81,11 @@ class VersionedTable:
         with open(path) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], schema_json: str) -> int:
+    def _commit(self, files: list[str], schema_json: str,
+                txn_id: int | None = None) -> int:
         latest = self.latest_version()
-        prev_stats = (self._load_manifest(latest).get("stats", {})
-                      if latest else {})
+        prev_m = self._load_manifest(latest) if latest else {}
+        prev_stats = prev_m.get("stats", {})
         stats = {}
         for f in files:
             s = self._pending_stats.get(f, prev_stats.get(f))
@@ -92,8 +93,12 @@ class VersionedTable:
                 stats[f] = s
         self._pending_stats.clear()
         new_version = (latest or 0) + 1
+        last_txn = prev_m.get("last_txn")
+        if txn_id is not None:
+            last_txn = txn_id
         manifest = {"version": new_version, "files": sorted(files),
-                    "schema": schema_json, "stats": stats}
+                    "schema": schema_json, "stats": stats,
+                    "last_txn": last_txn}
         tmp = self._manifest_path(new_version) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -140,13 +145,26 @@ class VersionedTable:
         shutil.rmtree(staging, ignore_errors=True)
         return names
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn_id: int | None = None) -> int:
         """Atomically append: new files become visible only when the
-        next manifest commits. Returns the new version."""
-        new_files = self._write_files(df)
+        next manifest commits. Returns the new version.
+
+        `txn_id` makes the append exactly-once: a monotonically
+        increasing writer transaction id (e.g. a Structured Streaming
+        batchId) recorded in the manifest — an append whose txn_id is
+        <= the last committed one is a replay and becomes a no-op, so
+        a foreachBatch writer that crashed between sink write and
+        checkpoint commit cannot double-append (the Delta txnVersion
+        idempotent-writer pattern)."""
         latest = self.latest_version()
-        prev = self._load_manifest(latest)["files"] if latest else []
-        return self._commit(prev + new_files, df.schema.json())
+        prev_m = self._load_manifest(latest) if latest else {}
+        if txn_id is not None:
+            last_txn = prev_m.get("last_txn")
+            if last_txn is not None and txn_id <= last_txn:
+                return latest  # replayed batch: already committed
+        new_files = self._write_files(df)
+        return self._commit(prev_m.get("files", []) + new_files,
+                            df.schema.json(), txn_id=txn_id)
 
     def append_if_absent(self, df: DataFrame, key: str) -> int:
         """Idempotent append: commit only rows whose `key` is not

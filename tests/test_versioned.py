@@ -138,6 +138,44 @@ def test_append_if_absent_is_idempotent(spark, vt):
     assert vt.read().count() == 15
 
 
+def test_txn_id_makes_append_exactly_once(spark, vt):
+    """A replayed append (same or older txn_id) is a no-op — the
+    crashed-between-sink-and-checkpoint case of foreachBatch."""
+    v1 = vt.append(_rows(spark, 0, 10), txn_id=0)
+    assert vt.append(_rows(spark, 0, 10), txn_id=0) == v1  # replay
+    assert vt.read().count() == 10
+    vt.append(_rows(spark, 10, 20), txn_id=1)
+    assert vt.append(_rows(spark, 0, 20), txn_id=0) == 2   # stale replay
+    assert vt.read().count() == 20
+
+
+def test_stream_ingest_versioned_exactly_once(spark, tmp_path):
+    """End-to-end: JSON stream -> VersionedTable with batch-id txn;
+    restarting the drained query appends nothing."""
+    import json as _json
+
+    from locustdb_spark import LocustDB
+    from locustdb_spark.streaming.streams import stream_ingest_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        _json.dumps({"k": i}) for i in range(25)))
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    table = db.versioned("stream_v")
+    for _ in range(2):  # second run: checkpoint says all-caught-up
+        q = stream_ingest_versioned(
+            spark, str(src), table, "k long",
+            str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+    assert table.read().count() == 25
+    # a direct replay of batch 0 is also refused by the txn guard
+    v = table.latest_version()
+    assert table.append(
+        spark.range(99).selectExpr("id AS k"), txn_id=0) == v
+    assert table.read().count() == 25
+
+
 def test_schema_drift_on_append(spark, vt):
     """Later versions may add columns (schemaless ingest, reference
     raw_col.rs:58-106): old files read as NULL for the new column."""
