@@ -30,7 +30,13 @@ Scale shape: manifests hold file names only (KB per thousand files);
 reads pass the explicit list to the parquet source, so Catalyst still
 does pushdown/pruning per file; appends and compaction never rewrite
 live data in place, which is exactly the contract object stores need.
-Single-writer, like the reference engine.
+
+Concurrency: optimistic. A manifest is created with a fails-if-exists
+link, so racing writers cannot overwrite each other's commit; losing
+appenders re-read and re-commit on top (their files are still valid),
+while a losing compact()/cluster() raises CommitConflict because its
+rewrite was computed from a stale live set. (On an object store, swap
+the link for the store's if-none-match/conditional-put primitive.)
 """
 
 from __future__ import annotations
@@ -42,6 +48,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+class CommitConflict(Exception):
+    """A concurrent commit invalidated a compact()/cluster() rewrite;
+    re-run against the new latest version (appends retry internally)."""
 
 
 class VersionedTable:
@@ -81,28 +92,40 @@ class VersionedTable:
         with open(path) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], schema_json: str,
-                txn_id: int | None = None) -> int:
-        latest = self.latest_version()
-        prev_m = self._load_manifest(latest) if latest else {}
+    def _commit(self, base_version: int | None, files: list[str],
+                schema_json: str,
+                txn_id: int | None = None) -> int | None:
+        """Attempt to commit version base_version+1. The manifest file
+        is created with os.link (fails if it already exists), so two
+        writers racing for the same version cannot overwrite each
+        other — the loser gets None back and must re-read and retry
+        (optimistic concurrency; a plain rename would silently drop
+        the winner's commit)."""
+        prev_m = self._load_manifest(base_version) if base_version else {}
         prev_stats = prev_m.get("stats", {})
         stats = {}
         for f in files:
             s = self._pending_stats.get(f, prev_stats.get(f))
             if s:
                 stats[f] = s
-        self._pending_stats.clear()
-        new_version = (latest or 0) + 1
+        new_version = (base_version or 0) + 1
         last_txn = prev_m.get("last_txn")
         if txn_id is not None:
             last_txn = txn_id
         manifest = {"version": new_version, "files": sorted(files),
                     "schema": schema_json, "stats": stats,
                     "last_txn": last_txn}
-        tmp = self._manifest_path(new_version) + ".tmp"
+        tmp = (self._manifest_path(new_version) +
+               f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, self._manifest_path(new_version))  # atomic commit
+        try:
+            os.link(tmp, self._manifest_path(new_version))
+        except FileExistsError:
+            return None  # another writer won this version
+        finally:
+            os.remove(tmp)
+        self._pending_stats.clear()
         return new_version
 
     # -- writes --------------------------------------------------------
@@ -156,15 +179,22 @@ class VersionedTable:
         a foreachBatch writer that crashed between sink write and
         checkpoint commit cannot double-append (the Delta txnVersion
         idempotent-writer pattern)."""
-        latest = self.latest_version()
-        prev_m = self._load_manifest(latest) if latest else {}
-        if txn_id is not None:
-            last_txn = prev_m.get("last_txn")
-            if last_txn is not None and txn_id <= last_txn:
-                return latest  # replayed batch: already committed
-        new_files = self._write_files(df)
-        return self._commit(prev_m.get("files", []) + new_files,
-                            df.schema.json(), txn_id=txn_id)
+        new_files: list[str] | None = None
+        while True:
+            latest = self.latest_version()
+            prev_m = self._load_manifest(latest) if latest else {}
+            if txn_id is not None:
+                last_txn = prev_m.get("last_txn")
+                if last_txn is not None and txn_id <= last_txn:
+                    return latest  # replayed batch: already committed
+            if new_files is None:
+                new_files = self._write_files(df)
+            v = self._commit(latest, prev_m.get("files", []) + new_files,
+                             df.schema.json(), txn_id=txn_id)
+            if v is not None:
+                return v
+            # lost the commit race: re-read and re-commit on top of the
+            # winner — the already-written files are still valid
 
     def append_if_absent(self, df: DataFrame, key: str) -> int:
         """Idempotent append: commit only rows whose `key` is not
@@ -211,7 +241,14 @@ class VersionedTable:
               .parquet(*[os.path.join(self.data_dir, f) for f in small])
               .repartition(n))
         new_files = self._write_files(df)
-        return self._commit(keep + new_files, m["schema"])
+        v = self._commit(latest, keep + new_files, m["schema"])
+        if v is None:
+            # a concurrent commit changed the live set this rewrite was
+            # computed from — the rewrite is stale, caller must retry
+            raise CommitConflict(
+                "table changed during compact(); re-run against the "
+                "new latest version")
+        return v
 
     def cluster(self, cols: list[str], num_files: int = 16,
                 bits: int = 16) -> int:
@@ -247,7 +284,12 @@ class VersionedTable:
             .drop("_z")
         )
         new_files = self._write_files(clustered)
-        return self._commit(new_files, m["schema"])
+        v = self._commit(latest, new_files, m["schema"])
+        if v is None:
+            raise CommitConflict(
+                "table changed during cluster(); re-run against the "
+                "new latest version")
+        return v
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by none of the kept (most

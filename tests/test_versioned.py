@@ -189,6 +189,60 @@ def test_schema_drift_on_append(spark, vt):
     assert vt.read(version=1).columns == ["id"]
 
 
+def test_concurrent_appends_no_lost_updates(spark, tmp_path):
+    """Racing writers (separate instances, shared root) must all land:
+    the fails-if-exists manifest create + append retry loop means no
+    commit is silently overwritten."""
+    import threading
+
+    from locustdb_spark import VersionedTable
+
+    root = str(tmp_path / "race")
+    errs = []
+
+    def worker(offset):
+        try:
+            t = VersionedTable(spark, root)
+            for i in range(4):
+                t.append(spark.range(offset + i * 10,
+                                     offset + i * 10 + 10)
+                         .selectExpr("id", "id * 2 AS v"))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k * 1000,))
+               for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    t = VersionedTable(spark, root)
+    assert t.latest_version() == 12           # all 12 commits landed
+    assert t.read().count() == 120            # no rows lost
+    assert len(set(r.id for r in t.read().collect())) == 120
+
+
+def test_compact_conflict_detected(spark, vt):
+    """A compact() computed from a stale live set must raise
+    CommitConflict, never silently drop the concurrent commit."""
+    from locustdb_spark.versioned import CommitConflict
+
+    vt.append(_rows(spark, 0, 10))
+    vt.append(_rows(spark, 10, 20))
+    stale = vt.latest_version
+    frozen = vt.latest_version()
+    vt.append(_rows(spark, 20, 30))           # concurrent writer wins
+    vt.latest_version = lambda: frozen        # freeze the stale view
+    try:
+        with pytest.raises(CommitConflict):
+            vt.compact(small_file_mb=10_000)
+    finally:
+        vt.latest_version = stale
+    # nothing was lost: the concurrent append's rows are intact
+    assert vt.read().count() == 30
+
+
 def test_empty_version_history_raises(vt):
     with pytest.raises(ValueError):
         vt.read()
