@@ -962,6 +962,33 @@ def x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end versioned-table replay under the oracle gate
+    (locustdb_spark/versioned.py): lineitem is committed in two
+    atomic appends (odd/even orderkeys), Morton-clustered on
+    (l_orderkey, l_partkey), then read through manifest min/max file
+    skipping + a real filter. The aggregate must equal a plain scan of
+    the original table — proving append + cluster + skipping lose and
+    duplicate nothing."""
+    import tempfile
+
+    from locustdb_spark import VersionedTable
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_oracle_"))
+    vt.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    vt.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    vt.cluster(["l_orderkey", "l_partkey"], num_files=8)
+    pruned = vt.read(where={"l_partkey": (1, 400)})
+    return (
+        pruned.filter(F.col("l_partkey").between(1, 400))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.round(F.col("l_quantity")).cast("long"))
+             .alias("sum_qty"))
+    )
+
+
 def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median via the custom-UDAF escape hatch
     (operators/custom_agg.py, GROUPED_AGG pandas UDF — the analog of
@@ -1499,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stats": x_stats,
         "x_outliers": x_outliers,
         "x_weighted_median": x_weighted_median,
+        "x_versioned_scan": x_versioned_scan,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -1956,6 +1984,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer
             EXCEPT
             SELECT o_custkey AS custkey FROM orders
+        """,
+        "x_versioned_scan": """
+            SELECT count(*) AS cnt,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem WHERE l_partkey BETWEEN 1 AND 400
         """,
         "x_weighted_median": """
             WITH r AS (
