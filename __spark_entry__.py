@@ -962,6 +962,55 @@ def x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    filter-and-sum — every predicate pushes into the parquet scan, and
+    the revenue sum runs in exact integer units (cents x discount
+    basis points) so the result is bit-identical at any partitioning.
+    At 100 TB this query is scan-bound with zero shuffle beyond the
+    single global-agg exchange."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1994)
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(cents * disc_bp).cast("double") / 10000, 2)
+             .alias("revenue"))
+    )
+
+
+def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): customer segment filter ->
+    broadcast into orders -> join lineitem, top-10 orders by revenue.
+    The dimension side (filtered customers, then the filtered
+    customer-orders) broadcasts, so the lineitem fact table joins
+    map-side and never shuffles; the only wide operation is the
+    revenue aggregation, and TakeOrderedAndProject caps the sort."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") <= 1995)
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    co = orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+    j = li.join(F.broadcast(co.select("o_orderkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+    return (
+        j.groupBy("l_orderkey")
+        .agg(F.round(F.sum(cents * disc_bp).cast("double") / 10000, 2)
+             .alias("revenue"),
+             F.max(F.year("o_orderdate")).cast("long").alias("order_year"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end versioned-table replay under the oracle gate
     (locustdb_spark/versioned.py): lineitem is committed in two
@@ -1527,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_outliers": x_outliers,
         "x_weighted_median": x_weighted_median,
         "x_versioned_scan": x_versioned_scan,
+        "x_tpch_q6": x_tpch_q6,
+        "x_tpch_q3": x_tpch_q3,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -1984,6 +2035,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer
             EXCEPT
             SELECT o_custkey AS custkey FROM orders
+        """,
+        "x_tpch_q6": """
+            SELECT round(CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round(l_discount * 100) AS BIGINT)
+                   ) AS DOUBLE) / 10000, 2) AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) = 1994
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "x_tpch_q3": """
+            SELECT l_orderkey,
+                   round(CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS DOUBLE) / 10000, 2) AS revenue,
+                   CAST(max(year(o_orderdate)) AS BIGINT) AS order_year
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND year(o_orderdate) <= 1995
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "x_versioned_scan": """
             SELECT count(*) AS cnt,
