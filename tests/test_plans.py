@@ -338,6 +338,16 @@ def test_runtime_bloom_filter_on_shuffle_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_tpch_q3_fact_table_never_shuffles_for_join(spark):
+    """Q3's join chain must resolve to broadcasts into the lineitem
+    scan — a SortMergeJoin would shuffle the full fact table twice."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.queries()["x_tpch_q3"](spark, TESTDATA_SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_plan_introspection_helpers(tpch):
     from locustdb_spark.plans import (
         has_take_ordered,
