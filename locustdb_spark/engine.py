@@ -188,6 +188,7 @@ class LocustDB:
         df: DataFrame | None = None,
         num_files: int = 16,
         bits: int = 16,
+        equi_depth: bool = False,
     ) -> DataFrame:
         """Persist a table clustered on a Z-order (Morton) curve over
         two or more numeric columns. Sorting on one key gives perfect
@@ -199,23 +200,17 @@ class LocustDB:
         the corpus and scanning a thin slab for the 2nd, 3rd filter
         column. Each column is linearly scaled to `bits`-bit space
         using its (min, max) from a single aggregate pass — adequate
-        for roughly uniform keys; heavily skewed keys would want
-        equi-depth boundaries instead.
+        for roughly uniform keys; pass equi_depth=True to rank through
+        quantile boundaries instead (skewed keys — see
+        functions.build_zorder_key).
 
         Registers `<name>_zorder` as a queryable table and returns it.
         """
-        from .functions import morton_interleave
+        from .functions import build_zorder_key
 
         df = df if df is not None else self.snapshot(name)
-        stats = df.agg(*[
-            f(F.col(c).cast("double")).alias(f"{c}__{nm}")
-            for c in cols for nm, f in (("min", F.min), ("max", F.max))
-        ]).head()
-        morton = morton_interleave(
-            [(F.col(c), stats[f"{c}__min"], stats[f"{c}__max"])
-             for c in cols],
-            bits=bits,
-        )
+        morton = build_zorder_key(df, cols, bits=bits,
+                                  equi_depth=equi_depth)
         cat_name = f"{name}_zorder"
         path = os.path.join(self.db_path, "zorder", cat_name)
         (

@@ -23,7 +23,21 @@ __all__ = [
     "int_div",
     "like_pattern_to_regex",
     "morton_interleave",
+    "equi_depth_bucket",
+    "build_zorder_key",
 ]
+
+
+def equi_depth_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Rank a value into len(boundaries)+1 equi-depth buckets: the
+    bucket index is how many (sorted, pre-computed) quantile
+    boundaries the value exceeds — a JVM-side higher-order
+    filter+size over an inlined literal array, no UDF. Used for
+    Z-ordering skewed columns where linear min/max scaling would cram
+    most rows into a few codes."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    c = col.cast("double")
+    return F.size(F.filter(arr, lambda b: c > b)).cast("long")
 
 
 def morton_interleave(
@@ -54,6 +68,38 @@ def morton_interleave(
                 )
             )
     return morton
+
+
+def build_zorder_key(df, cols: list[str], bits: int = 16,
+                     equi_depth: bool = False) -> Column:
+    """Morton key over `cols` of `df`, ready for repartitionByRange +
+    sortWithinPartitions. Linear mode scales each column by its
+    (min, max) — one aggregate job; equi-depth mode ranks each column
+    into 2^k quantile buckets (k = min(bits, 8), boundaries from one
+    approxQuantile pass) so heavily skewed columns still spread across
+    the curve instead of cramming into a few codes."""
+    if equi_depth:
+        k = min(bits, 8)
+        n = 1 << k
+        probs = [i / n for i in range(1, n)]
+        # one pass computes boundaries for every column
+        bounds = df.stat.approxQuantile(
+            [c for c in cols], probs, 0.001)
+        return morton_interleave(
+            [(equi_depth_bucket(F.col(c).cast("double"), bs),
+              0.0, float(n - 1))
+             for c, bs in zip(cols, bounds)],
+            bits=k,
+        )
+    stats = df.agg(*[
+        f(F.col(c).cast("double")).alias(f"{c}__{nm}")
+        for c in cols for nm, f in (("min", F.min), ("max", F.max))
+    ]).head()
+    return morton_interleave(
+        [(F.col(c), stats[f"{c}__min"], stats[f"{c}__max"])
+         for c in cols],
+        bits=bits,
+    )
 
 
 def to_year(col: Column, is_timestamp: bool = False) -> Column:

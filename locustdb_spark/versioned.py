@@ -251,7 +251,7 @@ class VersionedTable:
         return v
 
     def cluster(self, cols: list[str], num_files: int = 16,
-                bits: int = 16) -> int:
+                bits: int = 16, equi_depth: bool = False) -> int:
         """OPTIMIZE-ZORDER analog: rewrite the live file set clustered
         on a Morton curve over `cols` and commit. Afterward every
         file is a small hyper-cube in the curve columns' space, so the
@@ -259,24 +259,15 @@ class VersionedTable:
         and `read(where=...)` skips most files for range filters on
         any of them — not just a single sort key. Same reader-safety
         as compact(): old files live until vacuum()."""
-        from pyspark.sql import functions as F
-
-        from .functions import morton_interleave
+        from .functions import build_zorder_key
 
         latest = self.latest_version()
         if latest is None:
             raise ValueError("nothing to cluster")
         m = self._load_manifest(latest)
         df = self.read(latest)
-        stats = df.agg(*[
-            f(F.col(c).cast("double")).alias(f"{c}__{nm}")
-            for c in cols for nm, f in (("min", F.min), ("max", F.max))
-        ]).head()
-        morton = morton_interleave(
-            [(F.col(c), stats[f"{c}__min"], stats[f"{c}__max"])
-             for c in cols],
-            bits=bits,
-        )
+        morton = build_zorder_key(df, cols, bits=bits,
+                                  equi_depth=equi_depth)
         clustered = (
             df.withColumn("_z", morton)
             .repartitionByRange(num_files, "_z")

@@ -127,6 +127,33 @@ def test_cluster_makes_stats_tight_on_second_dimension(spark, vt):
     assert vt.read().count() == 4000
 
 
+def test_equi_depth_bucket_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.functions import equi_depth_bucket
+
+    df = spark.createDataFrame([(5,), (15,), (30,), (31,)], "x long")
+    out = [r.b for r in df.select(
+        equi_depth_bucket(F.col("x"), [10.0, 20.0, 30.0]).alias("b")
+    ).collect()]
+    assert out == [0, 1, 2, 3]  # strictly-greater boundary semantics
+
+
+def test_cluster_equi_depth_skewed_column(spark, vt):
+    """v = id^2 is heavily skewed; equi-depth clustering still yields
+    tight per-file stats so a mid-mass v-slice prunes most files, and
+    the clustered table stays identical."""
+    df = spark.range(0, 4096).selectExpr("id", "id * id AS v")
+    vt.append(df)
+    vt.cluster(["id", "v"], num_files=16, equi_depth=True)
+    lo, hi = 1024 ** 2, 2048 ** 2 - 1      # quartile-to-median mass
+    pruned = vt.read(where={"v": (lo, hi)})
+    assert 0 < len(pruned.inputFiles()) <= 8
+    assert pruned.filter(f"v BETWEEN {lo} AND {hi}").count() == \
+        df.filter(f"v BETWEEN {lo} AND {hi}").count() > 0
+    assert vt.read().count() == 4096
+
+
 def test_append_if_absent_is_idempotent(spark, vt):
     vt.append_if_absent(_rows(spark, 0, 10), key="id")
     # replay the same batch + 5 new rows: only the new rows land
