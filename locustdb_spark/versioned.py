@@ -56,9 +56,16 @@ class CommitConflict(Exception):
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 stats_cols: list[str] | None = None):
+        """`stats_cols` narrows manifest statistics collection to the
+        listed columns (None = every leaf column). On 1000-column
+        tables, stats for columns nobody range-filters on are pure
+        manifest bloat — name the handful that gate queries (event
+        time, ids, partitioning keys)."""
         self.spark = spark
         self.root = root
+        self.stats_cols = set(stats_cols) if stats_cols else None
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -150,6 +157,9 @@ class VersionedTable:
             stats: dict[str, list] = {}
             for ci in range(md.num_columns):
                 cname = md.schema.column(ci).name
+                if self.stats_cols is not None and \
+                        cname not in self.stats_cols:
+                    continue
                 mins, maxs = [], []
                 for g in range(md.num_row_groups):
                     s = md.row_group(g).column(ci).statistics

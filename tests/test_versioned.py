@@ -127,6 +127,21 @@ def test_cluster_makes_stats_tight_on_second_dimension(spark, vt):
     assert vt.read().count() == 4000
 
 
+def test_stats_cols_narrowing(spark, tmp_path):
+    """stats_cols limits manifest stats to the named columns; ranges
+    on unlisted columns conservatively keep every file."""
+    from locustdb_spark import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "narrow"),
+                       stats_cols=["id"])
+    t.append(_rows(spark, 0, 100).coalesce(1))
+    t.append(_rows(spark, 100, 200).coalesce(1))
+    stats = t._load_manifest(t.latest_version())["stats"]
+    assert all(set(s) == {"id"} for s in stats.values())
+    assert len(t.read(where={"id": (0, 50)}).inputFiles()) == 1
+    assert len(t.read(where={"v": (0, 50)}).inputFiles()) == 2  # kept
+
+
 def test_equi_depth_bucket_known_values(spark):
     from pyspark.sql import functions as F
 
