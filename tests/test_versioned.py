@@ -265,6 +265,46 @@ def test_concurrent_appends_no_lost_updates(spark, tmp_path):
     assert len(set(r.id for r in t.read().collect())) == 120
 
 
+def test_append_racing_compact_stays_consistent(spark, tmp_path):
+    """Appends racing a retrying compactor: every row survives, no
+    duplicates, and the final state is readable — CommitConflict only
+    ever aborts the stale rewrite, never the data."""
+    import threading
+
+    from locustdb_spark import VersionedTable
+    from locustdb_spark.versioned import CommitConflict
+
+    root = str(tmp_path / "ac")
+    w = VersionedTable(spark, root)
+    w.append(_rows(spark, 0, 10))
+    stop = threading.Event()
+    errs = []
+
+    def compactor():
+        c = VersionedTable(spark, root)
+        while not stop.is_set():
+            try:
+                c.compact(small_file_mb=10_000)
+            except CommitConflict:
+                continue  # stale rewrite aborted; retry
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    try:
+        for i in range(1, 6):
+            w.append(_rows(spark, i * 10, (i + 1) * 10))
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+    out = VersionedTable(spark, root).read()
+    assert out.count() == 60
+    assert len({r.id for r in out.collect()}) == 60
+
+
 def test_compact_conflict_detected(spark, vt):
     """A compact() computed from a stale live set must raise
     CommitConflict, never silently drop the concurrent commit."""
