@@ -323,6 +323,35 @@ def test_expr_over_aggregates_matches_duckdb(pdb, duck, data):
     assert _norm(ours, 2) == _norm(theirs, 2), (key, ours_e, pred)
 
 
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_order_by_aggregate_alias_matches_duckdb(pdb, duck, data):
+    """ORDER BY an aggregate's alias with LIMIT (the reference marks
+    this area TODO at query_tests.rs:1612-1617 — we implement the
+    intended behavior): deterministic under ties via a group-key
+    tiebreak, dialect null placement made explicit on the DuckDB
+    side."""
+    key = data.draw(st.sampled_from(STR_COLS + ["non_dense_ints"]))
+    agg = data.draw(st.sampled_from(["count", "sum", "min", "max"]))
+    val = data.draw(st.sampled_from(INT_COLS))
+    desc = data.draw(st.booleans())
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    pred = data.draw(predicates())
+    d = "DESC" if desc else "ASC"
+    nulls = "NULLS FIRST" if desc else "NULLS LAST"
+    ours = pdb.run_query(
+        f"SELECT {key}, {agg}({val}) AS a FROM t WHERE {pred} "
+        f"ORDER BY a {d}, {key} LIMIT {n}")["rows"]
+    theirs = duck.execute(
+        f"SELECT {key}, {agg}({val}) AS a FROM t WHERE {pred} "
+        f"GROUP BY {key} "
+        f"ORDER BY a {d} {nulls}, {key} NULLS LAST LIMIT {n}").fetchall()
+    a = [_norm([r], 2)[0] for r in ours]
+    b = [_norm([r], 2)[0] for r in theirs]
+    assert a == b, (key, agg, val, d, n, pred)
+
+
 # ---- second fixture: driver-provided lineitem (6k rows at sf0.001) ----
 # The ec fixture has 10 rows; real aggregation/merge paths (partial +
 # final over many partitions) only get exercised with thousands of rows.
