@@ -231,6 +231,47 @@ def test_schema_drift_on_append(spark, vt):
     assert vt.read(version=1).columns == ["id"]
 
 
+def _mp_commit_worker(root, wid, n_commits):
+    """Race raw manifest commits from a separate PROCESS (the commit
+    protocol is pure file ops; data files are stand-ins)."""
+    from locustdb_spark.versioned import VersionedTable
+
+    t = VersionedTable(None, root)
+    for i in range(n_commits):
+        while True:
+            base = t.latest_version()
+            prev = t._load_manifest(base)["files"] if base else []
+            v = t._commit(base, prev + [f"w{wid}-{i}.parquet"], "{}")
+            if v is not None:
+                break
+
+
+def test_multiprocess_commit_protocol_no_lost_updates(tmp_path):
+    """OS-level writers (separate processes, not threads) racing the
+    fails-if-exists manifest commit: every commit lands exactly once."""
+    import multiprocessing as mp
+
+    from locustdb_spark.versioned import VersionedTable
+
+    root = str(tmp_path / "mp")
+    VersionedTable(None, root)  # create dirs
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_mp_commit_worker, args=(root, w, 15))
+             for w in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+    assert all(p.exitcode == 0 for p in procs)
+    t = VersionedTable(None, root)
+    assert t.latest_version() == 60
+    files = t._load_manifest(60)["files"]
+    assert len(files) == 60 and len(set(files)) == 60
+    # every worker's every commit is present — nothing overwritten
+    assert {f"w{w}-{i}.parquet" for w in range(4) for i in range(15)} \
+        == set(files)
+
+
 def test_concurrent_appends_no_lost_updates(spark, tmp_path):
     """Racing writers (separate instances, shared root) must all land:
     the fails-if-exists manifest create + append retry loop means no
