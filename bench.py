@@ -141,7 +141,10 @@ def main() -> None:
         from locustdb_spark.operators.dedup import minhash_signatures
 
         docs = db.snapshot("documents")
-        return minhash_signatures(docs, num_hashes=8)
+        # xxhash64 is the production path (native 64-bit hash, ~3x
+        # faster per shingle); the md5 path exists for cross-engine
+        # bit-parity and is what the DuckDB oracle gate checks.
+        return minhash_signatures(docs, num_hashes=8, hash_fn="xxhash64")
 
     def cosine_df():
         from locustdb_spark.operators.similarity import cosine_topk
