@@ -80,6 +80,9 @@ class LocustDB:
         self._external: dict[str, str] = {}
         # name -> DataFrame for registered (possibly cached) views
         self._views: dict[str, DataFrame] = {}
+        # name -> VersionedTable, resolved to its LATEST committed
+        # version at each snapshot() (live binding, unlike _views)
+        self._versioned: dict[str, Any] = {}
         # cumulative operation counters (reference PerfCounter analog)
         self._perf: dict[str, int] = {
             "queries": 0, "rows_returned": 0, "rows_ingested": 0,
@@ -105,7 +108,7 @@ class LocustDB:
         return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
 
     def table_names(self) -> list[str]:
-        names = set(self._external) | set(self._views)
+        names = set(self._external) | set(self._views) | set(self._versioned)
         if os.path.isdir(self.tables_dir):
             names.update(
                 d for d in os.listdir(self.tables_dir)
@@ -230,12 +233,20 @@ class LocustDB:
         `read(version=k)` time-travels. Use for tables that need the
         reference's consistent-snapshot contract (table.rs:62-102)
         under concurrent maintenance — plain parquet-dir tables race
-        with compact()'s directory swap."""
+        with compact()'s directory swap.
+
+        The table is also registered as a LIVE dialect table: every
+        `db.sql(...)` over `name` resolves the latest committed
+        version at query time (no re-registration after appends)."""
         from .versioned import VersionedTable
 
         self._record_created(name)
-        return VersionedTable(
-            self.spark, os.path.join(self.db_path, "versioned", name))
+        vt = self._versioned.get(name)
+        if vt is None:
+            vt = VersionedTable(
+                self.spark, os.path.join(self.db_path, "versioned", name))
+            self._versioned[name] = vt
+        return vt
 
     def gen_table(
         self,
@@ -264,7 +275,12 @@ class LocustDB:
         if name.startswith("_meta_columns_"):
             return self._meta_columns_df(name[len("_meta_columns_"):])
         parts: list[DataFrame] = []
-        if name in self._views:
+        if name in self._versioned:
+            vt = self._versioned[name]
+            if vt.latest_version() is not None:
+                # live binding: each query sees the latest commit
+                parts.append(vt.read())
+        elif name in self._views:
             parts.append(self._views[name])
         elif self._has_parquet(name) or name in self._external:
             # mergeSchema: later partitions may have added columns

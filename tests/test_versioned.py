@@ -180,6 +180,25 @@ def test_append_if_absent_is_idempotent(spark, vt):
     assert vt.read().count() == 15
 
 
+def test_versioned_live_dialect_binding(spark, tmp_path):
+    """db.versioned(name) registers a LIVE dialect table: each query
+    resolves the latest committed version, no re-registration after
+    appends or maintenance."""
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    t = db.versioned("vlive")
+    t.append(spark.range(5).selectExpr("id AS a"))
+    assert db.run_query("SELECT count(0) FROM vlive")["rows"] == [(5,)]
+    t.append(spark.range(5, 12).selectExpr("id AS a"))
+    assert db.run_query("SELECT count(0) FROM vlive")["rows"] == [(12,)]
+    t.compact()
+    assert db.run_query("SELECT sum(a) FROM vlive")["rows"] == [(66,)]
+    assert "vlive" in db.table_names()
+    assert db.versioned("vlive") is t          # same handle
+    db.table_stats()                           # doesn't choke on it
+
+
 def test_txn_id_makes_append_exactly_once(spark, vt):
     """A replayed append (same or older txn_id) is a no-op — the
     crashed-between-sink-and-checkpoint case of foreachBatch."""
