@@ -431,6 +431,34 @@ def test_cluster_conf_scales_with_input():
     assert all(isinstance(v, str) for v in big.values())
 
 
+def test_shuffle_counts_do_not_regress(spark):
+    """Fleet-wide plan-regression net: every queries() entry's Exchange
+    count must not exceed the docs/SHUFFLE_AUDIT.md baseline (shuffle
+    count is THE scale-limiting plan property), and every query must be
+    IN the audit — adding a query without regenerating the audit
+    (`python scripts/shuffle_audit.py`) fails here, so the doc can't
+    rot."""
+    import os as _os
+    import re
+
+    import __spark_entry__ as entry
+
+    doc = open(_os.path.join(_os.path.dirname(__file__), "..", "docs",
+                             "SHUFFLE_AUDIT.md")).read()
+    golden = {m[0]: int(m[1])
+              for m in re.findall(r"^\| (\w+) \| (\d+) \|$", doc, re.M)}
+    worse, missing = {}, []
+    for name, fn in entry.queries().items():
+        if name not in golden:
+            missing.append(name)
+            continue
+        n = n_exchanges(explain_str(fn(spark, TESTDATA_SF)))
+        if n > golden[name]:
+            worse[name] = {"now": n, "audited": golden[name]}
+    assert not worse, f"shuffle-count regressions: {worse}"
+    assert not missing, f"regenerate the shuffle audit for: {missing}"
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Fleet-wide scale guard: no queries() entry may compile to a
     row-at-a-time Python UDF (BatchEvalPython). Python is allowed only
