@@ -2730,7 +2730,8 @@ def oracle_sql() -> dict[str, str]:
             + f", b AS ({_duck_buckets()}) "
             "SELECT sims.vec_id, cosine_sim FROM sims "
             "JOIN b ON sims.vec_id = b.vec_id "
-            "WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = 0) "
+            "WHERE bit_count(xor(b.bucket, "
+            "  (SELECT bucket FROM b WHERE vec_id = 0))) <= 1 "
             "ORDER BY cosine_sim DESC, sims.vec_id LIMIT 10"
         ),
         "sim_lsh_buckets": _duck_buckets(),

@@ -615,6 +615,27 @@ def test_ann_ivf_probe_subset_and_deterministic(emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ann_lsh_multiprobe_recall(spark, emb):
+    """Multi-probe LSH: widening the Hamming radius can only add
+    candidates (nested sets), so recall@k is monotone in the radius,
+    and radius == num_planes degrades to exact search."""
+    from locustdb_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk)
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+
+    def recall(h):
+        got = {r.vec_id
+               for r in ann_lsh_topk(emb, qv, k=10, num_planes=8,
+                                     multiprobe=h).collect()}
+        return len(exact & got) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    assert recall(8) == 1.0  # full radius == brute force
+
+
 def test_funnel_known_values(spark):
     from locustdb_spark.operators.events import funnel
 
