@@ -636,6 +636,27 @@ def test_ann_lsh_multiprobe_recall(spark, emb):
     assert recall(8) == 1.0  # full radius == brute force
 
 
+def test_ann_ivf_nprobe_recall_monotone(spark, emb):
+    """IVF: probing more clusters only adds candidates, so recall@k is
+    monotone in nprobe, and nprobe == n_clusters is exact."""
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk, cosine_topk, kmeans_centroids)
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+    cents = kmeans_centroids(emb, n_clusters=8)
+
+    def recall(np_):
+        got = {r.vec_id for r in ann_ivf_topk(
+            emb, qv, k=10, n_clusters=8, nprobe=np_,
+            centroids=cents).collect()}
+        return len(exact & got) / len(exact)
+
+    rs = [recall(n) for n in (1, 2, 4, 8)]
+    assert rs == sorted(rs)
+    assert rs[-1] == 1.0
+
+
 def test_funnel_known_values(spark):
     from locustdb_spark.operators.events import funnel
 
