@@ -333,9 +333,15 @@ def test_runtime_bloom_filter_on_shuffle_join(spark):
         plan = explain_str(joined)
         assert "mightcontain" in plan.lower() or "bloomfilter" in plan.lower()
     finally:
+        # restore EXACTLY: a key whose conf.get returned None must be
+        # unset, not left at the test's value — leaving the floored
+        # thresholds in place injects bloom filters (an extra Exchange)
+        # into every later shuffle-join plan in the session
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_tpch_q3_fact_table_never_shuffles_for_join(spark):
