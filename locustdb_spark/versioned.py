@@ -213,7 +213,13 @@ class VersionedTable:
         duplicate rows — the batch-level analog of the streaming
         checkpoint's exactly-once append. The anti-join's build side is
         only the key column of the live table; at scale Catalyst plans
-        it as a shuffle join on the key, never a corpus broadcast."""
+        it as a shuffle join on the key, never a corpus broadcast.
+
+        Concurrency note: the absent-check reads a snapshot, so two
+        writers appending the SAME keys simultaneously can both pass
+        it — key uniqueness is guaranteed against committed data, not
+        against in-flight writers. Serialize same-key writers (or use
+        `txn_id` for replay protection, which IS race-safe)."""
         latest = self.latest_version()
         if latest is None:
             return self.append(df)
