@@ -544,6 +544,16 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(_read(spark, sf_dir, "events"))
 
 
+def x_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a 1-hour conversion window per step
+    (operators/events.py funnel within_ns) — same single shuffle on
+    user_id as the unwindowed funnel."""
+    from locustdb_spark.operators.events import funnel
+
+    return funnel(_read(spark, sf_dir, "events"), FUNNEL_STEPS,
+                  within_ns=3_600_000_000_000)
+
+
 def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization (operators/events.py): one
     shuffle on user_id; the per-session rollup reuses the window's
@@ -1560,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_event_transitions": x_event_transitions,
         "x_first_touch": x_first_touch,
         "x_funnel": x_funnel,
+        "x_funnel_window": x_funnel_window,
         "x_retention": x_retention,
         "x_sessionize": x_sessionize,
         "x_unpivot": x_unpivot,
@@ -2579,6 +2590,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.user_id, min(t) AS t3 FROM e
               JOIN s2 USING (user_id)
               WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1
+            )
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "x_funnel_window": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+            ), s1 AS (
+              SELECT user_id, min(t) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(t) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND t >= t1
+                AND t <= t1 + 3600000000000 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(t) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND t >= t2
+                AND t <= t2 + 3600000000000 GROUP BY 1
             )
             SELECT 1 AS step, 'view' AS event_type,
                    (SELECT count(*) FROM s1) AS users

@@ -41,10 +41,13 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_ns: int | None = None,
 ) -> DataFrame:
     """Ordered funnel: for step i, count users whose first qualifying
     step-i event is at-or-after their first qualifying step-(i-1)
-    event. Returns one row per step: (step, event_type, users).
+    event — and, when `within_ns` is set, no more than that far after
+    it (a conversion window: 'purchased within 7 days of clicking').
+    Returns one row per step: (step, event_type, users).
     """
     ev = events.filter(F.col(type_col).isin(list(steps)))
     per_user = ev.groupBy(user_col).agg(*[
@@ -54,14 +57,20 @@ def funnel(
         for i, s in enumerate(steps)
     ])
     # Resolve step times left-to-right: t_i = min ts of step i that is
-    # >= t_{i-1}. Pure JVM array expressions over the already-grouped
-    # lists — no further shuffle.
+    # >= t_{i-1} (and <= t_{i-1} + within_ns when windowed). Pure JVM
+    # array expressions over the already-grouped lists — no further
+    # shuffle.
     per_user = per_user.withColumn("_t_0", F.array_min("_ts_0"))
     for i in range(1, len(steps)):
         prev = F.col(f"_t_{i - 1}")
+        if within_ns is None:
+            qualifies = lambda x: x >= prev  # noqa: E731
+        else:
+            qualifies = (  # noqa: E731
+                lambda x: (x >= prev) & (x <= prev + F.lit(within_ns)))
         per_user = per_user.withColumn(
             f"_t_{i}",
-            F.array_min(F.filter(F.col(f"_ts_{i}"), lambda x: x >= prev)),
+            F.array_min(F.filter(F.col(f"_ts_{i}"), qualifies)),
         )
     counts = per_user.agg(*[
         F.count(f"_t_{i}").alias(f"_u_{i}") for i in range(len(steps))

@@ -676,6 +676,28 @@ def test_funnel_known_values(spark):
     assert out == {1: ("view", 3), 2: ("click", 1), 3: ("buy", 1)}
 
 
+def test_funnel_conversion_window(spark):
+    """within_ns bounds each step: user 1 converts inside the window;
+    user 2's click comes too late; user 3's late click is skipped but
+    a second in-window click converts (first-qualifying semantics)."""
+    from locustdb_spark.operators.events import funnel
+
+    rows = [
+        (1, "view", 100), (1, "click", 150),
+        (2, "view", 100), (2, "click", 500),
+        (3, "view", 100), (3, "click", 90), (3, "click", 180),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts long")
+    out = {r.step: r.users
+           for r in funnel(ev, ["view", "click"], within_ns=100).collect()}
+    assert out == {1: 3, 2: 2}
+    # unwindowed: user 2 also converts
+    out2 = {r.step: r.users
+            for r in funnel(ev, ["view", "click"]).collect()}
+    assert out2 == {1: 3, 2: 3}
+
+
 def test_funnel_same_timestamp_counts(spark):
     from locustdb_spark.operators.events import funnel
 
