@@ -529,6 +529,15 @@ def p_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, MIXTURE_RATES, MIXTURE_DEFAULT).select("doc_id", "source")
 
 
+def p_sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training export
+    (operators/sampling.py shuffle_shards): md5-derived (shard,
+    position), byte-identical on any engine or cluster layout."""
+    from locustdb_spark.operators.sampling import shuffle_shards
+
+    return shuffle_shards(_read(spark, sf_dir, "documents"), n_shards=4)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1623,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": p_sample_split,
         "sample_pack": p_pack_sequences,
         "sample_mixture": p_sample_mixture,
+        "sample_shuffle_shards": p_sample_shuffle_shards,
         "sim_cosine_topk": p_cosine_topk,
         "sim_knn_join": p_knn_join,
         "sim_ann_lsh": p_ann_lsh,
@@ -2575,6 +2585,19 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 'src2' THEN {int(MIXTURE_RATES['src2'] * (1 << 60))}
                   ELSE {int(MIXTURE_DEFAULT * (1 << 60))}
                 END
+        """,
+        "sample_shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(doc_id::VARCHAR || '|shuffle'), 1, 15)
+                )::BIGINT AS hv
+              FROM documents
+            )
+            SELECT doc_id, CAST(hv % 4 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY hv % 4 ORDER BY hv) - 1 AS INT)
+                   AS position
+            FROM h
         """,
         "x_funnel": """
             WITH e AS (

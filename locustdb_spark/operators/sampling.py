@@ -148,3 +148,40 @@ def train_val_test_split(
         .when(h < test_t, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the export step of a
+    training pipeline: every example gets a pseudo-random but fully
+    reproducible (shard, position) so any engine, any cluster layout,
+    and any retry produces byte-identical training shards. Shard is
+    the id hash mod n_shards; position is the rank of the hash within
+    the shard (ties impossible: distinct ids give distinct 60-bit
+    hashes with ~2^-40 collision odds at billions of rows — and a
+    collision only swaps two neighbors).
+
+    Scale shape: one shuffle — the rank window partitions by shard, so
+    n_shards reducers each sort their own slice; no global sort, no
+    driver involvement. For multi-TB shards, split further with
+    repartitionByRange on the hash inside each shard before writing.
+    """
+    from pyspark.sql.window import Window
+
+    h = _id_hash(id_col, salt)
+    with_shard = df.select(
+        F.col(id_col),
+        (h % F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h")
+    return (
+        with_shard.select(
+            F.col(id_col), "shard",
+            (F.row_number().over(w) - 1).alias("position"),
+        )
+    )

@@ -815,6 +815,31 @@ def test_sessionize_gap_boundary_and_ties(spark):
     assert by_seq == {1: 3, 2: 1}
 
 
+def test_shuffle_shards_deterministic_and_balanced(docs):
+    """Training-export shuffle: (shard, position) is a permutation —
+    every doc exactly once, positions dense 0..len(shard)-1 — and
+    byte-identical across runs; the order is decorrelated from doc_id
+    order."""
+    from locustdb_spark.operators.sampling import shuffle_shards
+
+    a = shuffle_shards(docs, n_shards=4).collect()
+    b = shuffle_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == docs.count()
+    assert len({r.doc_id for r in a}) == len(a)       # permutation
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions)))  # dense
+    # roughly balanced shards (hash mod): no shard 2x another
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes)
+    # different salt -> different permutation
+    c = shuffle_shards(docs, n_shards=4, salt="other").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+
 def test_mixture_sample_rates_and_determinism(docs):
     from locustdb_spark.operators.sampling import mixture_sample
 
