@@ -317,6 +317,27 @@ class VersionedTable:
             os.remove(self._manifest_path(v))
         return sorted(deleted)
 
+    def history(self) -> list[dict]:
+        """Commit log view (the DESCRIBE HISTORY shape): one entry per
+        retained version with file count, total bytes (for files still
+        on disk), committed-at mtime, and the last writer txn id."""
+        out = []
+        for v in self.versions():
+            m = self._load_manifest(v)
+            total = 0
+            for f in m["files"]:
+                p = os.path.join(self.data_dir, f)
+                if os.path.exists(p):
+                    total += os.path.getsize(p)
+            out.append({
+                "version": v,
+                "num_files": len(m["files"]),
+                "bytes": total,
+                "committed_at": os.path.getmtime(self._manifest_path(v)),
+                "last_txn": m.get("last_txn"),
+            })
+        return out
+
     # -- reads ---------------------------------------------------------
 
     def read(self, version: int | None = None,

@@ -385,6 +385,16 @@ def test_compact_conflict_detected(spark, vt):
     assert vt.read().count() == 30
 
 
+def test_history_surface(spark, vt):
+    vt.append(_rows(spark, 0, 10), txn_id=0)
+    vt.append(_rows(spark, 10, 30), txn_id=1)
+    h = vt.history()
+    assert [e["version"] for e in h] == [1, 2]
+    assert h[0]["num_files"] <= h[1]["num_files"]
+    assert h[1]["last_txn"] == 1 and h[0]["last_txn"] == 0
+    assert all(e["bytes"] > 0 for e in h)
+
+
 def test_empty_version_history_raises(vt):
     with pytest.raises(ValueError):
         vt.read()
