@@ -385,6 +385,44 @@ def test_compact_conflict_detected(spark, vt):
     assert vt.read().count() == 30
 
 
+def test_random_op_sequences_preserve_table_contents(spark, tmp_path):
+    """Model-based check: any interleaving of append / compact /
+    cluster / vacuum must leave read() equal to the union of appended
+    rows — maintenance operations may reorganize files but can never
+    lose, duplicate, or corrupt a row."""
+    import itertools
+    import tempfile
+
+    from locustdb_spark import VersionedTable
+
+    sequences = [
+        ["append", "compact", "append", "vacuum", "cluster"],
+        ["append", "append", "cluster", "compact", "vacuum", "append"],
+        ["append", "vacuum", "append", "compact", "compact"],
+        ["append", "cluster", "vacuum", "cluster", "append", "vacuum"],
+    ]
+    counter = itertools.count()
+    for ops in sequences:
+        vt = VersionedTable(
+            spark, tempfile.mkdtemp(dir=tmp_path, prefix="model"))
+        expected: set[int] = set()
+        for op in ops:
+            if op == "append":
+                lo = next(counter) * 100
+                vt.append(_rows(spark, lo, lo + 37).coalesce(2))
+                expected.update(range(lo, lo + 37))
+            elif op == "compact":
+                vt.compact(small_file_mb=10_000)
+            elif op == "cluster":
+                vt.cluster(["id", "v"], num_files=3)
+            elif op == "vacuum":
+                vt.vacuum(keep_last=1)
+            got = sorted(r.id for r in vt.read().collect())
+            assert got == sorted(expected), (ops, op)
+            # v values ride along uncorrupted
+            assert all(r.v == r.id * 2 for r in vt.read().collect())
+
+
 def test_history_surface(spark, vt):
     vt.append(_rows(spark, 0, 10), txn_id=0)
     vt.append(_rows(spark, 10, 30), txn_id=1)
