@@ -359,6 +359,16 @@ def p_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_segments(_read(spark, sf_dir, "documents"))
 
 
+def p_dedup_drop_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 boilerplate rule (operators/dedup.py drop_frequent_segments):
+    every copy of a segment occurring >= 2 times corpus-wide is
+    dropped, docs reassembled from the survivors."""
+    from locustdb_spark.operators.dedup import drop_frequent_segments
+
+    return drop_frequent_segments(
+        _read(spark, sf_dir, "documents"), min_count=2)
+
+
 def p_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.dedup import minhash_signatures
 
@@ -1617,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline operators ---
         "dedup_exact": p_dedup_exact,
         "dedup_segments": p_dedup_segments,
+        "dedup_drop_frequent": p_dedup_drop_frequent,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_clusters": p_dedup_clusters,
@@ -2408,6 +2419,29 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN rn = 1 THEN segment END, ' '
                      ORDER BY seg_idx), '') AS text_clean
             FROM rn GROUP BY id
+        """,
+        "dedup_drop_frequent": """
+            WITH w AS (
+              SELECT doc_id AS id, string_split(text, ' ') AS ws
+              FROM documents
+            ), seg AS (
+              SELECT id, g AS seg_idx,
+                     array_to_string(ws[g*8+1 : g*8+8], ' ') AS segment
+              FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+                       AS g)
+            ), counted AS (
+              SELECT id, seg_idx, segment,
+                     count(*) OVER (PARTITION BY segment) AS n
+              FROM seg
+            )
+            SELECT id, count(*) AS n_segments,
+                   CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   coalesce(string_agg(
+                     CASE WHEN n < 2 THEN segment END, ' '
+                     ORDER BY seg_idx), '') AS text_clean
+            FROM counted GROUP BY id
         """,
         "dedup_minhash": (
             _duck_minhash_cte() + " SELECT * FROM sig"

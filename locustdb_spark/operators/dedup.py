@@ -482,3 +482,56 @@ def dedup_segments(
             ).alias("text_clean"),
         )
     )
+
+
+def drop_frequent_segments(
+    df: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """The other C4 line rule: drop EVERY copy of a segment that occurs
+    at least `min_count` times across the corpus (boilerplate removal —
+    nav bars, cookie banners, license headers — where keeping even one
+    copy per document is wrong), vs `dedup_segments` which keeps the
+    first occurrence. Same shuffle shape: map-side segmentation, one
+    window over the segment value for the corpus count, one
+    groupBy(doc_id) reassembly.
+
+    Returns (id, n_segments, n_kept, text_clean).
+    """
+    words = F.split(F.col(content_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda g: F.struct(
+            g.alias("seg_idx"),
+            F.array_join(
+                F.slice(words, g * n_words + 1, n_words), " "
+            ).alias("segment"),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
+        .select("id", "s.seg_idx", "s.segment")
+    )
+    w = Window.partitionBy("segment")
+    counted = exploded.withColumn("_n", F.count(F.lit(1)).over(w))
+    keep = F.col("_n") < F.lit(min_count)
+    return (
+        counted.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        keep, F.struct("seg_idx", "segment")))),
+                    lambda s: s.segment,
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

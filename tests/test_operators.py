@@ -783,6 +783,29 @@ def test_dedup_segments_known_values(spark):
     }
 
 
+def test_drop_frequent_segments_known_values(spark):
+    """Boilerplate rule: ALL copies of a segment with corpus count >=
+    min_count are dropped (unlike dedup_segments' keep-first)."""
+    from locustdb_spark.operators.dedup import drop_frequent_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # "a b" x3 corpus-wide -> dropped
+            (2, "a b e f"),
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: (r.n_segments, r.n_kept, r.text_clean)
+           for r in drop_frequent_segments(
+               docs, min_count=3, n_words=2).collect()}
+    assert out == {
+        1: (2, 1, "c d"),
+        2: (2, 1, "e f"),
+        3: (1, 0, ""),
+    }
+
+
 def test_sessionize_known_values(spark):
     from locustdb_spark.operators.events import sessionize
 
