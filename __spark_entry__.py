@@ -377,12 +377,31 @@ def p_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive (clique) banding semantics — every same-band pair is
+    emitted, quadratic in the largest bucket. Kept oracle-identical to
+    classic LSH; the scale path is `dedup_lsh_pairs_collapsed`."""
     from locustdb_spark.operators.dedup import (
         lsh_candidate_pairs, minhash_signatures)
 
     sigs = minhash_signatures(
         _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES)
-    return lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2)
+    return lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2,
+                               collapse_exact=False)
+
+
+def p_lsh_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production LSH banding: documents with identical full
+    signatures collapse to one representative before the band
+    self-join — a group of n exact dups contributes O(n) star pairs
+    instead of an O(n^2) clique, with identical downstream connected
+    components (operators/dedup.py lsh_candidate_pairs)."""
+    from locustdb_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    sigs = minhash_signatures(
+        _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES)
+    return lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2,
+                               collapse_exact=True)
 
 
 def p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_frequent": p_dedup_drop_frequent,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
+        "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
         "dedup_clusters": p_dedup_clusters,
         "dedup_incremental": p_incremental_dedup,
         "pipeline_corpus_prep": p_pipeline_corpus_prep,
@@ -2460,6 +2480,41 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.band_val = r.band_val
              AND l.doc_id < r.doc_id
+            """
+        ),
+        "dedup_lsh_pairs_collapsed": (
+            _duck_minhash_cte()
+            + """,
+            reps AS (
+              SELECT mh0, mh1, mh2, mh3, min(doc_id) AS rep
+              FROM sig GROUP BY 1, 2, 3, 4
+            ),
+            star AS (
+              SELECT r.rep AS id_a, s.doc_id AS id_b
+              FROM sig s JOIN reps r USING (mh0, mh1, mh2, mh3)
+              WHERE s.doc_id <> r.rep
+            ),
+            rsig AS (
+              SELECT rep AS doc_id, mh0, mh1, mh2, mh3 FROM reps
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     mh0::VARCHAR || '_' || mh1::VARCHAR AS band_val
+              FROM rsig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     mh2::VARCHAR || '_' || mh3::VARCHAR AS band_val
+              FROM rsig
+            ),
+            banded AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            )
+            SELECT DISTINCT id_a, id_b FROM (
+              SELECT * FROM banded UNION ALL SELECT * FROM star
+            )
             """
         ),
         "dedup_clusters": (

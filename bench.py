@@ -143,7 +143,10 @@ def main() -> None:
         docs = db.snapshot("documents")
         # xxhash64 is the production path (native 64-bit hash, ~3x
         # faster per shingle); the md5 path exists for cross-engine
-        # bit-parity and is what the DuckDB oracle gate checks.
+        # bit-parity and is what the DuckDB oracle gate checks. The
+        # xxhash64 lane algebra benched here is itself pinned by an
+        # independent-plan equivalence test (test_operators.py::
+        # test_minhash_xxhash64_matches_exploded_formulation).
         return minhash_signatures(docs, num_hashes=8, hash_fn="xxhash64")
 
     def cosine_df():

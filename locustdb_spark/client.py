@@ -47,6 +47,21 @@ def _post(url: str, payload: Any, timeout: float = 60.0,
         raise RequestError(e.code, e.read().decode(errors="replace")) from e
 
 
+def _post_bytes(url: str, data: bytes, timeout: float = 60.0,
+                bearer_token: str | None = None) -> Any:
+    req = urllib.request.Request(
+        url, data=data,
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    if bearer_token:
+        req.add_header("Authorization", f"Bearer {bearer_token}")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as e:
+        raise RequestError(e.code, e.read().decode(errors="replace")) from e
+
+
 class LoggingClient:
     def __init__(
         self,
@@ -55,12 +70,18 @@ class LoggingClient:
         max_buffer_size_bytes: int = 64 * (1 << 20),
         buffer_full_policy: BufferFullPolicy = BufferFullPolicy.BLOCK,
         bearer_token: str | None = None,
+        binary: bool = True,
     ):
+        """``binary=True`` (default) flushes as the reference's
+        packed-capnp EventBuffer wire format (logging_client/mod.rs:70,
+        encoded by sources/event_buffer.py); ``binary=False`` keeps the
+        columnar JSON body for servers predating the binary path."""
         self.url = url.rstrip("/")
         self.flush_interval = flush_interval
         self.max_buffer_size_bytes = max_buffer_size_bytes
         self.buffer_full_policy = buffer_full_policy
         self.bearer_token = bearer_token
+        self.binary = binary
         self.total_events = 0
         self.dropped_events = 0
         self._buffer: dict[str, dict[str, list]] = {}
@@ -128,9 +149,21 @@ class LoggingClient:
             }}
             self._buffer = {}
             self._buffer_bytes = 0
+        blob: bytes | None = None
+        if self.binary:
+            try:
+                blob = self._encode_binary(payload)
+            except Exception:  # noqa: BLE001 — deterministic encode
+                # failure: retrying binary would loop forever, but the
+                # server also accepts the columnar JSON body
+                blob = None
         try:
-            _post(f"{self.url}/insert_bin", payload,
-                  bearer_token=self.bearer_token)
+            if blob is not None:
+                _post_bytes(f"{self.url}/insert_bin", blob,
+                            bearer_token=self.bearer_token)
+            else:
+                _post(f"{self.url}/insert_bin", payload,
+                      bearer_token=self.bearer_token)
         except Exception:  # noqa: BLE001 — reference logs & retains
             # put events back so they are retried on the next tick
             with self._lock:
@@ -142,6 +175,39 @@ class LoggingClient:
             return
         with self._lock:
             self._flushed.notify_all()
+
+    @staticmethod
+    def _encode_binary(payload: dict) -> bytes:
+        """Columnar buffer -> packed-capnp EventBuffer bytes. Column
+        value lists are replayed through ColumnData.push so dense /
+        sparse / promotion semantics match the reference ColumnBuffer
+        (event_buffer.rs:131-209): None entries become gaps, making
+        the column sparse on the wire."""
+        from .sources.event_buffer import ColumnData, EventBuffer, TableBuffer
+
+        buf = EventBuffer()
+        for table, tbuf in payload["tables"].items():
+            columns: dict[str, ColumnData] = {}
+            length = max((len(v) for v in tbuf["columns"].values()),
+                         default=0)
+            for cname, vals in tbuf["columns"].items():
+                col = ColumnData()
+                try:
+                    for i, v in enumerate(vals):
+                        col.push(v, i)
+                except (TypeError, ValueError):
+                    # shapes the dense/sparse variants cannot express —
+                    # a string column with gaps (the reference's
+                    # ColumnBuffer::push panics on those), or a column
+                    # mixing strings with numbers — travel as the
+                    # `mixed` AnyVal variant, which carries nulls.
+                    col = ColumnData(
+                        "mixed", [v if v is None or
+                                  isinstance(v, (int, float, str))
+                                  else str(v) for v in vals])
+                columns[cname] = col
+            buf.tables[table] = TableBuffer(len=length, columns=columns)
+        return buf.serialize()
 
     # ------------------------------------------------------------ queries
     def query(self, sql: str) -> dict:

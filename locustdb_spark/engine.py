@@ -350,7 +350,15 @@ class LocustDB:
         for name in self.table_names():
             # skip names Spark can't use as bare view identifiers
             if name.replace("_", "").isalnum() and not name[0].isdigit():
-                self.snapshot(name).createOrReplaceTempView(name)
+                try:
+                    snap = self.snapshot(name)
+                except QueryError:
+                    # e.g. a versioned table registered via versioned()
+                    # that has no committed version yet — it has no
+                    # snapshot, and must not break queries over OTHER
+                    # tables
+                    continue
+                snap.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
     def run_query(self, query: str, explain: bool = False) -> dict[str, Any]:

@@ -49,7 +49,18 @@ def morton_interleave(
     are interleaved — bit i of column j lands at position
     i*ncols + j. A pure shift/mask Catalyst expression tree (no UDF),
     used by `LocustDB.save_zordered` and `VersionedTable.cluster` to
-    make min/max file stats tight on EVERY curve column."""
+    make min/max file stats tight on EVERY curve column.
+
+    `bits` is capped at 63 // ncols: interleaved bits past position 62
+    would land in (or beyond) the long sign bit, producing negative /
+    aliased keys that silently scramble repartitionByRange ordering —
+    with 4 columns the effective default is 15 bits per column."""
+    ncols = max(1, len(cols_with_bounds))
+    bits = min(bits, 63 // ncols)
+    if bits < 1:
+        raise ValueError(
+            f"morton_interleave: {ncols} columns cannot share a 63-bit "
+            "key with >=1 bit each")
     scaled = []
     for col, lo, hi in cols_with_bounds:
         span = (hi - lo) or 1.0

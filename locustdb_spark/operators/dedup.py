@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # 60-bit portable hash: conv(substr(md5(x), 1, 15), 16, 10)
 # == DuckDB ('0x' || substr(md5(x), 1, 15))::BIGINT
@@ -146,6 +145,8 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    collapse_exact: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over a MinHash signature table -> candidate pairs.
 
@@ -153,20 +154,60 @@ def lsh_candidate_pairs(
     lanes) become a candidate pair. Only (band_value, id) tuples are
     shuffled. Output: (id_a, id_b) with id_a < id_b, distinct.
 
-    The signature table is persisted first: it is id + num_hashes
-    longs per document (a sliver of the corpus), and it is referenced
-    2 x bands times below (each band, each join side) — without the
-    persist every reference would re-shingle and re-hash the full
-    corpus text.
+    Blowup control (r1 finding: the band self-join is quadratic in the
+    largest bucket — 10k identical docs would emit ~50M pairs from one
+    bucket):
+
+    - ``collapse_exact`` (default True): documents with an IDENTICAL
+      full signature are collapsed to one representative (min id)
+      before banding; each collapsed member is linked to its
+      representative with a single star pair instead of a clique. A
+      group of n exact-signature duplicates therefore contributes
+      O(n) pairs, not O(n^2) — and since downstream clustering
+      (`dedup_clusters`) takes connected components, the final
+      keep/drop decision is unchanged. On a corpus with no
+      identical-signature documents the output is bit-identical to
+      naive banding (which is what the SQL oracle checks).
+      The rep extraction is a groupBy over the signature columns —
+      map-side partial aggregation collapses hot signatures before
+      the shuffle — and the member->rep link is a many-to-one join
+      that AQE's skew handling can split.
+    - ``max_bucket`` (optional): band buckets larger than this are
+      dropped entirely before the self-join (the LSH analog of
+      stop-word removal: a bucket hit by that many near-identical
+      documents is boilerplate, and its members overwhelmingly share
+      other, smaller buckets). Documented recall trade-off; None
+      keeps every bucket.
+
+    The signature/representative table is persisted: it is id +
+    num_hashes longs per document (a sliver of the corpus), and it is
+    referenced 2 x bands times below (each band, each join side) —
+    without the persist every reference would re-shingle and re-hash
+    the full corpus text.
     """
-    signatures = signatures.persist()
+    sig_cols = [f"mh{j}" for j in range(num_hashes)]
+    star_pairs = None
+    if collapse_exact:
+        signatures = signatures.persist()
+        reps = signatures.groupBy(*sig_cols).agg(
+            F.min(id_col).alias("_rep"))
+        star_pairs = (
+            signatures.join(reps, sig_cols)
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"),
+                    F.col(id_col).alias("id_b"))
+        )
+        band_source = reps.select(
+            F.col("_rep").alias(id_col), *sig_cols).persist()
+    else:
+        band_source = signatures.persist()
     rpb = num_hashes // bands
     band_rows = []
     for b in range(bands):
         lanes = [F.col(f"mh{j}").cast("string")
                  for j in range(b * rpb, (b + 1) * rpb)]
         band_rows.append(
-            signatures.select(
+            band_source.select(
                 F.col(id_col),
                 F.lit(b).alias("band"),
                 F.concat_ws("_", *lanes).alias("band_val"),
@@ -175,9 +216,17 @@ def lsh_candidate_pairs(
     all_bands = band_rows[0]
     for r in band_rows[1:]:
         all_bands = all_bands.unionByName(r)
+    if max_bucket is not None:
+        ok = (
+            all_bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        all_bands = all_bands.join(ok, ["band", "band_val"])
     left = all_bands.alias("l")
     right = all_bands.alias("r")
-    return (
+    banded = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -186,8 +235,10 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if star_pairs is not None:
+        banded = banded.unionByName(star_pairs)
+    return banded.distinct()
 
 
 def simhash(
@@ -200,24 +251,45 @@ def simhash(
 
     bit b of the hash is set when sum over tokens of (+1 if bit b of
     the token's 32-bit hash else -1) > 0. Pure projection, no shuffle.
+
+    Each token is md5-hashed exactly ONCE (r1 finding: the per-bit
+    formulation evaluated the md5 inside every one of the 32 bit
+    lambdas — Catalyst does not CSE across higher-order-function
+    lambdas, so map-side CPU was ~32x what one hash-per-token needs).
+    Here the hash array is materialized by a single `transform`, then
+    one `aggregate` pass folds all `bits` vote counters at once (the
+    accumulator is an array<long>, one counter per bit; the per-bit
+    masks are a literal array zipped against it), and a final fold
+    turns positive votes into set bits. Output is bit-identical to the
+    per-bit formulation, so the existing DuckDB oracle still applies.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-
-    def vote_fn(mask: int):
-        # NB: the merge lambda must take exactly 2 params — pyspark treats a
-        # 3-param lambda as the (acc, x, idx) variant.
-        return lambda acc, t: acc + F.when(
-            tok_hash(t).bitwiseAND(F.lit(mask)) > 0, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(1 << b))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(0).cast("long"))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
+    # one md5 per token — the only hashing in the whole operator
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    # NB: the merge lambda must take exactly 2 params — pyspark treats a
+    # 3-param lambda as the (acc, x, idx) variant. `h` (the outer lambda
+    # variable) is captured inside the zip_with lambda: a variable
+    # reference, not a recomputation.
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) > 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return df.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -424,30 +496,11 @@ def ngram_jaccard_pairs(
     return out
 
 
-def dedup_segments(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    content_col: str = "text",
-    n_words: int = 8,
-) -> DataFrame:
-    """Cross-corpus segment-level exact dedup (the C4/RefinedWeb
-    "remove duplicated lines/paragraphs across the whole corpus" rule;
-    our synthetic docs have no newlines, so a "line" is a fixed
-    n_words-word segment, trailing remainder included). The globally
-    FIRST occurrence of a segment — ordered by (doc_id, seg_idx) —
-    survives; every later occurrence is dropped, and each doc's
-    surviving segments are reassembled in order.
-
-    Scale shape: segmentation is a map-side explode; the keep/drop
-    decision is one window over the segment value (a single shuffle
-    that carries each segment exactly once — unavoidable for EXACT
-    global dedup; a hash-prefilter variant would shuffle only 8-byte
-    hashes, at the price of collision semantics no SQL oracle can
-    mirror); reassembly is one groupBy(doc_id). No self-joins of the
-    corpus anywhere.
-
-    Returns (id, n_segments, n_kept, text_clean).
-    """
+def _explode_segments(df: DataFrame, id_col: str, content_col: str,
+                      n_words: int) -> DataFrame:
+    """Map-side segmentation: one row per (id, seg_idx, segment) where
+    a segment is a fixed n_words-word slice of the document (trailing
+    remainder included). Pure explode over a projection — no shuffle."""
     words = F.split(F.col(content_col), " ")
     n_segs = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
     segs = F.transform(
@@ -459,68 +512,18 @@ def dedup_segments(
             ).alias("segment"),
         ),
     )
-    exploded = (
+    return (
         df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
         .select("id", "s.seg_idx", "s.segment")
     )
-    w = Window.partitionBy("segment").orderBy("id", "seg_idx")
-    kept = exploded.withColumn("_rn", F.row_number().over(w))
+
+
+def _reassemble(flagged: DataFrame, keep: Column) -> DataFrame:
+    """groupBy(id) reassembly of surviving segments in seg_idx order.
+    Per-doc segment counts are bounded by document length, so this
+    shuffle is uniform in doc ids regardless of segment skew."""
     return (
-        kept.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
-            .cast("long").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.when(
-                        F.col("_rn") == 1,
-                        F.struct("seg_idx", "segment")))),
-                    lambda s: s.segment,
-                ),
-                " ",
-            ).alias("text_clean"),
-        )
-    )
-
-
-def drop_frequent_segments(
-    df: DataFrame,
-    min_count: int = 3,
-    id_col: str = "doc_id",
-    content_col: str = "text",
-    n_words: int = 8,
-) -> DataFrame:
-    """The other C4 line rule: drop EVERY copy of a segment that occurs
-    at least `min_count` times across the corpus (boilerplate removal —
-    nav bars, cookie banners, license headers — where keeping even one
-    copy per document is wrong), vs `dedup_segments` which keeps the
-    first occurrence. Same shuffle shape: map-side segmentation, one
-    window over the segment value for the corpus count, one
-    groupBy(doc_id) reassembly.
-
-    Returns (id, n_segments, n_kept, text_clean).
-    """
-    words = F.split(F.col(content_col), " ")
-    n_segs = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda g: F.struct(
-            g.alias("seg_idx"),
-            F.array_join(
-                F.slice(words, g * n_words + 1, n_words), " "
-            ).alias("segment"),
-        ),
-    )
-    exploded = (
-        df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
-        .select("id", "s.seg_idx", "s.segment")
-    )
-    w = Window.partitionBy("segment")
-    counted = exploded.withColumn("_n", F.count(F.lit(1)).over(w))
-    keep = F.col("_n") < F.lit(min_count)
-    return (
-        counted.groupBy("id")
+        flagged.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum(F.when(keep, 1).otherwise(0)).cast("long")
@@ -535,3 +538,85 @@ def drop_frequent_segments(
             ).alias("text_clean"),
         )
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """Cross-corpus segment-level exact dedup (the C4/RefinedWeb
+    "remove duplicated lines/paragraphs across the whole corpus" rule;
+    our synthetic docs have no newlines, so a "line" is a fixed
+    n_words-word segment, trailing remainder included). The globally
+    FIRST occurrence of a segment — ordered by (doc_id, seg_idx) —
+    survives; every later occurrence is dropped, and each doc's
+    surviving segments are reassembled in order.
+
+    Scale shape (two-phase; replaced the r1
+    `Window.partitionBy(segment)` formulation, which serialized every
+    copy of a hot segment through one reducer — and boilerplate
+    segments are hot BY DEFINITION, so the skew was the common case):
+
+    1. ``groupBy(segment).agg(min(struct(id, seg_idx)))`` finds each
+       segment's global first occurrence. The struct min plans as a
+       SortAggregate with a PARTIAL phase, so a segment appearing in
+       30% of documents is collapsed to ONE row per map task before
+       the shuffle — the reduce side sees at most num_map_tasks rows
+       per segment, never the copies themselves.
+    2. The (segment -> first) table joins back to the exploded
+       segments. Many-to-one join: the hot key's matches all come from
+       a single build row, so AQE skew-join can split the hot
+       partition freely (a window partition cannot be split).
+    3. Reassembly is one groupBy(doc_id) — uniform in doc ids.
+
+    (id, seg_idx) is a total order with no ties, so "equals the group
+    min" marks exactly the row `row_number() == 1` would — output is
+    bit-identical to the window formulation and the SQL oracle.
+
+    Returns (id, n_segments, n_kept, text_clean).
+    """
+    exploded = _explode_segments(df, id_col, content_col, n_words)
+    firsts = exploded.groupBy("segment").agg(
+        F.min(F.struct("id", "seg_idx")).alias("_first"))
+    flagged = exploded.join(firsts, "segment")
+    keep = (F.col("id") == F.col("_first.id")) & \
+        (F.col("seg_idx") == F.col("_first.seg_idx"))
+    return _reassemble(flagged, keep)
+
+
+def drop_frequent_segments(
+    df: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """The other C4 line rule: drop EVERY copy of a segment that occurs
+    at least `min_count` times across the corpus (boilerplate removal —
+    nav bars, cookie banners, license headers — where keeping even one
+    copy per document is wrong), vs `dedup_segments` which keeps the
+    first occurrence.
+
+    Scale shape (two-phase, same reasoning as `dedup_segments` — the
+    r1 `count().over(Window.partitionBy(segment))` serialized all
+    copies of each hot segment through one reducer): a partial-agg
+    count per segment, filtered to the (small) frequent-segment table,
+    left-joined back as a drop flag. The join is many-to-one on
+    `segment` against one row per FREQUENT segment, so AQE can split
+    hot partitions; non-frequent segments (the long tail) match
+    nothing. Reassembly is one groupBy(doc_id).
+
+    Returns (id, n_segments, n_kept, text_clean).
+    """
+    exploded = _explode_segments(df, id_col, content_col, n_words)
+    frequent = (
+        exploded.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("segment", F.lit(1).alias("_freq"))
+    )
+    flagged = exploded.join(frequent, "segment", "left")
+    keep = F.col("_freq").isNull()
+    return _reassemble(flagged, keep)

@@ -6,18 +6,20 @@ surface (reference src/server/mod.rs:51-465):
     POST /multi_query_cols  {"queries": [sql, ...]} -> [above, ...]
     POST /columns           {"tables": [...], "pattern"?, "limit"?,
                              "offset"?} -> {columns, offset, len}
-    POST /insert_bin        JSON event buffer (see below) -> {"status": "ok"}
+    POST /insert_bin        packed-capnp EventBuffer (reference wire
+                            format) OR JSON event buffer -> {"status": "ok"}
     POST /echo              body echoed back
     GET  /tables            plain-text table stats
     GET  /table/<name>      minimal HTML page listing the table's columns
     GET  /metrics           Prometheus text format
 
-Divergence from the reference: /insert_bin takes a JSON event buffer
+/insert_bin speaks the reference's binary wire format: a packed-capnp
+EventBuffer (locustdb-serialization/src/event_buffer.rs:92-101,
+decoded by sources/event_buffer.py — a pure-Python implementation of
+the public Cap'n Proto encoding), so existing LocustDB logging clients
+ingest unchanged. A columnar JSON body
     {"tables": {name: {"columns": {col: [v, ...], ...}}}}
-(the reference uses a capnp binary EventBuffer,
-locustdb-serialization/src/event_buffer.rs:92-101 — same nested
-tables->columns->values shape, different wire encoding; JSON is the
-Python-native equivalent and keeps the route/semantics identical).
+is still accepted as a fallback for r1-era Python clients.
 /multi_query_cols accepts the reference's EncodingOpts
 ({"xor_float_compression", "mantissa", "full_precision_cols"} —
 server/mod.rs:252-287): float columns then travel as base64 xor-float
@@ -207,6 +209,9 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/echo":
                 self._send(200, body.decode(), "text/plain")
                 return
+            if self.path == "/insert_bin":
+                self._insert_bin(body)
+                return
             req = json.loads(body or b"{}")
             if self.path == "/query":
                 self._send(200, _rows_output(self._run_query(req["query"])))
@@ -219,8 +224,6 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, out)
             elif self.path == "/columns":
                 self._columns(req)
-            elif self.path == "/insert_bin":
-                self._insert(req)
             else:
                 self._send(404, {"error": "not found"})
         except NotImplementedQueryError as e:
@@ -244,20 +247,41 @@ class _Handler(BaseHTTPRequestHandler):
             "len": n,
         })
 
-    def _insert(self, req: dict):
+    def _insert_bin(self, body: bytes):
+        """Binary-first ingestion, matching the reference handler
+        (server/mod.rs:335-365): the body is tried as a packed-capnp
+        `EventBuffer` (wal_segment.capnp TableSegmentList — any
+        existing LocustDB logging client's wire format) and, for
+        backward compatibility with r1 clients, falls back to the
+        columnar JSON body on decode failure."""
+        from .sources.event_buffer import EventBuffer
+
+        try:
+            per_table = EventBuffer.deserialize(body).to_rows()
+        except Exception:  # noqa: BLE001 — not capnp; try the JSON shape
+            try:
+                req = json.loads(body or b"{}")
+                per_table = {}
+                for table, tbuf in req["tables"].items():
+                    columns: dict[str, list] = tbuf["columns"]
+                    if not columns:
+                        continue
+                    length = max(len(v) for v in columns.values())
+                    per_table[table] = [
+                        {c: (vals[i] if i < len(vals) else None)
+                         for c, vals in columns.items()}
+                        for i in range(length)
+                    ]
+            except Exception as e:  # noqa: BLE001
+                self._send(
+                    400, f"Failed to deserialize request: {e}")
+                return
         n_rows = 0
-        for table, tbuf in req["tables"].items():
-            columns: dict[str, list] = tbuf["columns"]
-            if not columns:
+        for table, rows in per_table.items():
+            if not rows:
                 continue
-            length = max(len(v) for v in columns.values())
-            rows = [
-                {c: (vals[i] if i < len(vals) else None)
-                 for c, vals in columns.items()}
-                for i in range(length)
-            ]
             self.db.ingest(table, rows)
-            n_rows += length
+            n_rows += len(rows)
         self.metrics.inc("ingested_rows_total", n_rows)
         self._send(200, {"status": "ok"})
 

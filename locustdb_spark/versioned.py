@@ -298,20 +298,40 @@ class VersionedTable:
                 "new latest version")
         return v
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(self, keep_last: int = 1,
+               retention_seconds: float = 600.0) -> list[str]:
         """Delete data files referenced by none of the kept (most
         recent `keep_last`) manifests — dropped by compaction or
         orphaned by a crashed append — and retire older manifests.
-        Returns the deleted file names."""
+        Returns the deleted file names.
+
+        `retention_seconds` (Delta-style retention window): files whose
+        mtime is within the window are NEVER deleted even if no kept
+        manifest references them. An in-flight append moves its files
+        into data/ BEFORE committing the manifest that makes them
+        live — without the window a concurrent vacuum would delete
+        them and the append would then commit a manifest pointing at
+        missing files, corrupting that version. Pass 0 only when no
+        writer can be in flight (tests, single-process maintenance)."""
+        import time as _time
+
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last else []
         live: set[str] = set()
         for v in keep:
             live.update(self._load_manifest(v)["files"])
+        now = _time.time()
         deleted = []
         for f in os.listdir(self.data_dir):
             if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(self.data_dir, f))
+                p = os.path.join(self.data_dir, f)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # already gone (concurrent vacuum)
+                if age < retention_seconds:
+                    continue  # possibly an in-flight append's file
+                os.remove(p)
                 deleted.append(f)
         for v in vs[:-keep_last] if keep_last else vs:
             os.remove(self._manifest_path(v))

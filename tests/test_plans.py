@@ -480,3 +480,21 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders[name] = plan[:500]
     assert not offenders, f"row-at-a-time Python UDFs in: {list(offenders)}"
+
+
+def test_segment_dedup_plans_have_no_window(spark):
+    """The C4 segment operators must never plan a Window over the
+    segment value (r1 scale-killer: all copies of a hot boilerplate
+    segment serialize through one reducer, and window partitions —
+    unlike join/agg partitions — cannot be split by AQE). The shipped
+    two-phase shape is partial-agg + join-back only."""
+    from locustdb_spark.operators.dedup import (
+        dedup_segments, drop_frequent_segments)
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+    for out in (dedup_segments(docs),
+                drop_frequent_segments(docs, min_count=2)):
+        plan = explain_str(out)
+        assert "Window" not in plan
+        # the keep/drop decision is an aggregate with a partial phase
+        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

@@ -131,3 +131,85 @@ def test_multi_query_via_client(served_db):
     assert res[0]["cols"]["count(0)"] == [3]
     assert client.columns(["metrics"])["columns"] == ["cpu", "host"]
     client._shutdown.set()
+
+
+def test_insert_bin_capnp_wire_format(served_db):
+    """POST the reference's packed-capnp EventBuffer bytes (the wire
+    format every existing LocustDB logging client speaks,
+    event_buffer.rs:212-221) and query the rows back — including a
+    sparse column (gap -> NULL) and a mixed column."""
+    from locustdb_spark.sources.event_buffer import (
+        ColumnData, EventBuffer, TableBuffer)
+
+    buf = EventBuffer(tables={
+        "bin_events": TableBuffer(len=3, columns={
+            "seq": ColumnData("i64", [0, 1, 2]),
+            "lat": ColumnData("f64", [0.5, 1.5, 2.5]),
+            "tag": ColumnData("string", ["a", "b", "c"]),
+            "opt": ColumnData("sparse_f64", [9.0], [1]),
+            "anyv": ColumnData("mixed", [1, "x", None]),
+        }),
+    })
+    _, url = served_db
+    req = urllib.request.Request(
+        f"{url}/insert_bin", data=buf.serialize(),
+        headers={"Content-Type": "application/octet-stream"})
+    out = json.loads(urllib.request.urlopen(req).read())
+    assert out == {"status": "ok"}
+    rows = _post(f"{url}/query", {
+        "query": "SELECT seq, lat, tag FROM bin_events"})["rows"]
+    assert sorted(map(tuple, rows)) == [
+        (0, 0.5, "a"), (1, 1.5, "b"), (2, 2.5, "c")]
+    opt = _post(f"{url}/query", {
+        "query": "SELECT seq, opt FROM bin_events"})["rows"]
+    assert sorted((r[0], r[1]) for r in opt) == [
+        (0, None), (1, 9.0), (2, None)]
+
+
+def test_insert_bin_rejects_garbage(served_db):
+    _, url = served_db
+    req = urllib.request.Request(
+        f"{url}/insert_bin", data=b"\x07garbage-not-capnp-not-json")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
+def test_logging_client_json_fallback_path(served_db):
+    """binary=False keeps the r1 columnar-JSON body working."""
+    _, url = served_db
+    client = LoggingClient(url, flush_interval=0.2, binary=False)
+    for i in range(5):
+        client.log("jsonlog", {"seq": i})
+    client.close()
+    out = _post(f"{url}/query", {"query": "SELECT seq FROM jsonlog"})
+    assert sorted(r[0] for r in out["rows"]) == list(range(5))
+
+
+def test_logging_client_binary_sparse_and_mixed(served_db):
+    """The default binary client handles rows with missing fields
+    (sparse on the wire) and the server fills NULLs."""
+    _, url = served_db
+    client = LoggingClient(url, flush_interval=0.2)
+    client.log("sparselog", {"seq": 0, "extra": 1.5})
+    client.log("sparselog", {"seq": 1})
+    client.log("sparselog", {"seq": 2, "extra": 3.5})
+    client.close()
+    out = _post(f"{url}/query",
+                {"query": "SELECT seq, extra FROM sparselog"})
+    assert sorted((r[0], r[1]) for r in out["rows"]) == [
+        (0, 1.5), (1, None), (2, 3.5)]
+
+
+def test_logging_client_binary_sparse_string_column(served_db):
+    """A string column first seen after row 0 cannot be expressed as
+    the dense/sparse wire variants (the reference panics there); the
+    client must transparently ship it as `mixed` and the rows land."""
+    _, url = served_db
+    client = LoggingClient(url, flush_interval=0.2)
+    client.log("strlog", {"seq": 0})
+    client.log("strlog", {"seq": 1, "msg": "late"})
+    client.close()
+    out = _post(f"{url}/query", {"query": "SELECT seq, msg FROM strlog"})
+    assert sorted((r[0], r[1]) for r in out["rows"]) == [
+        (0, None), (1, "late")]

@@ -81,7 +81,7 @@ def test_vacuum_removes_dropped_files_and_orphans(spark, vt):
         orphan)
     # invisible to every committed version
     assert vt.read().count() == 20
-    deleted = vt.vacuum(keep_last=1)
+    deleted = vt.vacuum(keep_last=1, retention_seconds=0)
     assert "deadbeef-orphan.parquet" in deleted
     assert vt.read().count() == 20          # latest unaffected
     with pytest.raises(ValueError):
@@ -416,7 +416,7 @@ def test_random_op_sequences_preserve_table_contents(spark, tmp_path):
             elif op == "cluster":
                 vt.cluster(["id", "v"], num_files=3)
             elif op == "vacuum":
-                vt.vacuum(keep_last=1)
+                vt.vacuum(keep_last=1, retention_seconds=0)
             got = sorted(r.id for r in vt.read().collect())
             assert got == sorted(expected), (ops, op)
             # v values ride along uncorrupted
