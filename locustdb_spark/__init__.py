@@ -4,7 +4,9 @@ SURVEY.md), plus large-scale training-data pipeline operators."""
 
 from .engine import LocustDB
 from .session import get_spark
-from .versioned import VersionedTable
+from .versioned import (CommitStore, ConditionalPutCommitStore,
+                        PosixCommitStore, VersionedTable)
 
-__all__ = ["LocustDB", "VersionedTable", "get_spark"]
+__all__ = ["CommitStore", "ConditionalPutCommitStore", "LocustDB",
+           "PosixCommitStore", "VersionedTable", "get_spark"]
 __version__ = "0.1.0"

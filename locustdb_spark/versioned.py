@@ -31,12 +31,15 @@ reads pass the explicit list to the parquet source, so Catalyst still
 does pushdown/pruning per file; appends and compaction never rewrite
 live data in place, which is exactly the contract object stores need.
 
-Concurrency: optimistic. A manifest is created with a fails-if-exists
-link, so racing writers cannot overwrite each other's commit; losing
-appenders re-read and re-commit on top (their files are still valid),
-while a losing compact()/cluster() raises CommitConflict because its
-rewrite was computed from a stale live set. (On an object store, swap
-the link for the store's if-none-match/conditional-put primitive.)
+Concurrency: optimistic. A manifest is created with the commit store's
+atomic put-if-absent, so racing writers cannot overwrite each other's
+commit; losing appenders re-read and re-commit on top (their files are
+still valid), while a losing compact()/cluster() raises CommitConflict
+because its rewrite was computed from a stale live set. The primitive
+is pluggable: PosixCommitStore (fails-if-exists os.link) for local/NFS
+roots, ConditionalPutCommitStore for object-store semantics (S3
+If-None-Match / GCS if-generation-match:0 conditional PUT, mocked
+locally with a flock held across check+rename).
 """
 
 from __future__ import annotations
@@ -47,7 +50,26 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _promote_struct(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Field-union of two schemas with the engine's Int<Float<String
+    promotion lattice on kind conflicts (the batch-time promotion the
+    reference does in raw_col.rs:58-106, applied at table level)."""
+    from .engine import _promote, _same_kind
+
+    out: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for f in list(a.fields) + list(b.fields):
+        if f.name not in out:
+            out[f.name] = f.dataType
+            order.append(f.name)
+        elif not _same_kind(out[f.name], f.dataType):
+            out[f.name] = _promote(out[f.name], f.dataType)
+    return T.StructType(
+        [T.StructField(n, out[n], True) for n in order])
 
 
 class CommitConflict(Exception):
@@ -55,17 +77,81 @@ class CommitConflict(Exception):
     re-run against the new latest version (appends retry internally)."""
 
 
+class CommitStore:
+    """The single primitive the commit protocol needs: atomically
+    create a small blob at `path` iff nothing exists there, reporting
+    which writer won. Everything else (data files, manifest reads) is
+    plain immutable-file I/O that any backend provides."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+
+class PosixCommitStore(CommitStore):
+    """Local/NFS filesystems: write a temp file, then `os.link` it to
+    the final name — link fails with EEXIST if another writer already
+    committed, and the link itself is atomic."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+
+class ConditionalPutCommitStore(CommitStore):
+    """Object-store-shaped backend: models a conditional PUT (S3
+    `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`, Azure
+    `If-None-Match: *`) where the STORE serializes the exists-check
+    with the write — there is no hard link to lean on. This mock
+    reproduces that contract locally with an advisory `flock` held
+    across check+rename, so it is race-correct across threads AND
+    processes; a real backend would swap the body for one HTTP PUT.
+    Running the full concurrency suite under both stores is what keeps
+    the protocol honest about which primitive it actually requires."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        import fcntl
+
+        lockpath = os.path.join(os.path.dirname(path), ".commit.lock")
+        with open(lockpath, "ab") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(path):
+                    return False
+                tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                os.rename(tmp, path)
+                return True
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str,
-                 stats_cols: list[str] | None = None):
+                 stats_cols: list[str] | None = None,
+                 commit_store: CommitStore | None = None):
         """`stats_cols` narrows manifest statistics collection to the
         listed columns (None = every leaf column). On 1000-column
         tables, stats for columns nobody range-filters on are pure
         manifest bloat — name the handful that gate queries (event
-        time, ids, partitioning keys)."""
+        time, ids, partitioning keys).
+
+        `commit_store` supplies the atomic put-if-absent the commit
+        protocol rides on: PosixCommitStore (default, os.link) for
+        local/NFS roots, ConditionalPutCommitStore for object-store
+        semantics."""
         self.spark = spark
         self.root = root
         self.stats_cols = set(stats_cols) if stats_cols else None
+        self.commit_store = commit_store or PosixCommitStore()
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -73,6 +159,9 @@ class VersionedTable:
         # per-file column [min,max] collected at write, committed with
         # the next manifest
         self._pending_stats: dict[str, dict] = {}
+        # per-file write schema (json), committed alongside — lets
+        # read() group heterogeneous files and promote across them
+        self._pending_schema: dict[str, str] = {}
 
     # -- manifest bookkeeping ------------------------------------------
 
@@ -102,8 +191,8 @@ class VersionedTable:
     def _commit(self, base_version: int | None, files: list[str],
                 schema_json: str,
                 txn_id: int | None = None) -> int | None:
-        """Attempt to commit version base_version+1. The manifest file
-        is created with os.link (fails if it already exists), so two
+        """Attempt to commit version base_version+1. The manifest blob
+        is created through the commit store's put-if-absent, so two
         writers racing for the same version cannot overwrite each
         other — the loser gets None back and must re-read and retry
         (optimistic concurrency; a plain rename would silently drop
@@ -119,20 +208,31 @@ class VersionedTable:
         last_txn = prev_m.get("last_txn")
         if txn_id is not None:
             last_txn = txn_id
+        # per-file write schemas (deduplicated): carried forward for
+        # surviving files, added for newly written ones
+        prev_schemas: list[str] = prev_m.get("schemas", [])
+        prev_fschema: dict[str, int] = prev_m.get("fschema", {})
+        schemas: list[str] = []
+        fschema: dict[str, int] = {}
+        for f in files:
+            sj = self._pending_schema.get(f)
+            if sj is None and f in prev_fschema:
+                sj = prev_schemas[prev_fschema[f]]
+            if sj is None:
+                continue  # legacy manifest entry: falls back to schema
+            if sj not in schemas:
+                schemas.append(sj)
+            fschema[f] = schemas.index(sj)
         manifest = {"version": new_version, "files": sorted(files),
                     "schema": schema_json, "stats": stats,
+                    "schemas": schemas, "fschema": fschema,
                     "last_txn": last_txn}
-        tmp = (self._manifest_path(new_version) +
-               f".{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(tmp, self._manifest_path(new_version))
-        except FileExistsError:
+        if not self.commit_store.put_if_absent(
+                self._manifest_path(new_version),
+                json.dumps(manifest).encode()):
             return None  # another writer won this version
-        finally:
-            os.remove(tmp)
         self._pending_stats.clear()
+        self._pending_schema.clear()
         return new_version
 
     # -- writes --------------------------------------------------------
@@ -175,6 +275,7 @@ class VersionedTable:
             os.rename(src, os.path.join(self.data_dir, name))
             names.append(name)
             self._pending_stats[name] = stats
+            self._pending_schema[name] = df.schema.json()
         shutil.rmtree(staging, ignore_errors=True)
         return names
 
@@ -188,8 +289,18 @@ class VersionedTable:
         <= the last committed one is a replay and becomes a no-op, so
         a foreachBatch writer that crashed between sink write and
         checkpoint commit cannot double-append (the Delta txnVersion
-        idempotent-writer pattern)."""
+        idempotent-writer pattern).
+
+        Schema conflicts promote instead of failing: appending a
+        string column where earlier versions hold ints (or vice versa)
+        casts the NEW batch to the engine's promoted type
+        (Int<Float<String lattice) and commits the promoted UNION
+        schema; already-written files keep their old types on disk and
+        are promoted at read time (reference raw_col.rs:58-106 does
+        the same in memory at batch time — rewriting 100 TB of history
+        on a type widening would be the wrong trade)."""
         new_files: list[str] | None = None
+        written_schema: T.StructType = df.schema
         while True:
             latest = self.latest_version()
             prev_m = self._load_manifest(latest) if latest else {}
@@ -197,10 +308,33 @@ class VersionedTable:
                 last_txn = prev_m.get("last_txn")
                 if last_txn is not None and txn_id <= last_txn:
                     return latest  # replayed batch: already committed
+            target = written_schema
+            if prev_m.get("schema"):
+                prev_schema = T.StructType.fromJson(
+                    json.loads(prev_m["schema"]))
+                target = _promote_struct(prev_schema, written_schema)
             if new_files is None:
+                from .engine import _same_kind
+
+                cols = []
+                changed = False
+                for f in df.schema.fields:
+                    t = target[f.name].dataType
+                    if not _same_kind(f.dataType, t) or isinstance(
+                            f.dataType, T.NullType):
+                        cols.append(F.col(f.name).cast(t).alias(f.name))
+                        changed = True
+                    else:
+                        cols.append(F.col(f.name))
+                if changed:
+                    df = df.select(*cols)
+                written_schema = df.schema
+                target = _promote_struct(
+                    prev_schema, written_schema) if prev_m.get("schema") \
+                    else written_schema
                 new_files = self._write_files(df)
             v = self._commit(latest, prev_m.get("files", []) + new_files,
-                             df.schema.json(), txn_id=txn_id)
+                             target.json(), txn_id=txn_id)
             if v is not None:
                 return v
             # lost the commit race: re-read and re-commit on top of the
@@ -253,9 +387,11 @@ class VersionedTable:
             return latest  # nothing worth combining
         n = max(1, int(sum(sizes[f] for f in small)
                        // (target_file_mb * 1024 * 1024)))
-        df = (self.spark.read.option("mergeSchema", "true")
-              .parquet(*[os.path.join(self.data_dir, f) for f in small])
-              .repartition(n))
+        # group-aware read: compacting across a type promotion rewrites
+        # the old-typed small files into the promoted schema
+        df = self._read_file_set(
+            m, small, T.StructType.fromJson(json.loads(m["schema"]))
+        ).repartition(n)
         new_files = self._write_files(df)
         v = self._commit(latest, keep + new_files, m["schema"])
         if v is None:
@@ -397,5 +533,38 @@ class VersionedTable:
                 f"version {v} references vacuumed files "
                 f"(e.g. {os.path.basename(missing[0])}); "
                 f"only {self.latest_version()} is guaranteed readable")
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(*paths))
+        return self._read_file_set(m, files, schema)
+
+    def _read_file_set(self, m: dict, files: list[str],
+                       target: T.StructType) -> DataFrame:
+        """Read manifest files grouped by their recorded write schema.
+        One group (the common case) is a plain mergeSchema scan; after
+        a type-promoting append, old-typed file groups are scanned
+        separately, promoted (engine._union_promote) and aligned to
+        the manifest's promoted union schema — parquet cannot
+        mergeSchema an int file with a string file, and rewriting
+        history at append time would be O(table)."""
+        sl: list[str] = m.get("schemas", [])
+        fs: dict[str, int] = m.get("fschema", {})
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            sj = sl[fs[f]] if f in fs else m["schema"]
+            groups.setdefault(sj, []).append(f)
+        if len(groups) <= 1:
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.data_dir, f)
+                               for f in files]))
+        from .engine import _union_promote
+
+        parts = [
+            self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.data_dir, f) for f in grp])
+            for grp in groups.values()
+        ]
+        out = _union_promote(parts)
+        have = set(out.columns)
+        return out.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ])
