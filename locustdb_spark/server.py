@@ -166,6 +166,28 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/metrics":
                 self._send(200, self.metrics.render(),
                            "text/plain; version=0.0.4")
+            elif self.path == "/plot":
+                # static plotting page (reference server/mod.rs:110-117
+                # renders the plot.html template; dev surface)
+                self._send(
+                    200,
+                    "<html><body><h1>plot</h1><p>POST /query_cols and "
+                    "render cols client-side.</p></body></html>",
+                    "text/html; charset=utf8")
+            elif self.path == "/query_data":
+                # reference server/mod.rs:180-190 returns this exact
+                # hardcoded dev-stub series; kept verbatim for parity
+                self._send(200, {
+                    "cols": ["time", "cpu"],
+                    "series": [
+                        [1640025197013.0, 1640025198013.0,
+                         1640025199013.0, 1640025200013.0,
+                         1640025201013.0, 1640025202113.0,
+                         1640025203113.0, 1640025204113.0,
+                         1640025205113.0],
+                        [0.3, 0.4, 0.5, 0.2, 0.1, 0.3, 0.4, 0.5, 0.2],
+                    ],
+                })
             else:
                 self._send(404, {"error": "not found"})
         except Exception as e:  # noqa: BLE001

@@ -40,13 +40,18 @@ is pluggable: PosixCommitStore (fails-if-exists os.link) for local/NFS
 roots, ConditionalPutCommitStore for object-store semantics (S3
 If-None-Match / GCS if-generation-match:0 conditional PUT, mocked
 locally with a flock held across check+rename).
+
+Storage: data-file layout operations go through a pluggable
+TableStorage (storage.py) — LocalStorage for plain paths, or
+HadoopStorage (Spark's own FileSystem stack: s3a://, gs://, abfs://,
+hdfs://, file:) auto-selected for URI roots, mirroring the reference's
+file/Azure/GCS writer dispatch (storage.rs:49-230).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,25 +142,40 @@ class ConditionalPutCommitStore(CommitStore):
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str,
                  stats_cols: list[str] | None = None,
-                 commit_store: CommitStore | None = None):
+                 commit_store: CommitStore | None = None,
+                 storage=None):
         """`stats_cols` narrows manifest statistics collection to the
         listed columns (None = every leaf column). On 1000-column
         tables, stats for columns nobody range-filters on are pure
         manifest bloat — name the handful that gate queries (event
         time, ids, partitioning keys).
 
-        `commit_store` supplies the atomic put-if-absent the commit
-        protocol rides on: PosixCommitStore (default, os.link) for
-        local/NFS roots, ConditionalPutCommitStore for object-store
-        semantics."""
+        `commit_store` overrides the atomic put-if-absent the commit
+        protocol rides on (e.g. ConditionalPutCommitStore); by default
+        the storage backend's own primitive is used.
+
+        `storage` selects the layout backend (storage.py): LocalStorage
+        for plain paths, HadoopStorage — Spark's own FileSystem stack,
+        covering s3a/gs/abfs/hdfs and `file:` — auto-selected when
+        `root` is a URI."""
+        from .storage import HadoopStorage, LocalStorage, TableStorage
+
         self.spark = spark
         self.root = root
         self.stats_cols = set(stats_cols) if stats_cols else None
-        self.commit_store = commit_store or PosixCommitStore()
+        if storage is not None:
+            self.fs: TableStorage = storage
+        elif "://" in root or root.startswith("file:"):
+            self.fs = HadoopStorage(spark)
+        else:
+            self.fs = LocalStorage()
+        self.commit_store = commit_store
+        self._put_if_absent = (commit_store.put_if_absent if commit_store
+                               else self.fs.put_if_absent)
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.fs.mkdirs(self.data_dir)
+        self.fs.mkdirs(self.manifest_dir)
         # per-file column [min,max] collected at write, committed with
         # the next manifest
         self._pending_stats: dict[str, dict] = {}
@@ -167,7 +187,7 @@ class VersionedTable:
 
     def versions(self) -> list[int]:
         out = []
-        for f in os.listdir(self.manifest_dir):
+        for f in self.fs.list(self.manifest_dir):
             if f.startswith("v") and f.endswith(".json"):
                 out.append(int(f[1:-5]))
         return sorted(out)
@@ -181,12 +201,11 @@ class VersionedTable:
 
     def _load_manifest(self, version: int) -> dict:
         path = self._manifest_path(version)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             raise ValueError(
                 f"version {version} does not exist "
                 f"(have: {self.versions()})")
-        with open(path) as fh:
-            return json.load(fh)
+        return json.loads(self.fs.read_bytes(path))
 
     def _commit(self, base_version: int | None, files: list[str],
                 schema_json: str,
@@ -227,7 +246,7 @@ class VersionedTable:
                     "schema": schema_json, "stats": stats,
                     "schemas": schemas, "fschema": fschema,
                     "last_txn": last_txn}
-        if not self.commit_store.put_if_absent(
+        if not self._put_if_absent(
                 self._manifest_path(new_version),
                 json.dumps(manifest).encode()):
             return None  # another writer won this version
@@ -243,17 +262,15 @@ class VersionedTable:
         per-file column min/max from the parquet footers ONCE at write
         time into `_stats` for manifest-level file skipping — reading
         a KB of manifest instead of every footer at query time."""
-        import pyarrow.parquet as pq
-
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(staging)
         names = []
-        for f in os.listdir(staging):
+        for f in self.fs.list(staging):
             if not f.endswith(".parquet"):
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
             src = os.path.join(staging, f)
-            md = pq.ParquetFile(src).metadata
+            md = self.fs.parquet_metadata(src)
             stats: dict[str, list] = {}
             for ci in range(md.num_columns):
                 cname = md.schema.column(ci).name
@@ -272,11 +289,11 @@ class VersionedTable:
                 else:
                     if mins:
                         stats[cname] = [min(mins), max(maxs)]
-            os.rename(src, os.path.join(self.data_dir, name))
+            self.fs.rename(src, os.path.join(self.data_dir, name))
             names.append(name)
             self._pending_stats[name] = stats
             self._pending_schema[name] = df.schema.json()
-        shutil.rmtree(staging, ignore_errors=True)
+        self.fs.delete_dir(staging)
         return names
 
     def append(self, df: DataFrame, txn_id: int | None = None) -> int:
@@ -379,7 +396,7 @@ class VersionedTable:
         m = self._load_manifest(latest)
         cutoff = (small_file_mb if small_file_mb is not None
                   else target_file_mb / 4) * 1024 * 1024
-        sizes = {f: os.path.getsize(os.path.join(self.data_dir, f))
+        sizes = {f: self.fs.size(os.path.join(self.data_dir, f))
                  for f in m["files"]}
         small = [f for f, s in sizes.items() if s < cutoff]
         keep = [f for f in m["files"] if f not in set(small)]
@@ -458,19 +475,19 @@ class VersionedTable:
             live.update(self._load_manifest(v)["files"])
         now = _time.time()
         deleted = []
-        for f in os.listdir(self.data_dir):
+        for f in self.fs.list(self.data_dir):
             if f.endswith(".parquet") and f not in live:
                 p = os.path.join(self.data_dir, f)
                 try:
-                    age = now - os.path.getmtime(p)
-                except OSError:
-                    continue  # already gone (concurrent vacuum)
+                    age = now - self.fs.mtime(p)
+                except Exception:  # noqa: BLE001 — already gone
+                    continue       # (concurrent vacuum)
                 if age < retention_seconds:
                     continue  # possibly an in-flight append's file
-                os.remove(p)
+                self.fs.delete(p)
                 deleted.append(f)
         for v in vs[:-keep_last] if keep_last else vs:
-            os.remove(self._manifest_path(v))
+            self.fs.delete(self._manifest_path(v))
         return sorted(deleted)
 
     def history(self) -> list[dict]:
@@ -483,13 +500,13 @@ class VersionedTable:
             total = 0
             for f in m["files"]:
                 p = os.path.join(self.data_dir, f)
-                if os.path.exists(p):
-                    total += os.path.getsize(p)
+                if self.fs.exists(p):
+                    total += self.fs.size(p)
             out.append({
                 "version": v,
                 "num_files": len(m["files"]),
                 "bytes": total,
-                "committed_at": os.path.getmtime(self._manifest_path(v)),
+                "committed_at": self.fs.mtime(self._manifest_path(v)),
                 "last_txn": m.get("last_txn"),
             })
         return out
@@ -527,7 +544,7 @@ class VersionedTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.data_dir, f) for f in files]
-        missing = [p for p in paths if not os.path.exists(p)]
+        missing = [p for p in paths if not self.fs.exists(p)]
         if missing:
             raise ValueError(
                 f"version {v} references vacuumed files "

@@ -213,3 +213,14 @@ def test_logging_client_binary_sparse_string_column(served_db):
     out = _post(f"{url}/query", {"query": "SELECT seq, msg FROM strlog"})
     assert sorted((r[0], r[1]) for r in out["rows"]) == [
         (0, None), (1, "late")]
+
+
+def test_plot_and_query_data_dev_surfaces(served_db):
+    """GET /plot (static page) and /query_data (the reference's
+    hardcoded dev-stub series, server/mod.rs:110-190) — route parity."""
+    _, url = served_db
+    page = urllib.request.urlopen(f"{url}/plot").read().decode()
+    assert "<html" in page
+    data = json.loads(urllib.request.urlopen(f"{url}/query_data").read())
+    assert data["cols"] == ["time", "cpu"]
+    assert len(data["series"]) == 2 and len(data["series"][0]) == 9
