@@ -422,6 +422,44 @@ def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+def p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming-LSH chunk blocking
+    (operators/dedup.py simhash_near_dup_pairs): bands=4 over 32 bits
+    guarantees recall for Hamming distance <= 3."""
+    from locustdb_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _read(spark, sf_dir, "documents"), bits=SIMHASH_BITS,
+        bands=4, max_hamming=3)
+
+
+def p_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-space Jaccard estimate for LSH candidates
+    (operators/dedup.py minhash_jaccard_estimate): fraction of
+    agreeing minhash lanes, no text touched."""
+    from locustdb_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_jaccard_estimate,
+        minhash_signatures)
+
+    sigs = minhash_signatures(
+        _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2,
+                                collapse_exact=False)
+    return minhash_jaccard_estimate(sigs, pairs,
+                                    num_hashes=NUM_MINHASHES)
+
+
+def p_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py cap_per_group):
+    keep the 50 smallest doc_ids per source via a salted two-phase
+    aggregate — no row_number window on the (hot) group key."""
+    from locustdb_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _read(spark, sf_dir, "documents"), group_col="source",
+        id_col="doc_id", k=50).select("doc_id", "source")
+
+
 def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked near-dup scan: block on equal n_chars, exact 3-gram
     Jaccard within blocks."""
@@ -1650,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
+        "dedup_simhash_pairs": p_simhash_pairs,
+        "dedup_jaccard_estimate": p_jaccard_estimate,
+        "sample_cap_per_group": p_cap_per_group,
         "dedup_clusters": p_dedup_clusters,
         "dedup_incremental": p_incremental_dedup,
         "pipeline_corpus_prep": p_pipeline_corpus_prep,
@@ -2604,6 +2645,60 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "dedup_simhash": _duck_simhash(),
+        "dedup_simhash_pairs": (
+            "WITH sig AS (SELECT * FROM (" + _duck_simhash() + ")), "
+            """
+            blocked AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> (b.band * 8)) & 255 AS chunk
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT)
+                     AS hamming
+            FROM blocked l JOIN blocked r
+              ON l.band = r.band AND l.chunk = r.chunk
+             AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+            """
+        ),
+        "dedup_jaccard_estimate": (
+            _duck_minhash_cte()
+            + """,
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     mh0::VARCHAR || '_' || mh1::VARCHAR AS band_val
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     mh2::VARCHAR || '_' || mh3::VARCHAR AS band_val
+              FROM sig
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+                   + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+                   + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+                   + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END)
+                    / 4.0) AS jaccard_est
+            FROM pairs p
+            JOIN sig a ON a.doc_id = p.id_a
+            JOIN sig b ON b.doc_id = p.id_b
+            """
+        ),
+        "sample_cap_per_group": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 50
+        """,
         "dedup_ngram_jaccard": """
             WITH g AS (
               SELECT doc_id, n_chars,

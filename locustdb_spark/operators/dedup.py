@@ -620,3 +620,97 @@ def drop_frequent_segments(
     flagged = exploded.join(frequent, "segment", "left")
     keep = F.col("_freq").isNull()
     return _reassemble(flagged, keep)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming-LSH blocking: the
+    `bits`-bit signature is cut into `bands` equal chunks; by
+    pigeonhole, two signatures within Hamming distance `bands - 1`
+    share at least one unchanged chunk, so candidates come only from
+    same-(band, chunk-value) buckets — never a corpus self-join. Exact
+    Hamming distance (bit_count of xor) then filters to
+    `max_hamming`. Default bands=4 over 32 bits guarantees recall for
+    distance <= 3 (the classic Manku/Jain/Sarma web-dedup setting).
+
+    Shuffle shape: signatures are a zero-shuffle projection; the
+    blocking join shuffles (band, chunk, id) longs only; `max_bucket`
+    drops degenerate buckets (see lsh_candidate_pairs). Output:
+    (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    sigs = simhash(df, text_col=text_col, id_col=id_col,
+                   bits=bits).persist()
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    rows = []
+    for b in range(bands):
+        rows.append(sigs.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * chunk_bits)
+            .bitwiseAND(F.lit(mask)).alias("chunk"),
+        ))
+    blocked = rows[0]
+    for r in rows[1:]:
+        blocked = blocked.unionByName(r)
+    if max_bucket is not None:
+        ok = (
+            blocked.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        blocked = blocked.join(ok, ["band", "chunk"])
+    left = blocked.alias("l")
+    right = blocked.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    agreeing signature lanes is an unbiased estimator of the true
+    shingle-set Jaccard — the cheap verification step between LSH
+    candidate generation and (optional) exact n-gram verification.
+    Two many-to-one joins against the (id + k longs) signature table;
+    the corpus text is never touched. Output:
+    (id_a, id_b, jaccard_est)."""
+    a_cols = [F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)]
+    b_cols = [F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)]
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), *a_cols)
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), *b_cols)
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        .select("id_a", "id_b",
+                (agree / F.lit(float(num_hashes))).alias("jaccard_est"))
+    )

@@ -185,3 +185,49 @@ def shuffle_shards(
             (F.row_number().over(w) - 1).alias("position"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Keep at most `k` documents per group — the per-domain/per-source
+    cap every web-corpus pipeline applies so one crawler-friendly site
+    cannot dominate the training mix. Kept rows are the k smallest
+    `id_col` values per group (deterministic, replayable).
+
+    Scale shape: top-k per group is usually written as a
+    row_number window over `group_col` — which serializes every row of
+    a hot domain through one reducer, exactly the skew the operator
+    exists to fight. Here it is a salted two-phase aggregate instead:
+
+    1. groupBy(group, hash(id) % salt_buckets) keeps the k smallest
+       ids per salt bucket (map-side partial agg collapses hot groups
+       before the shuffle);
+    2. groupBy(group) merges the <= salt_buckets * k survivors.
+
+    Both phases carry only (group, [<=k ids]) rows; a group with a
+    billion documents ships salt_buckets rows to phase 2, not a
+    billion. The kept-id table then semi-joins back to the corpus.
+    """
+    ids = df.select(F.col(group_col).alias("_g"),
+                    F.col(id_col).alias("_id"))
+    salt = F.pmod(F.xxhash64("_id"), F.lit(salt_buckets))
+    phase1 = (
+        ids.groupBy("_g", salt.alias("_s"))
+        .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, k)
+             .alias("_ids"))
+    )
+    phase2 = (
+        phase1.groupBy("_g")
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))),
+                     1, k).alias("_ids"))
+    )
+    keep = phase2.select(
+        F.col("_g").alias(group_col),
+        F.explode("_ids").alias(id_col),
+    )
+    return df.join(keep, [group_col, id_col], "left_semi")

@@ -1200,3 +1200,89 @@ def test_lsh_max_bucket_drops_oversized_buckets(spark):
     assert got == {(100, 101)}  # the 50-doc band-0 bucket was dropped
     uncapped = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
     assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_simhash_near_dup_pairs_recall_guarantee(spark):
+    """Pigeonhole recall: with bands=4 over 32 bits, every pair within
+    Hamming distance 3 MUST be found; far pairs must not appear."""
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.operators.dedup import (
+        simhash, simhash_near_dup_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest all day long")
+    docs = spark.createDataFrame(
+        [(0, base),
+         (1, base.replace("quick", "quikc")),      # tiny perturbation
+         (2, base.replace("dog", "cat")),
+         (3, "completely different text about spark shuffles and "
+             "parquet footers and catalyst optimizers xyz")],
+        ["doc_id", "text"])
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin(sigs[a] ^ sigs[b]).count("1")
+
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            if ham(a, b) <= 3:
+                assert got[(a, b)] == ham(a, b)
+            else:
+                assert (a, b) not in got or got[(a, b)] <= 3
+
+
+def test_minhash_jaccard_estimate_bounds_and_exact_dup(spark):
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.operators.dedup import (
+        minhash_jaccard_estimate, minhash_signatures)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact dup
+         (3, "totally unrelated words qqq www eee rrr")],
+        ["doc_id", "text"])
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    est = {(r.id_a, r.id_b): r.jaccard_est
+           for r in minhash_jaccard_estimate(sigs, pairs, num_hashes=8)
+           .collect()}
+    assert est[(1, 2)] == 1.0           # identical text -> all lanes agree
+    assert 0.0 <= est[(1, 3)] < 0.5     # unrelated -> low estimate
+
+
+def test_cap_per_group_matches_window_under_skew(spark):
+    """One source holds 90% of the corpus; the salted two-phase cap
+    must select exactly the rows a row_number window would."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from locustdb_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "hot" if i % 10 != 0 else f"cold{i % 70}")
+            for i in range(2000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    k = 13
+    got = {(r.source, r.doc_id)
+           for r in cap_per_group(docs, "source", "doc_id", k=k,
+                                  salt_buckets=8).collect()}
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {(r.source, r.doc_id)
+            for r in docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).collect()}
+    assert got == want
+    # the hot group is capped at exactly the k smallest ids
+    hot = sorted(d for s, d in got if s == "hot")
+    assert hot == sorted(d for d, s in rows if s == "hot")[:k]
+
+
+def test_cap_per_group_plan_has_no_window(spark):
+    from locustdb_spark.operators.sampling import cap_per_group
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    plan = cap_per_group(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
