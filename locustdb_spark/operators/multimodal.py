@@ -1,13 +1,19 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is STUBBED (no image/audio libraries in this
-environment): `decode_image_stub` derives deterministic fake
-width/height from the payload's md5, so the full Spark-side plumbing —
-binary schema, mapInPandas batch iteration, output schema, partition
-behavior — is real and testable (and oracle-checkable, since the fake
-decode is reproducible in SQL). Swap `_decode_one` for a PIL/ffmpeg
-call in a real deployment.
+Two tiers:
+
+- REAL decode (`decode_media`, `resize_image`): PNG and WAV payloads
+  decode for real through pure-stdlib codecs (operators/codecs.py —
+  zlib inflate + PNG scanline unfiltering; the wave module), no
+  external libraries needed. Corrupt/unsupported blobs degrade to a
+  flagged row, never a failed stage.
+- STUBBED decode (`decode_image_stub` etc.): deterministic fake
+  metadata from md5(payload), kept because it is reproducible in SQL —
+  these are the oracle-checkable entries — and because formats like
+  JPEG/MP4 have no decoder in this environment. Swap `_decode_one`
+  for a PIL/ffmpeg call where those libraries exist
+  (`real_decoders_available`).
 
 Scale design: mapInPandas streams Arrow batches, so a 100 TB binary
 corpus is processed one batch at a time per task with constant memory;
@@ -201,8 +207,96 @@ def sample_frames_stub(
     return df.mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
-def real_decoders_available() -> bool:
-    """True when an actual image library is importable."""
+MEDIA_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int, "
+    "channels int, sample_rate int, duration_s double"
+)
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """REAL decode over binary payloads via mapInPandas: PNG headers +
+    pixels through the pure-stdlib inflate/unfilter codec and WAV
+    through the stdlib wave module (operators/codecs.py) — no external
+    image/audio libraries needed. Unsupported containers (JPEG, MP4 in
+    this environment) land with format='unknown' and NULL media fields
+    rather than failing the batch, the posture a 100 TB crawl needs
+    (a corrupt blob must never kill the stage).
+
+    Output keeps only small metadata columns, so downstream shuffles
+    never move the blobs."""
+    from . import codecs
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                b = bytes(p)
+                kind = codecs.sniff(b)
+                row = {"doc_id": i, "n_bytes": len(b), "format": kind,
+                       "width": None, "height": None, "channels": None,
+                       "sample_rate": None, "duration_s": None}
+                try:
+                    if kind == "png":
+                        w, h, ch, _px = codecs.png_decode(b)
+                        row.update(width=w, height=h, channels=ch)
+                    elif kind == "wav":
+                        ch, rate, n, dur = codecs.wav_decode(b)
+                        row.update(channels=ch, sample_rate=rate,
+                                   duration_s=dur)
+                except Exception:  # noqa: BLE001 — corrupt blob
+                    row["format"] = "corrupt"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode, schema=MEDIA_SCHEMA)
+
+
+REAL_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, resized binary"
+)
+
+
+def resize_image(df: DataFrame, width: int = 64, height: int = 64,
+                 id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """REAL nearest-neighbor resize for PNG payloads: decode, resample,
+    re-encode as PNG bytes (operators/codecs.py). Non-PNG payloads
+    yield a NULL `resized` column. Binary-in/binary-out, Arrow-batched,
+    constant memory per task."""
+    from . import codecs
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, sizes = [], [], []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                b = bytes(p)
+                blob = None
+                try:
+                    if codecs.sniff(b) == "png":
+                        _w, _h, _c, px = codecs.png_decode(b)
+                        blob = codecs.png_encode(
+                            codecs.png_resize_nearest(px, width, height))
+                except Exception:  # noqa: BLE001 — corrupt blob
+                    blob = None
+                ids.append(i)
+                outs.append(blob)
+                sizes.append(len(blob) if blob is not None else None)
+            yield pd.DataFrame({
+                "doc_id": ids, "width": width, "height": height,
+                "n_bytes": pd.array(sizes, dtype="Int64"),
+                "resized": outs,
+            })
+
+    return df.mapInPandas(resize, schema=REAL_RESIZE_SCHEMA)
+
+
+def real_decoders_available(fmt: str = "png") -> bool:
+    """True when `fmt` can actually be decoded here. PNG and WAV are
+    always decodable (pure-stdlib codecs.py); other formats require
+    PIL, which this environment may not have."""
+    if fmt in ("png", "wav"):
+        return True
     try:
         import PIL.Image  # noqa: F401
 

@@ -1286,3 +1286,132 @@ def test_cap_per_group_plan_has_no_window(spark):
     plan = cap_per_group(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def _make_png(w, h, ch=3, seed=7):
+    """A real PNG built with stdlib only (known pixel values)."""
+    import numpy as np
+
+    from locustdb_spark.operators.codecs import png_encode
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    return png_encode(px), px
+
+
+def _make_wav(channels=2, rate=16000, n_frames=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(
+            f"<{n_frames * channels}h",
+            *([100, -100] * (n_frames * channels // 2))))
+    return buf.getvalue()
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """png_decode inverts png_encode bit-exactly, and unfilters
+    scanlines written with every filter type (0-4) — hand-built IDAT
+    per the public PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from locustdb_spark.operators.codecs import (
+        PNG_MAGIC, png_decode, png_encode)
+
+    data, px = _make_png(13, 9, 3)
+    w, h, ch, out = png_decode(data)
+    assert (w, h, ch) == (13, 9, 3)
+    assert np.array_equal(out, px)
+    # gray + alpha channels too
+    for channels in (1, 2, 4):
+        data, px = _make_png(5, 4, channels)
+        *_, out = png_decode(data)
+        assert np.array_equal(out, px)
+
+    # every filter type: encode one 4x5 gray image per filter by hand
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    for ftype in range(5):
+        raw = bytearray()
+        prev = np.zeros(4, dtype=np.int32)
+        for y in range(5):
+            line = px[y, :, 0].astype(np.int32)
+            raw.append(ftype)
+            for x in range(4):
+                a = int(line[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1}.get(ftype)
+                if pred is None:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                raw.append((int(line[x]) - pred) & 0xFF)
+            prev = line
+
+        def chunk(t, body):
+            return (struct.pack(">I", len(body)) + t + body
+                    + struct.pack(">I", zlib.crc32(t + body)))
+
+        blob = (PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        *_, out = png_decode(blob)
+        assert np.array_equal(out, px), f"filter {ftype}"
+
+
+def test_decode_media_real_png_and_wav(spark):
+    """REAL multimodal decode: actual PNG and WAV bytes through the
+    Arrow-batched pipeline; corrupt blobs degrade, never fail."""
+    from locustdb_spark.operators.multimodal import (
+        decode_media, real_decoders_available)
+
+    assert real_decoders_available("png")
+    assert real_decoders_available("wav")
+    png, _ = _make_png(32, 20, 3)
+    wav = _make_wav(channels=2, rate=16000, n_frames=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)),
+         (3, bytearray(b"\x89PNGgarbage-not-really")),
+         (4, bytearray(b"plain bytes"))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_media(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height,
+            out[1].channels) == ("png", 32, 20, 3)
+    assert (out[2].format, out[2].channels, out[2].sample_rate,
+            out[2].duration_s) == ("wav", 2, 16000, 0.5)
+    assert out[3].format == "unknown" and out[3].width is None
+    assert out[4].format == "unknown"
+    assert out[1].n_bytes == len(png)
+
+
+def test_resize_image_real_png(spark):
+    """REAL resize: PNG in, smaller PNG out, pixels = nearest-neighbor
+    of the source (checked by decoding the output)."""
+    import numpy as np
+
+    from locustdb_spark.operators.codecs import (
+        png_decode, png_resize_nearest)
+    from locustdb_spark.operators.multimodal import resize_image
+
+    png, px = _make_png(16, 12, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not png"))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_image(df, 8, 6).collect()}
+    w, h, ch, got = png_decode(bytes(out[1].resized))
+    assert (w, h, ch) == (8, 6, 3)
+    assert np.array_equal(got, png_resize_nearest(px, 8, 6))
+    assert out[2].resized is None and out[2].n_bytes is None
