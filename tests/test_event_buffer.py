@@ -245,3 +245,75 @@ def test_table_buffer_push_row_and_to_rows():
         {"a": 1, "b": "x", "c": None},
         {"a": 2, "b": None, "c": 0.5},
     ]
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary buffers round-trip; arbitrary words pack/unpack
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+    _name = st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N")),
+        min_size=1, max_size=12)
+    _f64 = st.floats(allow_nan=False, width=64)
+    _i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    def _column(draw):
+        kind = draw(st.sampled_from(
+            ["empty", "f64", "i64", "string", "sparse_f64",
+             "sparse_i64", "mixed"]))
+        if kind == "empty":
+            return ColumnData("empty")
+        n = draw(st.integers(min_value=0, max_value=8))
+        if kind == "f64":
+            return ColumnData("f64", draw(
+                st.lists(_f64, min_size=n, max_size=n)))
+        if kind == "i64":
+            return ColumnData("i64", draw(
+                st.lists(_i64, min_size=n, max_size=n)))
+        if kind == "string":
+            return ColumnData("string", draw(
+                st.lists(st.text(max_size=20), min_size=n, max_size=n)))
+        if kind == "mixed":
+            return ColumnData("mixed", draw(st.lists(
+                st.one_of(st.none(), _i64, _f64, st.text(max_size=10)),
+                min_size=n, max_size=n)))
+        idx = sorted(draw(st.sets(
+            st.integers(min_value=0, max_value=63),
+            min_size=n, max_size=n)))
+        vals = draw(st.lists(
+            _f64 if kind == "sparse_f64" else _i64,
+            min_size=len(idx), max_size=len(idx)))
+        return ColumnData(kind, vals, list(idx))
+
+    @st.composite
+    def _buffers(draw):
+        tables = {}
+        for tname in draw(st.lists(_name, max_size=3, unique=True)):
+            cols = {}
+            for cname in draw(st.lists(_name, max_size=4, unique=True)):
+                cols[cname] = _column(draw)
+            tables[tname] = TableBuffer(
+                len=draw(st.integers(min_value=0, max_value=64)),
+                columns=cols)
+        return EventBuffer(tables=tables)
+
+    @settings(max_examples=60, deadline=None)
+    @given(_buffers())
+    def test_property_event_buffer_roundtrip(buf):
+        assert EventBuffer.deserialize(buf.serialize()) == buf
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=400).map(
+        lambda b: b + b"\x00" * ((8 - len(b) % 8) % 8)))
+    def test_property_pack_unpack_roundtrip(data):
+        assert unpack(pack(data)) == data
