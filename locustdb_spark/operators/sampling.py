@@ -46,25 +46,65 @@ def hash_sample(
     return df.filter(_id_hash(id_col, salt) < F.lit(thresh))
 
 
+def _salted_topk(
+    df: DataFrame,
+    group_col: str,
+    order_struct: Column,
+    id_col: str,
+    k: int,
+    salt_buckets: int,
+) -> DataFrame:
+    """The k lexicographically-smallest `order_struct` rows per group,
+    WITHOUT a window on the group key: phase 1 keeps k per (group,
+    salt bucket) — map-side partial aggregation collapses hot groups
+    before the shuffle — phase 2 merges the <= salt_buckets * k
+    survivors per group. A group with a billion rows ships
+    salt_buckets rows to phase 2, not a billion. `order_struct` must
+    contain `id_col` as a field named `_id`. Returns the selected
+    (group_col, id_col) pairs."""
+    pairs = df.select(F.col(group_col).alias("_g"),
+                      order_struct.alias("_p"))
+    salt = F.pmod(F.xxhash64(F.col("_p._id")), F.lit(salt_buckets))
+    phase1 = (
+        pairs.groupBy("_g", salt.alias("_s"))
+        .agg(F.slice(F.array_sort(F.collect_list("_p")), 1, k)
+             .alias("_ps"))
+    )
+    phase2 = (
+        phase1.groupBy("_g")
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ps"))),
+                     1, k).alias("_ps"))
+    )
+    return phase2.select(
+        F.col("_g").alias(group_col),
+        F.explode("_ps").alias("_p"),
+    ).select(group_col, F.col("_p._id").alias(id_col))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
     n_per_stratum: int,
     id_col: str = "doc_id",
     salt: str = "strata",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Exactly n rows per stratum (fewer if the stratum is smaller),
-    drawn uniformly by ranking on the id hash. One shuffle on the
-    stratum key; ties broken by id for full determinism."""
-    from pyspark.sql.window import Window
+    drawn uniformly by ranking on the id hash; ties broken by id for
+    full determinism.
 
-    w = Window.partitionBy(strata_col).orderBy(
-        _id_hash(id_col, salt), F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
-    )
+    Skew-safe two-phase shape (r2): the obvious
+    row_number-over-Window.partitionBy(stratum) serializes every row
+    of a hot stratum — and strata are hot by nature (one language can
+    be half a corpus) — through a single reducer that AQE cannot
+    split. The salted top-k aggregate (`_salted_topk`) selects the
+    identical rows with partial aggregation doing the heavy lifting
+    map-side."""
+    order = F.struct(_id_hash(id_col, salt).alias("_h"),
+                     F.col(id_col).alias("_id"))
+    keep = _salted_topk(df, strata_col, order, id_col,
+                        n_per_stratum, salt_buckets)
+    return df.join(keep, [strata_col, id_col], "left_semi")
 
 
 def pack_sequences(
@@ -74,6 +114,7 @@ def pack_sequences(
     group_col: str | None = "lang",
     id_col: str = "doc_id",
     salt: str = "pack",
+    streams_per_group: int = 1,
 ) -> DataFrame:
     """Contiguous-stream sequence packing: order documents
     deterministically (by id hash), then assign each to a bin so that
@@ -84,11 +125,34 @@ def pack_sequences(
 
     One shuffle on `group_col` (each group is an independent stream);
     with group_col=None a single global stream means a single-partition
-    window — use a grouping column at scale.
+    window — use a grouping column at scale. Contiguity within a
+    stream is inherently sequential, so a hot group IS one reducer by
+    definition; `streams_per_group > 1` splits each group into that
+    many independent hash sub-streams (bin ids stay globally unique
+    via bin * streams + stream), trading one long concat stream for
+    parallel ones — the packing analog of sharded training files.
     """
     from pyspark.sql.window import Window
 
     order = [_id_hash(id_col, salt), F.col(id_col)]
+    if streams_per_group > 1:
+        stream = F.pmod(_id_hash(id_col, salt + ":stream"),
+                        F.lit(streams_per_group))
+        parts = ([F.col(group_col)] if group_col else []) + [stream]
+        w = Window.partitionBy(*parts).orderBy(*order)
+        running_before = F.coalesce(
+            F.sum(size_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        return df.select(
+            F.col(id_col),
+            *([F.col(group_col)] if group_col else []),
+            F.col(size_col),
+            (F.floor(running_before / F.lit(budget))
+             * F.lit(streams_per_group) + stream)
+            .cast("long").alias("bin_id"),
+        )
     w = (Window.partitionBy(group_col) if group_col
          else Window.partitionBy()).orderBy(*order)
     running_before = F.coalesce(
@@ -213,21 +277,6 @@ def cap_per_group(
     billion documents ships salt_buckets rows to phase 2, not a
     billion. The kept-id table then semi-joins back to the corpus.
     """
-    ids = df.select(F.col(group_col).alias("_g"),
-                    F.col(id_col).alias("_id"))
-    salt = F.pmod(F.xxhash64("_id"), F.lit(salt_buckets))
-    phase1 = (
-        ids.groupBy("_g", salt.alias("_s"))
-        .agg(F.slice(F.array_sort(F.collect_list("_id")), 1, k)
-             .alias("_ids"))
-    )
-    phase2 = (
-        phase1.groupBy("_g")
-        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))),
-                     1, k).alias("_ids"))
-    )
-    keep = phase2.select(
-        F.col("_g").alias(group_col),
-        F.explode("_ids").alias(id_col),
-    )
+    order = F.struct(F.col(id_col).alias("_id"))
+    keep = _salted_topk(df, group_col, order, id_col, k, salt_buckets)
     return df.join(keep, [group_col, id_col], "left_semi")

@@ -1415,3 +1415,60 @@ def test_resize_image_real_png(spark):
     assert (w, h, ch) == (8, 6, 3)
     assert np.array_equal(got, png_resize_nearest(px, 8, 6))
     assert out[2].resized is None and out[2].n_bytes is None
+
+
+def test_stratified_sample_matches_window_under_hot_stratum(spark):
+    """90%-hot stratum: the salted two-phase stratified sampler selects
+    exactly the rows the row_number window formulation would, and the
+    plan has no Window."""
+    from locustdb_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 10 != 0 else f"l{i % 30}") for i in range(1500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(docs, "lang", 7)
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    # reproduce the selection independently in python
+    import hashlib
+
+    def hsh(i):
+        s = f"{i}|strata"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = set()
+    by_lang = {}
+    for i, lang in rows:
+        by_lang.setdefault(lang, []).append((hsh(i), i))
+    for lang, lst in by_lang.items():
+        for _, i in sorted(lst)[:7]:
+            want.add((lang, i))
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_pack_sequences_substreams_disjoint_and_budgeted(spark):
+    """streams_per_group > 1: bins are globally unique, every bin obeys
+    the budget rule (first doc may exceed; others fit the running
+    window), and the default path is unchanged."""
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en", 50 + (i * 37) % 100) for i in range(300)],
+        ["doc_id", "lang", "n_chars"])
+    out = pack_sequences(docs, budget=256, streams_per_group=4).collect()
+    # bin -> stream is consistent (bin_id encodes the stream)
+    assert {r.bin_id % 4 for r in out} <= {0, 1, 2, 3}
+    # per-bin sizes respect the running-window rule within each stream
+    from collections import defaultdict
+    per_bin = defaultdict(int)
+    for r in out:
+        per_bin[r.bin_id] += r.n_chars
+    # all but the last bin of each stream are at least budget-full
+    # modulo one document's spillover; sanity: no bin is wildly over
+    assert all(v < 256 + 150 for v in per_bin.values())
+    # default path (1 stream) unchanged: same bins as before
+    base = pack_sequences(docs, budget=256).collect()
+    assert {r.bin_id for r in base} == set(range(max(
+        r.bin_id for r in base) + 1))
