@@ -221,25 +221,35 @@ class LoggingClient:
     ) -> list[dict]:
         """Run several queries in one round trip. With ``encoding_opts``
         ({"xor_float_compression": True, "mantissa": int?,
-        "full_precision_cols": [..]}) float columns arrive xor-float
-        compressed and are transparently decoded back to value lists
-        (NULL sentinel -> None)."""
+        "full_precision_cols": [..]}) the server replies with the
+        reference's packed-capnp binary MultiQueryResponse (xor-float
+        + delta-compressed int columns, api.capnp); it is transparently
+        decoded back to {"cols": {name: values}} dicts (xor NULL
+        sentinel -> None). Without opts the response is JSON and
+        includes colnames/stats."""
         req: dict[str, Any] = {"queries": queries}
         if encoding_opts is not None:
             req["encoding_opts"] = encoding_opts
-        out = _post(f"{self.url}/multi_query_cols", req,
-                    bearer_token=self.bearer_token)
-        if encoding_opts and encoding_opts.get("xor_float_compression"):
-            import base64
+            data = json.dumps(req).encode()
+            hreq = urllib.request.Request(
+                f"{self.url}/multi_query_cols", data=data,
+                headers={"Content-Type": "application/json"})
+            if self.bearer_token:
+                hreq.add_header("Authorization",
+                                f"Bearer {self.bearer_token}")
+            try:
+                with urllib.request.urlopen(hreq, timeout=60.0) as resp:
+                    blob = resp.read()
+            except urllib.error.HTTPError as e:
+                raise RequestError(
+                    e.code, e.read().decode(errors="replace")) from e
+            from .sources.api_messages import (
+                deserialize_multi_query_response)
 
-            from .compression import decode as xor_decode
-
-            for resp in out:
-                for name, col in list(resp["cols"].items()):
-                    if isinstance(col, dict) and "xor_f64_b64" in col:
-                        resp["cols"][name] = xor_decode(
-                            base64.b64decode(col["xor_f64_b64"]))
-        return out
+            return [{"cols": cols}
+                    for cols in deserialize_multi_query_response(blob)]
+        return _post(f"{self.url}/multi_query_cols", req,
+                     bearer_token=self.bearer_token)
 
     def columns(self, tables: list[str], pattern: str | None = None,
                 limit: int | None = None, offset: int | None = None) -> dict:

@@ -22,9 +22,11 @@ ingest unchanged. A columnar JSON body
 is still accepted as a fallback for r1-era Python clients.
 /multi_query_cols accepts the reference's EncodingOpts
 ({"xor_float_compression", "mantissa", "full_precision_cols"} —
-server/mod.rs:252-287): float columns then travel as base64 xor-float
-streams (compression.py, the reference's Gorilla-style double codec)
-inside the JSON body rather than a capnp binary frame.
+server/mod.rs:252-287); when present the response is the reference's
+packed-capnp binary MultiQueryResponse (sources/api_messages.py):
+xor-float compressed float columns (compression.py, the reference's
+Gorilla-style double codec) and delta/double-delta/range-compressed
+int columns — the wire existing LocustDB clients already decode.
 
 Error mapping follows map_err_response (server/mod.rs:321-331):
 NotImplemented -> 501, other query errors -> 400, crashes -> 500.
@@ -92,35 +94,15 @@ def _rows_output(result: dict) -> dict:
     }
 
 
-def _cols_output(result: dict, encoding_opts: dict | None = None) -> dict:
-    """Column-major shaping (reference query_output_to_json_cols,
-    server/mod.rs:400-425). With ``encoding_opts``
-    ({"xor_float_compression": bool, "mantissa": int?,
-    "full_precision_cols": [name, ...]} — reference EncodingOpts,
-    locustdb-serialization/src/api.rs:40-44), float columns travel as
-    base64 xor-float streams instead of JSON number arrays (the JSON
-    analog of the reference's capnp binary MultiQueryResponse)."""
+def _cols_output(result: dict) -> dict:
+    """Column-major JSON shaping (reference query_output_to_json_cols,
+    server/mod.rs:400-425); binary responses with EncodingOpts go
+    through sources/api_messages.py instead."""
     cols: dict[str, object] = {}
     names = result["colnames"]
     rows = result["rows"]
-    xor = bool(encoding_opts and encoding_opts.get("xor_float_compression"))
-    mantissa = encoding_opts.get("mantissa") if encoding_opts else None
-    full_precision = set(
-        encoding_opts.get("full_precision_cols", ())) if encoding_opts else set()
     for i, name in enumerate(names):
-        vals = [r[i] for r in rows]
-        if xor and vals and all(
-                v is None or isinstance(v, float) for v in vals):
-            import base64
-
-            from .compression import encode as xor_encode
-
-            blob = xor_encode(
-                vals,
-                mantissa=None if name in full_precision else mantissa)
-            cols[name] = {"xor_f64_b64": base64.b64encode(blob).decode()}
-        else:
-            cols[name] = [_to_json_val(v) for v in vals]
+        cols[name] = [_to_json_val(r[i]) for r in rows]
     return {"colnames": names, "cols": cols, "stats": result["stats"]}
 
 
@@ -131,11 +113,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ----------------------------------------------------------- helpers
     def _send(self, code: int, body, content_type="application/json"):
-        data = (
-            json.dumps(body).encode()
-            if content_type == "application/json"
-            else body.encode()
-        )
+        if isinstance(body, bytes):
+            data = body
+        elif content_type == "application/json":
+            data = json.dumps(body).encode()
+        else:
+            data = body.encode()
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(data)))
@@ -240,10 +223,28 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/query_cols":
                 self._send(200, _cols_output(self._run_query(req["query"])))
             elif self.path == "/multi_query_cols":
-                out = [_cols_output(self._run_query(q),
-                                    req.get("encoding_opts"))
-                       for q in req["queries"]]
-                self._send(200, out)
+                results = [self._run_query(q) for q in req["queries"]]
+                opts = req.get("encoding_opts")
+                if opts is not None:
+                    # reference behavior (server/mod.rs:252-290):
+                    # EncodingOpts present -> packed-capnp binary
+                    # MultiQueryResponse (xor-float + delta-compressed
+                    # int columns), the wire existing clients decode
+                    from .sources.api_messages import (
+                        serialize_multi_query_response)
+
+                    responses = [
+                        {name: [r[i] for r in res["rows"]]
+                         for i, name in enumerate(res["colnames"])}
+                        for res in results
+                    ]
+                    self._send(
+                        200,
+                        serialize_multi_query_response(responses, opts),
+                        "application/octet-stream")
+                else:
+                    self._send(200, [_cols_output(res)
+                                     for res in results])
             elif self.path == "/columns":
                 self._columns(req)
             else:
