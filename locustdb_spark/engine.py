@@ -424,6 +424,23 @@ class LocustDB:
         if len(buf) >= self.partition_size:
             self.force_flush(table)
 
+    def ingest_wal_segment(self, path: str) -> int:
+        """Ingest a reference-LocustDB WAL file (packed-capnp
+        WalSegment, src/disk_store/wal_segment.rs:12-35) — point this
+        at the files in a real instance's ``wal/`` directory to replay
+        its un-flushed writes into Spark tables. Returns the number of
+        rows ingested across all tables in the segment."""
+        from .sources.event_buffer import WalSegment
+
+        with open(path, "rb") as fh:
+            seg = WalSegment.deserialize(fh.read())
+        n = 0
+        for table, rows in seg.data.to_rows().items():
+            if rows:
+                self.ingest(table, rows)
+                n += len(rows)
+        return n
+
     def load_csv(
         self,
         path: str,

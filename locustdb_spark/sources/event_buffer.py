@@ -517,8 +517,14 @@ class EventBuffer:
         ``EventBuffer::serialize`` modulo segment strategy (we always
         emit one segment; any conformant reader accepts that)."""
         b = _Builder()
+        self._serialize_into(b, 0)
+        return pack(b.message())
+
+    def _serialize_into(self, b: _Builder, ptr_word: int) -> None:
+        """Write this buffer as a TableSegmentList struct pointed to by
+        `ptr_word` (shared by EventBuffer roots and WalSegment.data)."""
         root = b.alloc(1)  # TableSegmentList: 0 data + 1 ptr
-        b.struct_ptr(0, root, 0, 1)
+        b.struct_ptr(ptr_word, root, 0, 1)
         items = list(self.tables.items())
         body = b.init_composite(root, len(items), 1, 2)
         for t, (name, table) in enumerate(items):
@@ -574,7 +580,6 @@ class EventBuffer:
                             raise TypeError(f"mixed value {v!r}")
                 else:
                     raise ValueError(f"unknown column kind {col.kind}")
-        return pack(b.message())
 
     @classmethod
     def deserialize(cls, data: bytes) -> "EventBuffer":
@@ -585,6 +590,13 @@ class EventBuffer:
         kind, seg, target, dw, pw = root
         if kind != "struct" or pw < 1:
             raise ValueError("root is not a TableSegmentList")
+        return cls(tables=cls._read_tables(r, seg, target, dw))
+
+    @classmethod
+    def _read_tables(cls, r: _Reader, seg: int, target: int,
+                     dw: int) -> dict[str, TableBuffer]:
+        """Read a TableSegmentList struct body (shared by EventBuffer
+        roots and WalSegment.data)."""
         tables: dict[str, TableBuffer] = {}
         for tseg, tw, tdw, tpw in r.composite(seg, target + dw):
             name = r.text(tseg, tw + tdw)
@@ -630,7 +642,7 @@ class EventBuffer:
                     raise ValueError(f"unknown Column.data tag {tag}")
                 columns[cname] = col
             tables[name] = TableBuffer(len=tlen, columns=columns)
-        return cls(tables=tables)
+        return tables
 
     # -- ingestion shape ---------------------------------------------------
 
@@ -648,3 +660,43 @@ class EventBuffer:
                 for i in range(length)
             ]
         return out
+
+
+@dataclass
+class WalSegment:
+    """The reference's on-disk WAL file format (src/disk_store/
+    wal_segment.rs:12-35): a packed-capnp ``WalSegment { id: UInt64,
+    data: TableSegmentList }`` — i.e. an EventBuffer plus a monotonic
+    segment id. With this, a Spark pipeline can ingest the wal/
+    directory of a real LocustDB instance directly (see
+    ``LocustDB.ingest_wal_segment``)."""
+
+    id: int = 0
+    data: EventBuffer = field(default_factory=EventBuffer)
+
+    def serialize(self) -> bytes:
+        b = _Builder()
+        body = b.alloc(2)  # WalSegment: data 1 word (id) + 1 ptr
+        b.struct_ptr(0, body, 1, 1)
+        b.put_u64(body, self.id)
+        self.data._serialize_into(b, body + 1)
+        return pack(b.message())
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "WalSegment":
+        r = _Reader(_unframe(unpack(data)))
+        root = r.resolve(0, 0)
+        if root is None:
+            return cls()
+        kind, seg, target, dw, pw = root
+        if kind != "struct" or dw < 1 or pw < 1:
+            raise ValueError("root is not a WalSegment")
+        seg_id = r.word(seg, target)
+        tsl = r.resolve(seg, target + dw)
+        if tsl is None:
+            return cls(id=seg_id)
+        tkind, tseg, ttarget, tdw, tpw = tsl
+        if tkind != "struct":
+            raise ValueError("WalSegment.data is not a struct")
+        return cls(id=seg_id, data=EventBuffer(
+            tables=EventBuffer._read_tables(r, tseg, ttarget, tdw)))

@@ -317,3 +317,20 @@ if _HAVE_HYPOTHESIS:
         lambda b: b + b"\x00" * ((8 - len(b) % 8) % 8)))
     def test_property_pack_unpack_roundtrip(data):
         assert unpack(pack(data)) == data
+
+
+def test_wal_segment_roundtrip():
+    """WalSegment (the reference's on-disk WAL file format,
+    wal_segment.rs:12-35): id + EventBuffer round-trip."""
+    from locustdb_spark.sources.event_buffer import WalSegment
+
+    buf = EventBuffer(tables={
+        "t": TableBuffer(len=3, columns={
+            "a": ColumnData("i64", [1, 2, 3]),
+            "s": ColumnData("string", ["x", "y", "z"]),
+        }),
+    })
+    seg = WalSegment(id=42, data=buf)
+    rt = WalSegment.deserialize(seg.serialize())
+    assert rt.id == 42 and rt.data == buf
+    assert WalSegment.deserialize(WalSegment().serialize()) == WalSegment()

@@ -231,3 +231,25 @@ def test_concurrent_queries_during_ingest(spark, tmp_path):
     assert not errors
     assert all(1 <= c <= 11 for c in counts)
     assert db.run_query("SELECT count(0) FROM m")["rows"] == [(11,)]
+
+
+def test_ingest_reference_wal_segment(spark, tmp_path):
+    """Replay a reference-format WAL file (packed-capnp WalSegment)
+    into engine tables and query it back."""
+    from locustdb_spark import LocustDB
+    from locustdb_spark.sources.event_buffer import (
+        ColumnData, EventBuffer, TableBuffer, WalSegment)
+
+    seg = WalSegment(id=7, data=EventBuffer(tables={
+        "walmetrics": TableBuffer(len=3, columns={
+            "seq": ColumnData("i64", [0, 1, 2]),
+            "v": ColumnData("sparse_f64", [4.5], [1]),
+        }),
+    }))
+    p = tmp_path / "00007.wal"
+    p.write_bytes(seg.serialize())
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    assert db.ingest_wal_segment(str(p)) == 3
+    out = db.run_query("SELECT seq, v FROM walmetrics")["rows"]
+    assert sorted((r[0], r[1]) for r in out) == [
+        (0, None), (1, 4.5), (2, None)]
