@@ -9,8 +9,8 @@ import struct
 import pytest
 
 from locustdb_spark.sources.event_buffer import (
-    ColumnData, EventBuffer, TableBuffer, _frame, _Reader, _unframe,
-    pack, unpack)
+    ColumnData, EventBuffer, TableBuffer, _frame, _pack_py, _Reader,
+    _unframe, _unpack_py, pack, unpack)
 
 # ---------------------------------------------------------------------------
 # packed codec
@@ -19,22 +19,31 @@ from locustdb_spark.sources.event_buffer import (
 
 def test_pack_matches_spec_example():
     """The worked example from the public encoding spec
-    (capnproto.org/encoding.html#packing) must reproduce byte-for-byte."""
+    (capnproto.org/encoding.html#packing) must reproduce byte-for-byte
+    — from BOTH encoders (no special tags involved)."""
     unpacked = bytes.fromhex("0800000003000200" "19000000aa010000")
     packed = bytes.fromhex("51080302" "3119aa01")
     assert pack(unpacked) == packed
+    assert _pack_py(unpacked) == packed
     assert unpack(packed) == unpacked
+    assert _unpack_py(packed) == unpacked
 
 
 def test_pack_zero_run_and_literal_run():
-    # two all-zero words -> tag 0x00 + count 1
-    assert pack(b"\x00" * 16) == bytes([0x00, 0x01])
+    # reference encoder: two all-zero words -> tag 0x00 + count 1
+    assert _pack_py(b"\x00" * 16) == bytes([0x00, 0x01])
     assert unpack(bytes([0x00, 0x01])) == b"\x00" * 16
-    # two fully-dense words -> 0xff + word + count 1 + verbatim word
+    # reference encoder: two dense words -> 0xff + word + count 1 + word
     dense = bytes([0x8A] * 16)
-    packed = pack(dense)
+    packed = _pack_py(dense)
     assert packed == bytes([0xFF]) + b"\x8a" * 8 + bytes([0x01]) + b"\x8a" * 8
     assert unpack(packed) == dense
+    # vectorized encoder: zero-count blocks, still valid and invertible
+    assert pack(b"\x00" * 16) == bytes([0x00, 0x00, 0x00, 0x00])
+    assert unpack(pack(b"\x00" * 16)) == b"\x00" * 16
+    assert pack(dense) == (bytes([0xFF]) + b"\x8a" * 8 + bytes([0x00])) * 2
+    assert unpack(pack(dense)) == dense
+    assert _unpack_py(pack(dense)) == dense
 
 
 def test_pack_roundtrip_random_words():
@@ -316,7 +325,12 @@ if _HAVE_HYPOTHESIS:
     @given(st.binary(max_size=400).map(
         lambda b: b + b"\x00" * ((8 - len(b) % 8) % 8)))
     def test_property_pack_unpack_roundtrip(data):
-        assert unpack(pack(data)) == data
+        # both encoders invert under both decoders (the vectorized and
+        # the reference implementations must be interchangeable)
+        for enc in (pack, _pack_py):
+            blob = enc(data)
+            assert unpack(blob) == data
+            assert _unpack_py(blob) == data
 
 
 def test_wal_segment_roundtrip():
