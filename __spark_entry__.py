@@ -152,6 +152,46 @@ def x_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-2-orders-per-customer result as
+    x_window_topk_per_group, computed through the skew-safe salted
+    two-phase aggregate (operators/sampling.py _salted_topk) instead of
+    a row_number window — the formulation to reach for when the group
+    key is hot (lexicographic min of (-price, orderkey) = highest
+    price, ties to the smaller key)."""
+    from locustdb_spark.operators.sampling import _salted_topk
+
+    orders = _read(spark, sf_dir, "orders")
+    order = F.struct((-F.col("o_totalprice")).alias("_negp"),
+                     F.col("o_orderkey").alias("_id"))
+    keep = _salted_topk(orders, "o_custkey", order, "o_orderkey",
+                        k=2, salt_buckets=16)
+    return (
+        orders.join(keep, ["o_custkey", "o_orderkey"], "left_semi")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def x_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode: the most frequent o_orderpriority per
+    o_orderstatus, ties to the lexicographically smallest priority.
+    One partial-agg shuffle over the fact table; the argmax runs on
+    the tiny aggregated table (status x priority), never on raw rows."""
+    orders = _read(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counts.groupBy("o_orderstatus").agg(
+        F.max("cnt").alias("cnt"))
+    return (
+        counts.join(best, ["o_orderstatus", "cnt"])
+        .groupBy("o_orderstatus")
+        .agg(F.min("o_orderpriority").alias("mode_priority"),
+             F.max("cnt").alias("cnt"))
+    )
+
+
 def x_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1628,6 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_join_broadcast": x_join_broadcast,
         "x_join_chain": x_join_chain,
         "x_window_topk_per_group": x_window_topk_per_group,
+        "x_topk_per_group_salted": x_topk_per_group_salted,
+        "x_mode_per_group": x_mode_per_group,
         "x_distinct_count": x_distinct,
         "x_anti_join": x_anti_join,
         "x_semi_join": x_semi_join,
@@ -2044,6 +2086,30 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders
             ) WHERE rn <= 2
+        """,
+        "x_topk_per_group_salted": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "x_mode_per_group": """
+            WITH counts AS (
+              SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+              FROM orders GROUP BY 1, 2
+            ), best AS (
+              SELECT o_orderstatus, max(cnt) AS cnt
+              FROM counts GROUP BY 1
+            )
+            SELECT c.o_orderstatus,
+                   min(c.o_orderpriority) AS mode_priority,
+                   max(c.cnt) AS cnt
+            FROM counts c JOIN best b
+              ON c.o_orderstatus = b.o_orderstatus AND c.cnt = b.cnt
+            GROUP BY 1
         """,
         "x_distinct_count": """
             SELECT event_type,
