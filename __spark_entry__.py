@@ -853,9 +853,15 @@ RP_DIMS = 8
 
 
 def p_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-friendly shape: the array<double> output of
+    random_projection is posexploded to scalar (vec_id, dim, value)
+    rows — the driver's canonicalizer lexsorts pandas columns and
+    cannot hash list cells."""
     from locustdb_spark.operators.similarity import random_projection
 
-    return random_projection(_read(spark, sf_dir, "embeddings"), RP_DIMS)
+    proj = random_projection(_read(spark, sf_dir, "embeddings"), RP_DIMS)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "value"))
 
 
 def p_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1888,12 +1894,19 @@ def _duck_plane_proj(p: int) -> str:
 
 def _duck_random_projection() -> str:
     # multiply by the SAME python-double reciprocal literal the Spark
-    # side uses (division by sqrt(8) differs in the last ulp)
+    # side uses (division by sqrt(8) differs in the last ulp); scalar
+    # (vec_id, dim, value) rows to match the posexploded Spark entry
     scale = repr(1.0 / (RP_DIMS ** 0.5))
     comps = ", ".join(
         f"round(({_duck_plane_proj(j)}) * {scale}, 6)" for j in range(RP_DIMS)
     )
-    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+    return (
+        f"WITH p AS (SELECT vec_id, [{comps}] AS projected "
+        "FROM embeddings) "
+        "SELECT vec_id, CAST(t.i AS INT) AS dim, "
+        "p.projected[t.i + 1] AS value "
+        f"FROM p, range({RP_DIMS}) AS t(i)"
+    )
 
 
 def _duck_buckets() -> str:

@@ -202,17 +202,137 @@ class HadoopStorage(TableStorage):
         fs, p = self._fs_path(path)
         return fs.getFileStatus(p).getModificationTime() / 1000.0
 
+    # Schemes where FileSystem.rename(src, dst) is serialized by a
+    # central metadata service and FAILS (returns false) when dst
+    # already exists — the classic HDFS atomic-commit primitive.
+    _RENAME_ATOMIC = {"hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs",
+                      "o3fs"}
+    # Object stores where rename is copy+delete and create(overwrite=
+    # false) is check-then-write: only a server-side conditional PUT
+    # (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`,
+    # Azure `If-None-Match: *`) is race-free.
+    _OBJECT_STORES = {"s3", "s3a", "s3n", "gs", "abfs", "abfss",
+                      "wasb", "wasbs", "oss", "cos", "cosn", "swift"}
+
+    @staticmethod
+    def _scheme(path: str) -> str:
+        head, sep, _ = path.partition(":")
+        if not sep or "/" in head:
+            return ""
+        return head.lower()
+
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        fs, p = self._fs_path(path)
+        """Atomic create-iff-absent, dispatched per scheme.
+
+        `FileSystem.create(path, overwrite=false)` is NOT the right
+        primitive everywhere: on the local (Raw/ChecksumFileSystem)
+        path it is an exists-check followed by an open, so two racing
+        writers both "succeed" and one manifest silently overwrites
+        the other. Per-scheme:
+
+        - ``file:`` / bare paths -> POSIX hard link (write temp,
+          ``os.link`` to the final name; link is atomic and fails
+          with EEXIST if another writer already committed).
+        - HDFS-like schemes -> write temp, then ``rename`` to the
+          final name; the namenode serializes renames and refuses an
+          existing destination, so exactly one writer's rename
+          returns true.
+        - Object stores -> a real conditional PUT. The Hadoop
+          connectors expose this through the createFile() builder's
+          ``fs.option.create.conditional.overwrite`` option (s3a
+          maps it to an ``If-None-Match: *`` PUT); if the connector
+          does not support it we refuse to run the unsafe
+          check-then-create and tell the caller to supply a
+          conditional-put CommitStore instead.
+        """
+        scheme = self._scheme(path)
+        if scheme in ("", "file"):
+            return self._put_if_absent_posix(path, data)
+        if scheme in self._RENAME_ATOMIC:
+            return self._put_if_absent_rename(path, data)
+        if scheme in self._OBJECT_STORES:
+            return self._put_if_absent_conditional(path, data)
+        # Unknown scheme: rename-commit is the safest generic guess
+        # for anything with real filesystem semantics.
+        return self._put_if_absent_rename(path, data)
+
+    def _put_if_absent_posix(self, path: str, data: bytes) -> bool:
+        local = path[len("file:"):] if path.startswith("file:") else path
+        # file:///p and file:/p both mean /p
+        while local.startswith("//"):
+            local = local[1:]
+        tmp = f"{local}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
         try:
-            out = fs.create(p, False)  # overwrite=false: fails if exists
-        except Exception as e:  # noqa: BLE001 — py4j wraps the Java
-            # FileAlreadyExistsException; anything else re-raises
-            if "AlreadyExists" in str(e) or "already exists" in str(e):
-                return False
-            raise
+            os.link(tmp, local)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def _put_if_absent_rename(self, path: str, data: bytes) -> bool:
+        fs, p = self._fs_path(path)
+        tmp_path = f"{path}.{uuid.uuid4().hex}.tmp"
+        _, t = self._fs_path(tmp_path)
+        out = fs.create(t, True)
         try:
             out.write(bytearray(data))
         finally:
             out.close()
-        return True
+        try:
+            if fs.rename(t, p):
+                return True
+            # rename refused: either dst exists (lost the race) or a
+            # genuine failure — distinguish so errors don't masquerade
+            # as losses.
+            if fs.exists(p):
+                return False
+            raise OSError(f"commit rename failed: {tmp_path} -> {path}")
+        finally:
+            if fs.exists(t):
+                fs.delete(t, False)
+
+    def _put_if_absent_conditional(self, path: str, data: bytes) -> bool:
+        fs, p = self._fs_path(path)
+        try:
+            builder = fs.createFile(p).overwrite(False)
+            # Hadoop 3.4.1+ (HADOOP-19256): s3a honors this builder
+            # option with a server-side If-None-Match:* conditional
+            # PUT surfaced at close() time.
+            builder = builder.must(
+                "fs.option.create.conditional.overwrite", False)
+            out = builder.build()
+        except Exception as e:  # noqa: BLE001 — py4j-wrapped Java
+            msg = str(e)
+            if ("Unsupported" in msg or "unknown" in msg.lower()
+                    or "must(" in msg):
+                raise OSError(
+                    f"{self._scheme(path)}: connector does not support "
+                    "conditional create; plain create(overwrite=false) "
+                    "is check-then-write on object stores and loses "
+                    "racing commits. Pass a conditional-put CommitStore "
+                    "(e.g. ConditionalPutCommitStore) to VersionedTable "
+                    "instead.") from e
+            if "AlreadyExists" in msg or "already exists" in msg:
+                return False
+            raise
+        try:
+            out.write(bytearray(data))
+            try:
+                out.close()
+            except Exception as e:  # noqa: BLE001
+                # Conditional failure (remote 412) surfaces at close.
+                msg = str(e)
+                if ("AlreadyExists" in msg or "already exists" in msg
+                        or "PreconditionFailed" in msg or "412" in msg):
+                    return False
+                raise
+            return True
+        except Exception:
+            try:
+                out.close()
+            except Exception:  # noqa: BLE001
+                pass
+            raise
