@@ -42,20 +42,62 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_ns: int | None = None,
+    max_events_per_step: int | None = 1024,
+    merge_buckets: int = 64,
 ) -> DataFrame:
     """Ordered funnel: for step i, count users whose first qualifying
     step-i event is at-or-after their first qualifying step-(i-1)
     event — and, when `within_ns` is set, no more than that far after
     it (a conversion window: 'purchased within 7 days of clicking').
     Returns one row per step: (step, event_type, users).
+
+    Accumulator bound: with `max_events_per_step` set (default 1024),
+    each user keeps only the k EARLIEST step-i timestamps, merged
+    through partition-bounded cells (same associative-top-k shape as
+    sampling._salted_topk): groupBy(user, scan-partition-id) caps each
+    cell at one partition's rows, then two k-array merge hops bound
+    every later cell at max(ceil(P/merge_buckets), merge_buckets) * k
+    longs — a bot with 100M step events can no longer materialize one
+    gigabyte-scale collect_list cell. Exact whenever every user has
+    <= k events per step; beyond that it is a documented conservative
+    truncation (a conversion later than a user's k-th step event is
+    missed — never overcounted). `max_events_per_step=None` restores
+    the exact single-shuffle unbounded shape.
     """
     ev = events.filter(F.col(type_col).isin(list(steps)))
-    per_user = ev.groupBy(user_col).agg(*[
-        F.collect_list(
-            F.when(F.col(type_col) == s, F.col(ts_col))
-        ).alias(f"_ts_{i}")
-        for i, s in enumerate(steps)
-    ])
+    step_ts = [
+        F.when(F.col(type_col) == s, F.col(ts_col))
+        for s in steps
+    ]
+    if max_events_per_step is None:
+        per_user = ev.groupBy(user_col).agg(*[
+            F.collect_list(c).alias(f"_ts_{i}")
+            for i, c in enumerate(step_ts)
+        ])
+    else:
+        k = max_events_per_step
+
+        def cap(arr):
+            return F.slice(F.array_sort(arr), 1, k)
+
+        n = len(steps)
+        cells = ev.groupBy(
+            user_col, F.spark_partition_id().alias("_pid")
+        ).agg(*[
+            cap(F.collect_list(c)).alias(f"_ts_{i}")
+            for i, c in enumerate(step_ts)
+        ])
+        merged = cells.groupBy(
+            user_col,
+            F.pmod(F.col("_pid"), F.lit(merge_buckets)).alias("_mb"),
+        ).agg(*[
+            cap(F.flatten(F.collect_list(f"_ts_{i}"))).alias(f"_ts_{i}")
+            for i in range(n)
+        ])
+        per_user = merged.groupBy(user_col).agg(*[
+            cap(F.flatten(F.collect_list(f"_ts_{i}"))).alias(f"_ts_{i}")
+            for i in range(n)
+        ])
     # Resolve step times left-to-right: t_i = min ts of step i that is
     # >= t_{i-1} (and <= t_{i-1} + within_ns when windowed). Pure JVM
     # array expressions over the already-grouped lists — no further

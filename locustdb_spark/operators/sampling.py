@@ -55,27 +55,49 @@ def _salted_topk(
     salt_buckets: int,
 ) -> DataFrame:
     """The k lexicographically-smallest `order_struct` rows per group,
-    WITHOUT a window on the group key: phase 1 keeps k per (group,
-    salt bucket) — map-side partial aggregation collapses hot groups
-    before the shuffle — phase 2 merges the <= salt_buckets * k
-    survivors per group. A group with a billion rows ships
-    salt_buckets rows to phase 2, not a billion. `order_struct` must
-    contain `id_col` as a field named `_id`. Returns the selected
-    (group_col, id_col) pairs."""
+    WITHOUT a window on the group key, and with every aggregation
+    cell's in-memory state BOUNDED (top-k is associative, so it can be
+    taken over any partitioning of a group and re-taken over the
+    partials):
+
+    1. groupBy(group, scan partition id): every cell's rows live in
+       exactly one scan partition, so no collect_list buffer ever
+       exceeds one partition's rows (~maxPartitionBytes) no matter how
+       hot the group is — the r2 shape salted by hash(id) %
+       salt_buckets still funneled rows_in_group/salt_buckets structs
+       into one reduce-side cell, which for a billion-row group was
+       gigabytes. Sliced to k per cell before the next hop.
+    2. groupBy(group, pid % salt_buckets): merges <= ceil(P /
+       salt_buckets) k-lists per cell (P = scan partitions), so a
+       50k-partition scan with k=100 peaks at ~160k structs, not 5M.
+    3. groupBy(group): merges the <= salt_buckets k-lists.
+
+    Phases 2-3 carry only k-element arrays; the one full-data shuffle
+    (phase 1) matches what the r2 two-phase shape already paid. The
+    result is independent of the partition layout (associativity), so
+    AQE / retries / different file splits all select the same rows.
+    `order_struct` must contain `id_col` as a field named `_id`.
+    Returns the selected (group_col, id_col) pairs."""
+    def topk(arr: Column) -> Column:
+        return F.slice(F.array_sort(arr), 1, k)
+
     pairs = df.select(F.col(group_col).alias("_g"),
-                      order_struct.alias("_p"))
-    salt = F.pmod(F.xxhash64(F.col("_p._id")), F.lit(salt_buckets))
+                      order_struct.alias("_p"),
+                      F.spark_partition_id().alias("_pid"))
     phase1 = (
-        pairs.groupBy("_g", salt.alias("_s"))
-        .agg(F.slice(F.array_sort(F.collect_list("_p")), 1, k)
-             .alias("_ps"))
+        pairs.groupBy("_g", "_pid")
+        .agg(topk(F.collect_list("_p")).alias("_ps"))
     )
     phase2 = (
-        phase1.groupBy("_g")
-        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ps"))),
-                     1, k).alias("_ps"))
+        phase1.groupBy("_g", F.pmod(F.col("_pid"),
+                                    F.lit(salt_buckets)).alias("_s"))
+        .agg(topk(F.flatten(F.collect_list("_ps"))).alias("_ps"))
     )
-    return phase2.select(
+    phase3 = (
+        phase2.groupBy("_g")
+        .agg(topk(F.flatten(F.collect_list("_ps"))).alias("_ps"))
+    )
+    return phase3.select(
         F.col("_g").alias(group_col),
         F.explode("_ps").alias("_p"),
     ).select(group_col, F.col("_p._id").alias(id_col))
