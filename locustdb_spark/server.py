@@ -142,7 +142,9 @@ class _Handler(BaseHTTPRequestHandler):
     # ------------------------------------------------------------- GET
     def do_GET(self):
         try:
-            if self.path == "/tables":
+            if self.path == "/":
+                self._index()
+            elif self.path == "/tables":
                 self._tables()
             elif self.path.startswith("/table/"):
                 self._table_page(self.path[len("/table/"):])
@@ -175,6 +177,31 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, {"error": "not found"})
         except Exception as e:  # noqa: BLE001
             self._send(500, {"error": str(e)})
+
+    def _index(self):
+        """HTML index: sorted table list linking to /table/{name},
+        plus engine counters (reference server/mod.rs:51-109 renders
+        templates/index.html with table_stats() names and the
+        PerfCounter fields; our counter surface is the /metrics
+        registry plus per-table stats, so those are what render)."""
+        stats = self.db.table_stats()
+        names = sorted(t["name"] for t in stats)
+        items = "".join(
+            f'<li><a href="table/{n}">{n}</a></li>' for n in names)
+        with self.metrics._lock:
+            counters = dict(self.metrics.counters)
+        perf = "<br>".join(
+            f"{k}: {v:g}" for k, v in sorted(counters.items())) or "none"
+        rows = sum(t["rows"] for t in stats)
+        body = (
+            "<!doctype html><html lang=\"en\"><head>"
+            "<meta charset=\"utf-8\"><title>LocustDB</title></head>"
+            "<body><h1>LocustDB</h1>"
+            f"<h2>Tables</h2><ul>{items}</ul>"
+            f"<h2>Perf stats</h2>total_rows: {rows}<br>{perf}"
+            "</body></html>"
+        )
+        self._send(200, body, "text/html; charset=utf8")
 
     def _tables(self):
         stats = self.db.table_stats()

@@ -224,3 +224,16 @@ def test_plot_and_query_data_dev_surfaces(served_db):
     data = json.loads(urllib.request.urlopen(f"{url}/query_data").read())
     assert data["cols"] == ["time", "cpu"]
     assert len(data["series"]) == 2 and len(data["series"][0]) == 9
+
+
+def test_root_index_html(served_db):
+    """GET / renders the HTML index: sorted table links + perf
+    counters (reference server/mod.rs:51-109, templates/index.html)."""
+    _, url = served_db
+    resp = urllib.request.urlopen(f"{url}/")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/html")
+    page = resp.read().decode()
+    assert "<h1>LocustDB</h1>" in page
+    assert '<a href="table/metrics">metrics</a>' in page
+    assert "total_rows:" in page
