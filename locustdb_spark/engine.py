@@ -424,6 +424,36 @@ class LocustDB:
         if len(buf) >= self.partition_size:
             self.force_flush(table)
 
+    def restore_reference_dir(self, path: str, include_wal: bool = True,
+                              on_pco: str = "error") -> dict[str, int]:
+        """Migrate a reference-LocustDB persisted data directory
+        (src/disk_store/storage.rs layout: meta + tables/*.part +
+        wal/*.wal) into this engine: flushed partition segments are
+        decoded through the public codec formats
+        (sources/refdir.py) and the unflushed WAL tail is replayed
+        (WAL ids >= the meta checkpoint). Returns rows restored per
+        table; ``on_pco='null'`` degrades Pco-compressed columns to
+        NULL instead of failing the migration."""
+        from .sources.refdir import ReferenceDirReader
+
+        reader = ReferenceDirReader(path, on_pco=on_pco)
+        counts = reader.restore_into(self, include_wal=include_wal)
+        self.force_flush()
+        return counts
+
+    def export_reference_dir(self, path: str,
+                             tables: list[str] | None = None,
+                             rows_per_partition: int = 1 << 20) -> None:
+        """Write this engine's tables as a reference-format data
+        directory (the inverse migration: meta + partition segments
+        a reference instance can open)."""
+        from .sources.refdir import write_reference_dir
+
+        names = tables if tables is not None else self.table_names()
+        frames = {name: self.snapshot(name).toPandas() for name in names}
+        write_reference_dir(path, frames,
+                            rows_per_partition=rows_per_partition)
+
     def ingest_wal_segment(self, path: str) -> int:
         """Ingest a reference-LocustDB WAL file (packed-capnp
         WalSegment, src/disk_store/wal_segment.rs:12-35) — point this

@@ -851,7 +851,12 @@ class WalSegment:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "WalSegment":
-        r = _Reader(_unframe(unpack(data)))
+        # On-disk wal files carry the VersionedChecksummedBlobWriter
+        # header (file_writer.rs:27-100) — strip it when present so
+        # both raw serializations and real wal/ files deserialize.
+        from .refdir import maybe_unwrap_blob
+
+        r = _Reader(_unframe(unpack(maybe_unwrap_blob(data))))
         root = r.resolve(0, 0)
         if root is None:
             return cls()

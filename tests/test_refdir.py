@@ -1,0 +1,394 @@
+"""Reference persisted-data-directory reader/writer.
+
+Formats under test (all public): the checksummed blob wrapper
+(reference src/disk_store/file_writer.rs:27-100), DBMeta and
+PartitionSegment packed capnp (locustdb-serialization/schemas/
+{dbmeta,partition_segment}.capnp), the codec-op stack machine
+(src/mem_store/codec.rs:145-208) and its operators (delta_decode.rs,
+dict_lookup.rs, unpack_strings.rs, unhexpack_strings.rs, bitvec.rs),
+and LZ4 block+frame (lz4.org spec; mem_store/lz4.rs uses frames,
+meta_store.rs uses size-prepended blocks).
+
+The writer is the fixture source: it emits the same codec shapes the
+reference's flush produces, so reader tests double as wire-parity
+round trips. Codec stacks the writer does NOT emit (dict lookup,
+delta, add, to_i64, unhexpack — integers.rs:102-112, strings.rs:
+120-138) are hand-built RefColumns pinning the interpreter alone.
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from locustdb_spark.sources.lz4 import (
+    compress_block, compress_frame, decompress_block,
+    decompress_frame, decompress_size_prepended, xxh32)
+from locustdb_spark.sources.refdir import (
+    PcoUnsupportedError, RefColumn, RefMeta, RefPartition,
+    RefSubpartition, ReferenceDirReader, build_column,
+    materialize_column, parse_dbmeta, parse_partition_segment,
+    sanitize_table_name, serialize_dbmeta,
+    serialize_partition_segment, unwrap_blob, wrap_blob,
+    write_reference_dir)
+
+
+# ---------------------------------------------------------------- lz4
+
+def test_xxh32_known_vectors():
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+
+def test_lz4_block_golden_bytes():
+    """Hand-assembled block per the public spec: 4 literals 'abcd',
+    match offset 4 len 8 (overlapping x2 replication), closing
+    literals 'XYZWV'."""
+    blk = bytes([0x44]) + b"abcd" + struct.pack("<H", 4) \
+        + bytes([0x50]) + b"XYZWV"
+    assert bytes(decompress_block(blk)) == b"abcd" + b"abcd" * 2 + b"XYZWV"
+
+
+def test_lz4_roundtrips():
+    import random
+
+    random.seed(3)
+    cases = [b"", b"q", b"the quick brown fox " * 200,
+             bytes(random.randbytes(50_000)),
+             bytes(random.choices(b"xyz", k=9_000))]
+    for d in cases:
+        assert bytes(decompress_block(compress_block(d))) == d
+        assert decompress_frame(compress_frame(d)) == d
+        assert decompress_size_prepended(
+            struct.pack("<I", len(d)) + compress_block(d)) == d
+
+
+def test_lz4_frame_header_variants():
+    """Decoder must handle content-size and checksum flags (parse
+    past, not verify)."""
+    payload = b"hello world " * 100
+    comp = compress_block(payload)
+    # FLG: version 01 + B.Indep + B.Checksum + C.Size + C.Checksum
+    flg = 0x40 | 0x20 | 0x10 | 0x08 | 0x04
+    header = bytes([flg, 0x40]) + struct.pack("<Q", len(payload))
+    hc = (xxh32(header) >> 8) & 0xFF
+    frame = (struct.pack("<I", 0x184D2204) + header + bytes([hc])
+             + struct.pack("<I", len(comp)) + comp
+             + b"\x00\x00\x00\x00"          # block checksum (skipped)
+             + struct.pack("<I", 0)          # end mark
+             + b"\x00\x00\x00\x00")          # content checksum
+    assert decompress_frame(frame) == payload
+
+
+# ----------------------------------------------------------- wrapper
+
+def test_blob_wrapper_roundtrip_and_tamper():
+    payload = b"some payload bytes"
+    blob = wrap_blob(payload)
+    assert blob[:8] == b"\x00" * 8
+    assert int.from_bytes(blob[8:16], "big") == len(payload)
+    assert blob[16:48] == hashlib.sha256(payload).digest()
+    assert unwrap_blob(blob) == payload
+    bad = bytearray(blob)
+    bad[-1] ^= 1
+    with pytest.raises(ValueError, match="checksum"):
+        unwrap_blob(bytes(bad))
+
+
+def test_sanitize_table_name():
+    assert sanitize_table_name("events") == "events"
+    assert sanitize_table_name("my_table-1.2") == "my_table-1.2"
+    out = sanitize_table_name("Weird Name!")
+    digest = hashlib.sha256(b"Weird Name!").hexdigest()
+    assert out == f"-weirdname-{digest}"
+    assert sanitize_table_name("..dots") == f"-dots-" + \
+        hashlib.sha256(b"..dots").hexdigest()
+
+
+# --------------------------------------------- codec interpreter pins
+
+def _mat(col):
+    return materialize_column(col)
+
+
+def test_codec_add_offset():
+    """integers.rs (false,false) no-null: [Add(t, offset)]."""
+    col = RefColumn("c", 4, (100, 104), [("add", "u8", 100)],
+                    [("u8", np.array([0, 1, 2, 3], "u1"))])
+    vals, mask = _mat(col)
+    assert vals.tolist() == [100, 101, 102, 103] and mask is None
+
+
+def test_codec_delta_decode():
+    """integers.rs (false,true): [Add, Delta] — prefix sum after
+    offset (delta_decode.rs: running previous starts at 0)."""
+    col = RefColumn("c", 4, None,
+                    [("add", "i64", 5), ("delta",)],
+                    [("i64", np.array([10, 1, -2, 3], "i8"))])
+    vals, _ = _mat(col)
+    # add 5 -> [15, 6, 3, 8]; cumsum -> [15, 21, 24, 32]
+    assert vals.tolist() == [15, 21, 24, 32]
+
+
+def test_codec_nullable_orders():
+    """integers.rs:103 (true,false): [Push(1), Nullable, ToI64] —
+    mask attaches BEFORE the cast; and :102 [Delta, Push(1),
+    Nullable] — mask attaches after the sum."""
+    col = RefColumn("c", 3, None,
+                    [("push_section", 1), ("nullable",), ("to_i64",)],
+                    [("u16", np.array([7, 0, 9], "u2")),
+                     ("bitvec", np.array([0b101], "u1"))])
+    vals, mask = _mat(col)
+    assert vals.tolist() == [7, 0, 9]
+    assert mask.tolist() == [True, False, True]
+
+    col2 = RefColumn("c", 3, None,
+                     [("delta",), ("push_section", 1), ("nullable",)],
+                     [("u8", np.array([5, 2, 1], "u1")),
+                      ("bitvec", np.array([0b011], "u1"))])
+    vals2, mask2 = _mat(col2)
+    assert vals2.tolist() == [5, 7, 8]
+    assert mask2.tolist() == [True, True, False]
+
+
+def test_codec_dict_lookup():
+    """strings.rs:131-133 dict codec: indices -> (offset<<24|len)
+    pairs -> packed dict bytes (dict_lookup.rs:20-25)."""
+    dict_data = b"aabbbcc"
+    entries = [(0, 2), (2, 3), (5, 2)]  # aa, bbb, cc
+    dict_indices = np.array([(o << 24) | ln for o, ln in entries], "u8")
+    col = RefColumn(
+        "s", 5, None,
+        [("push_section", 1), ("push_section", 2), ("dict_lookup",)],
+        [("u16", np.array([2, 0, 1, 1, 0], "u2")),
+         ("u64", dict_indices),
+         ("u8", np.frombuffer(dict_data, "u1"))])
+    vals, mask = _mat(col)
+    assert vals == ["cc", "aa", "bbb", "bbb", "aa"] and mask is None
+
+
+def test_codec_nullable_dict_lookup():
+    """strings.rs:120-121: [Push(3), Nullable, Push(1), Push(2),
+    DictLookup] — null mask rides through the lookup."""
+    dict_data = b"xy"
+    dict_indices = np.array([(0 << 24) | 1, (1 << 24) | 1], "u8")
+    col = RefColumn(
+        "s", 3, None,
+        [("push_section", 3), ("nullable",),
+         ("push_section", 1), ("push_section", 2), ("dict_lookup",)],
+        [("u8", np.array([0, 0, 1], "u1")),
+         ("u64", dict_indices),
+         ("u8", np.frombuffer(dict_data, "u1")),
+         ("bitvec", np.array([0b101], "u1"))])
+    vals, mask = _mat(col)
+    assert vals == ["x", "x", "y"]
+    assert mask.tolist() == [True, False, True]
+
+
+def test_codec_unpack_strings():
+    packed = bytes([3]) + b"foo" + bytes([0]) + bytes([2]) + b"hi"
+    col = RefColumn("s", 3, None, [("unpack_strings",)],
+                    [("u8", np.frombuffer(packed, "u1"))])
+    vals, _ = _mat(col)
+    assert vals == ["foo", "", "hi"]
+
+
+def test_codec_unpack_long_string():
+    """255-continuation length framing (stringpack.rs:59-67)."""
+    long = b"z" * 300
+    packed = bytes([255, 45]) + long
+    col = RefColumn("s", 1, None, [("unpack_strings",)],
+                    [("u8", np.frombuffer(packed, "u1"))])
+    vals, _ = _mat(col)
+    assert vals == ["z" * 300]
+
+
+def test_codec_unhexpack_strings():
+    packed = bytes([2]) + b"\xab\xcd" + bytes([1]) + b"\x0f"
+    col = RefColumn("s", 2, None,
+                    [("unhexpack_strings", False, 6)],
+                    [("u8", np.frombuffer(packed, "u1"))])
+    vals, _ = _mat(col)
+    assert vals == ["abcd", "0f"]
+    col_u = RefColumn("s", 2, None,
+                      [("unhexpack_strings", True, 6)],
+                      [("u8", np.frombuffer(packed, "u1"))])
+    vals_u, _ = _mat(col_u)
+    assert vals_u == ["ABCD", "0F"]
+
+
+def test_codec_lz4_section():
+    raw = np.arange(100, dtype="<i8")
+    frame = compress_frame(raw.tobytes())
+    col = RefColumn(
+        "c", 100, None, [("lz4", "i64", 100)],
+        [("lz4", {"decoded_bytes": 800, "bytes_per_element": 8,
+                  "data": frame})])
+    vals, _ = _mat(col)
+    assert vals.tolist() == list(range(100))
+
+
+def test_codec_pco_raises_and_degrades():
+    col = RefColumn(
+        "c", 5, None, [("pco", "i64", 5, False)],
+        [("pco", {"decoded_bytes": 40, "bytes_per_element": 8,
+                  "is_fp32": False, "data": b"\x00"})])
+    with pytest.raises(PcoUnsupportedError, match="'c'"):
+        materialize_column(col, on_pco="error")
+    vals, mask = materialize_column(col, on_pco="null")
+    assert vals == ("allnull", 5) and mask is None
+
+
+# ------------------------------------------------- segment round trip
+
+def test_partition_segment_roundtrip_all_shapes():
+    rng = np.random.default_rng(11)
+    series = {
+        "ints": pd.Series(rng.integers(-10**6, 10**6, 400)),
+        "ints_null": pd.Series([7, None, -3] * 100, dtype="Int64"),
+        "floats": pd.Series(rng.normal(size=400)),
+        "floats_null": pd.Series([2.5, None] * 200),
+        "strs": pd.Series([f"val_{i % 13}" for i in range(400)]),
+        "strs_null": pd.Series(
+            [None if i % 5 == 0 else f"s{i % 9}" for i in range(400)]),
+        "constant": pd.Series([123] * 400),
+    }
+    cols = [build_column(k, v) for k, v in series.items()]
+    parsed = parse_partition_segment(serialize_partition_segment(cols))
+    assert [c.name for c in parsed] == list(series)
+    for col, (name, s) in zip(parsed, series.items()):
+        vals, mask = materialize_column(col)
+        for i, e in enumerate(s.tolist()):
+            if pd.isna(e):
+                assert not mask[i], (name, i)
+            elif isinstance(e, str):
+                assert vals[i] == e, (name, i)
+            elif isinstance(e, float):
+                assert abs(vals[i] - e) < 1e-12, (name, i)
+            else:
+                assert int(vals[i]) == int(e), (name, i)
+
+
+def test_dbmeta_roundtrip():
+    meta = RefMeta(next_wal_id=17, partitions=[
+        RefPartition(id=3, table="events", offset=0, len=1000,
+                     subpartitions=[RefSubpartition(10, "all", "ts")]),
+        RefPartition(id=4, table="events", offset=1000, len=500,
+                     subpartitions=[
+                         RefSubpartition(5, "aaa", "aaa"),
+                         RefSubpartition(6, "zzz", "zzz")]),
+        RefPartition(id=0, table="other", offset=0, len=2),
+    ])
+    out = parse_dbmeta(wrap_blob(serialize_dbmeta(meta)))
+    assert out.next_wal_id == 17
+    assert out.tables() == ["events", "other"]
+    parts = out.for_table("events")
+    assert [(p.id, p.offset, p.len) for p in parts] == \
+        [(3, 0, 1000), (4, 1000, 500)]
+    assert [s.key for s in parts[1].subpartitions] == ["aaa", "zzz"]
+    assert parts[0].subpartitions[0].last_column == "ts"
+
+
+# ------------------------------------------------------ directory e2e
+
+def test_directory_roundtrip_multi_partition(tmp_path):
+    root = str(tmp_path / "refdir")
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(250),
+        "grp": [f"g{i % 4}" for i in range(250)],
+        "val": rng.normal(size=250),
+    })
+    write_reference_dir(root, {"metrics": df}, rows_per_partition=64)
+    rd = ReferenceDirReader(root)
+    assert rd.tables() == ["metrics"]
+    assert len(rd.meta.for_table("metrics")) == 4  # ceil(250/64)
+    out = rd.read_table("metrics").to_pandas()
+    assert out["id"].tolist() == list(range(250))  # offset order
+    assert out["grp"].tolist() == df["grp"].tolist()
+    assert np.allclose(out["val"], df["val"])
+
+
+def test_directory_schema_evolution(tmp_path):
+    """A column present in only one partition reads as NULL in the
+    others (the reference adds columns per-partition)."""
+    root = str(tmp_path / "evo")
+    write_reference_dir(root, {"t": pd.DataFrame({"a": [1, 2]})})
+    # hand-append a second partition with an extra column
+    from locustdb_spark.sources.refdir import (
+        RefPartition as RP, RefSubpartition as RS, partition_filename)
+    import os
+
+    rd0 = ReferenceDirReader(root)
+    meta = rd0.meta
+    cols = [build_column("a", pd.Series([3, 4])),
+            build_column("b", pd.Series(["x", "y"]))]
+    blob = wrap_blob(serialize_partition_segment(cols))
+    tdir = os.path.join(root, "tables", "t")
+    with open(os.path.join(tdir, partition_filename(1, "all")), "wb") as fh:
+        fh.write(blob)
+    meta.partitions.append(RP(id=1, table="t", offset=2, len=2,
+                              subpartitions=[RS(len(blob), "all", "b")]))
+    with open(os.path.join(root, "meta"), "wb") as fh:
+        fh.write(wrap_blob(serialize_dbmeta(meta)))
+
+    out = ReferenceDirReader(root).read_table("t").to_pandas()
+    assert out["a"].tolist() == [1, 2, 3, 4]
+    assert out["b"].tolist() == [None, None, "x", "y"]
+
+
+def test_restore_into_engine_with_wal(spark, tmp_path):
+    """Full migration: flushed partitions + an unflushed WAL segment
+    both land as queryable rows; a flushed (pre-checkpoint) WAL
+    segment is NOT replayed twice."""
+    from locustdb_spark import LocustDB
+    from locustdb_spark.sources.event_buffer import (
+        EventBuffer, TableBuffer, WalSegment)
+    from locustdb_spark.sources.refdir import wrap_blob as wrap
+    import os
+
+    root = str(tmp_path / "mig")
+    df = pd.DataFrame({"host": ["a", "b", "c"], "cpu": [0.1, 0.2, 0.3]})
+    write_reference_dir(root, {"metrics": df})
+
+    seg_old = WalSegment(id=0, data=EventBuffer())
+    seg_new = WalSegment(id=1, data=EventBuffer())
+    for seg, host in ((seg_old, "stale"), (seg_new, "d")):
+        tb = TableBuffer()
+        tb.push_row({"host": host, "cpu": 0.9})
+        seg.data.tables["metrics"] = tb
+    os.makedirs(os.path.join(root, "wal"), exist_ok=True)
+    for seg in (seg_old, seg_new):
+        with open(os.path.join(root, "wal", f"{seg.id}.wal"), "wb") as fh:
+            fh.write(wrap(seg.serialize()))
+    # checkpoint: wal id 0 already flushed, id 1 pending
+    rd = ReferenceDirReader(root)
+    rd.meta.next_wal_id = 1
+    with open(os.path.join(root, "meta"), "wb") as fh:
+        fh.write(wrap(serialize_dbmeta(rd.meta)))
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    counts = db.restore_reference_dir(root)
+    assert counts["metrics"] == 3
+    assert counts["<wal>"] == 1
+    res = db.run_query("SELECT host FROM metrics")
+    hosts = sorted(r[0] for r in res["rows"])
+    assert hosts == ["a", "b", "c", "d"]  # 'stale' NOT replayed
+
+
+def test_export_reference_dir_roundtrip(spark, tmp_path):
+    from locustdb_spark import LocustDB
+
+    db = LocustDB(spark=spark, db_path=str(tmp_path / "db"))
+    db.ingest("m", [{"k": i, "v": f"s{i % 3}"} for i in range(20)])
+    db.force_flush()
+    out = str(tmp_path / "export")
+    db.export_reference_dir(out)
+    rd = ReferenceDirReader(out)
+    assert "m" in rd.tables()
+    t = rd.read_table("m").to_pandas().sort_values("k")
+    assert t["k"].tolist() == list(range(20))
+    assert t["v"].tolist() == [f"s{i % 3}" for i in range(20)]
