@@ -71,6 +71,14 @@ def get_spark(
         # the pure-Arrow conversion. (Struct columns arrive as dicts
         # instead of Row objects; the engine returns scalars only.)
         .config("spark.sql.execution.pandas.structHandlingMode", "row")
+        # Arrow result batches: the 10k-row default fragments a
+        # multi-million-row toPandas into thousands of RecordBatches
+        # whose per-batch overhead dominates the fetch (measured at a
+        # 21M-group aggregate: 2.0s -> 1.0s with 128k+ batches). 128k
+        # rows keeps worst-case per-batch memory modest even for wide
+        # string results (vs 1M+, which only pays off for narrow
+        # numeric frames — bench harnesses may raise it per-workload).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         # Runtime bloom-filter pruning: for selective joins, build a
         # bloom filter on the small side and push it into the big
         # side's scan — at 100 TB this skips row groups that cannot

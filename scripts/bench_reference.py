@@ -108,8 +108,17 @@ def main() -> None:
         small = n * 72 < 1e9  # ~72 B/row across the 9 columns
         spark.conf.set("spark.sql.adaptive.enabled",
                        "false" if small else "true")
+        # e8: 64 partitions (2x cores) lets AQE balance the 21M-group
+        # shuffle of group_by_trip_id without starving the small-result
+        # queries; measured neutral-to-better on the other nine.
         spark.conf.set("spark.sql.shuffle.partitions",
-                       "8" if small else "32")
+                       "8" if small else "64")
+        # This suite's biggest result set (group_by_trip_id at e8) is
+        # 21M narrow numeric rows; 1M-row Arrow batches cut the fetch
+        # ~2x vs the engine's 128k default (safe here — no wide string
+        # results).
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "1048576")
 
         # The reference's cargo-bench numbers are ns/iter in a
         # long-lived, fully-JIT-warmed process. Matching that takes two
