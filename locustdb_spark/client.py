@@ -262,3 +262,9 @@ class LoggingClient:
             req["offset"] = offset
         return _post(f"{self.url}/columns", req,
                      bearer_token=self.bearer_token)
+
+
+# The reference's Python package exposes one `Client` type that both
+# queries and logs (locustdb-python); LoggingClient already carries
+# the full surface, so Client is the parity alias.
+Client = LoggingClient

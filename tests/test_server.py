@@ -237,3 +237,38 @@ def test_root_index_html(served_db):
     assert "<h1>LocustDB</h1>" in page
     assert '<a href="table/metrics">metrics</a>' in page
     assert "total_rows:" in page
+
+
+def test_export_and_import_scripts(served_db, tmp_path):
+    """scripts/export_column.py + scripts/metrics_import.py (analogs
+    of the reference repo's export.py / wandb_data_import.py) against
+    a live server."""
+    import json
+    import subprocess
+    import sys
+
+    db, url = served_db
+    runs = tmp_path / "runs"
+    runs.mkdir()
+    with open(runs / "sweep1.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"step": i, "loss": 1.0 / (i + 1),
+                                 "note": "skipme"}) + "\n")
+    out = subprocess.run(
+        [sys.executable, "scripts/metrics_import.py", "--jsonl",
+         str(runs), "--url", url, "--prefix", "imp-"],
+        capture_output=True, text=True, cwd=".")
+    assert "done — 5 rows" in out.stdout, out.stdout + out.stderr
+    res = db.run_query("SELECT step, loss FROM \"imp-sweep1\"")
+    assert len(res["rows"]) == 5
+    assert all(len(r) == 2 for r in res["rows"])
+
+    exp = subprocess.run(
+        [sys.executable, "scripts/export_column.py", "step",
+         "--table", "imp-sweep1", "--url", url,
+         "--out", str(tmp_path / "step.txt")],
+        capture_output=True, text=True, cwd=".")
+    assert "wrote 5 values" in exp.stdout, exp.stdout + exp.stderr
+    vals = sorted(float(x) for x in
+                  open(tmp_path / "step.txt").read().split())
+    assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
