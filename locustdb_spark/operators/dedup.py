@@ -76,10 +76,13 @@ def minhash_signatures(
     """
     # Spread a few-files input across all cores: shingle hashing is
     # CPU-bound and a single parquet file would otherwise pin the whole
-    # corpus to one task. At real scale the input already has many splits.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    # corpus to one task. At real scale the input already has many
+    # splits. (Streaming DataFrames expose no .rdd and micro-batch
+    # sizing is the source's job — skip.)
+    if not df.isStreaming:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
 
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     sh = F.transform(

@@ -295,3 +295,125 @@ def stream_ingest_with_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------
+# streaming near-dup dedup (minhash-band state)
+# ---------------------------------------------------------------------
+
+NEAR_DUP_OUTPUT_SCHEMA = (
+    "band_key long, doc_id long, anchor_id long, first_in_bucket boolean"
+)
+NEAR_DUP_STATE_SCHEMA = "anchor_id long"
+
+
+def stream_minhash_band_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection, stage 1+2: the
+    stateless signature/banding projection (operators/dedup.py
+    minhash_signatures — zero-shuffle per micro-batch) feeds a
+    stateful per-band-bucket first-seen operator.
+
+    Emits one row per (document, band): `anchor_id` is the FIRST
+    document ever seen in that band bucket across the whole stream
+    history, `first_in_bucket` marks whether this document created the
+    bucket. A document is a near-dup candidate of `anchor_id` iff any
+    of its bands lands in an existing bucket (`first_in_bucket` false
+    and anchor != doc) — the streaming analog of batch
+    `lsh_candidate_pairs` restricted to first-anchor links (the same
+    star-shape collapse the batch collapse_exact path uses; downstream
+    connected components are unchanged).
+
+    Scale shape: per-bucket state is ONE long (the anchor id) — a
+    billion-bucket corpus is ~8 GB of state sharded across the
+    cluster's state stores (use the RocksDB provider beyond memory
+    scale). `state_ttl_minutes` expires idle buckets so an unbounded
+    stream can dedup against a sliding corpus horizon instead of all
+    history (documented recall trade-off; None keeps every bucket
+    forever). The per-band shuffle moves (band_key, doc_id) longs
+    only — corpus text never shuffles.
+
+    The per-document dup verdict needs all `bands` rows of a doc;
+    aggregate downstream (`near_dup_verdicts` for batch sinks /
+    foreachBatch) — chaining a second stateful aggregation inside the
+    same streaming query is not supported by Spark for
+    applyInPandasWithState outputs.
+    """
+    import pandas as pd
+
+    from ..operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+        hash_fn="xxhash64")
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        lanes = [F.col(f"mh{b * rows_per_band + i}")
+                 for i in range(rows_per_band)]
+        band_structs.append(
+            F.xxhash64(F.lit(b), *lanes).alias("band_key"))
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(*band_structs)).alias("band_key"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (band_key,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["doc_id"])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (anchor,) = state.get
+            first_flags = [False] * len(ids)
+        else:
+            anchor = ids[0]
+            first_flags = [i == 0 for i in range(len(ids))]
+        state.update((anchor,))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        yield pd.DataFrame({
+            "band_key": [band_key] * len(ids),
+            "doc_id": ids,
+            "anchor_id": [anchor] * len(ids),
+            "first_in_bucket": first_flags,
+        })
+
+    return banded.groupBy("band_key").applyInPandasWithState(
+        update,
+        outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if state_ttl_minutes is not None
+                     else GroupStateTimeout.NoTimeout),
+    )
+
+
+def near_dup_verdicts(candidates: DataFrame) -> DataFrame:
+    """Reduce per-band candidate rows to one verdict per document:
+    (doc_id, is_dup, dup_of). `dup_of` is the smallest anchor among
+    matched buckets (stable representative). Batch-side helper — run
+    it inside foreachBatch or over the candidate sink."""
+    matched = F.col("anchor_id") != F.col("doc_id")
+    return (
+        candidates.groupBy("doc_id")
+        .agg(
+            F.max(matched).alias("is_dup"),
+            F.min(F.when(matched, F.col("anchor_id"))).alias("dup_of"),
+        )
+    )

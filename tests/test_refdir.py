@@ -392,3 +392,49 @@ def test_export_reference_dir_roundtrip(spark, tmp_path):
     t = rd.read_table("m").to_pandas().sort_values("k")
     assert t["k"].tolist() == list(range(20))
     assert t["v"].tolist() == [f"s{i % 3}" for i in range(20)]
+
+
+# ------------------------------------------------- property round trip
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_cell, min_size=1, max_size=60), st.booleans())
+def test_refdir_column_roundtrip_property(values, try_lz4):
+    """Any single-typed-or-promotable column round-trips through the
+    reference segment format bit-exactly (strings win mixed columns,
+    matching the engine's promotion lattice)."""
+    s = pd.Series(values, dtype=object)
+    col = build_column("c", s, try_lz4=try_lz4)
+    [col2] = parse_partition_segment(serialize_partition_segment([col]))
+    vals, mask = materialize_column(col2)
+    if isinstance(vals, tuple):
+        assert vals[0] == "allnull"
+        assert all(v is None for v in values)
+        return
+    non_null = [v for v in values if v is not None]
+    any_str = any(isinstance(v, str) for v in non_null)
+    all_int = (not any_str) and all(
+        isinstance(v, int) for v in non_null)
+    for i, e in enumerate(values):
+        if e is None:
+            assert mask is not None and not mask[i]
+            continue
+        if mask is not None:
+            assert mask[i]
+        g = vals[i]
+        if any_str:
+            assert g == str(e)
+        elif all_int:
+            assert int(g) == e
+        else:
+            assert g == float(e) or (
+                abs(g - float(e)) <= 1e-9 * max(1.0, abs(float(e))))

@@ -256,3 +256,53 @@ def test_stream_ingest_with_rollup(spark, tmp_path):
     want = sorted(map(tuple, db.snapshot("m").groupBy("host").agg(
         F.sum("v").alias("total"), F.count("v").alias("cnt")).collect()))
     assert got == want == [("a", 11, 2), ("b", 2, 1)]
+
+
+def test_stream_minhash_near_dup(spark, tmp_path):
+    """Streaming MinHash-LSH dedup: near-identical docs arriving in
+    LATER micro-batches are flagged against the first-seen anchor;
+    distinct docs are not. Verdicts agree with the batch LSH banding
+    (same signatures, same band partitioning) on the same corpus."""
+    import json as _json
+
+    from locustdb_spark.streaming.streams import (
+        near_dup_verdicts, stream_minhash_band_candidates)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    other = ("completely different content about spark structured "
+             "streaming stateful operators and their state stores")
+    batch1 = [{"doc_id": 1, "text": base},
+              {"doc_id": 2, "text": other}]
+    batch2 = [{"doc_id": 3, "text": base + " extra"},  # near-dup of 1
+              {"doc_id": 4, "text": "unrelated short text entirely "
+                                    "about gardening and tomatoes"}]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for name, rows in (("a.json", batch1), ("b.json", batch2)):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    cand = stream_minhash_band_candidates(stream, num_hashes=8, bands=4)
+    q = (
+        cand.writeStream.format("memory").queryName("nd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("nd_out")
+    assert out.count() == 16  # 4 docs x 4 bands
+    verdicts = {r.doc_id: (r.is_dup, r.dup_of)
+                for r in near_dup_verdicts(out).collect()}
+    assert verdicts[1] == (False, None)
+    assert verdicts[2] == (False, None)
+    assert verdicts[3][0] is True and verdicts[3][1] == 1
+    assert verdicts[4] == (False, None)
