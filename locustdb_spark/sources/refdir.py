@@ -617,6 +617,107 @@ class ReferenceDirReader:
             return pa.table({})
         return pa.concat_tables(tables)
 
+    def _work_df(self, spark, table: str):
+        import pandas as pd
+
+        tdir = os.path.join(self.root, "tables",
+                            sanitize_table_name(table))
+        work = []
+        for part in self.meta.for_table(table):
+            paths = [os.path.join(
+                tdir, partition_filename(part.id, sp.key))
+                for sp in part.subpartitions]
+            work.append((part.offset, part.len, "\x00".join(paths)))
+        wdf = spark.createDataFrame(
+            pd.DataFrame(work, columns=["offset", "len", "paths"]),
+            schema="offset long, len long, paths string")
+        # one decode task per reference partition
+        return wdf.repartition(max(len(work), 1)), len(work)
+
+    def read_table_df(self, spark, table: str):
+        """Distributed variant of :meth:`read_table`: partition
+        segments decode on the EXECUTORS via mapInPandas, one task per
+        reference partition, so a multi-hundred-GB directory on a
+        shared filesystem migrates at cluster parallelism instead of
+        through the driver.
+
+        The format has no footer, so the unified schema comes from a
+        distributed pre-scan pass (parse names + type kinds per
+        segment, tiny result collected to the driver) followed by the
+        decode pass casting every partition to the promoted schema
+        with NULL fill for absent columns. Two reads of the data, both
+        cluster-parallel; the driver never holds more than the name
+        list. Row order is reconstructed from partition offsets
+        (`_ref_offset` sort), matching :meth:`read_table`.
+        """
+        from pyspark.sql.types import (DoubleType, LongType,
+                                       StringType, StructField,
+                                       StructType)
+
+        workdf, nparts = self._work_df(spark, table)
+        if nparts == 0:
+            return spark.createDataFrame([], "x int").drop("x")
+
+        def scan(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                rows = []
+                for paths in pdf["paths"]:
+                    for path in paths.split("\x00"):
+                        with open(path, "rb") as fh:
+                            for c in parse_partition_segment(fh.read()):
+                                rows.append((c.name, _column_kind(c)))
+                yield pd.DataFrame(rows, columns=["name", "kind"])
+
+        scanned = (workdf.mapInPandas(scan, "name string, kind string")
+                   .collect())
+        col_types: dict[str, str] = {}
+        order: list[str] = []
+        for row in scanned:
+            col_types[row.name] = _promote_kind(
+                col_types.get(row.name), row.kind)
+            if row.name not in order:
+                order.append(row.name)
+        order.sort()  # deterministic regardless of scan task order
+
+        spark_types = {"str": StringType(), "float": DoubleType(),
+                       "int": LongType()}
+        fields = [StructField("_ref_offset", LongType(), False)]
+        fields += [StructField(n, spark_types[col_types[n]], True)
+                   for n in order]
+        schema = StructType(fields)
+        on_pco = self.on_pco
+        names = list(order)
+        types = dict(col_types)
+
+        def decode(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                for offset, length, paths in zip(
+                        pdf["offset"], pdf["len"], pdf["paths"]):
+                    cols: dict[str, RefColumn] = {}
+                    for path in paths.split("\x00"):
+                        with open(path, "rb") as fh:
+                            for c in parse_partition_segment(fh.read()):
+                                cols[c.name] = c
+                    n = int(length)
+                    out = {"_ref_offset": np.arange(n) + int(offset)}
+                    for name in names:
+                        col = cols.get(name)
+                        if col is None:
+                            out[name] = pd.Series([None] * n,
+                                                  dtype=object)
+                            continue
+                        values, mask = materialize_column(col, on_pco)
+                        out[name] = _to_pandas_col(
+                            values, mask, n, types[name])
+                    yield pd.DataFrame(out)
+
+        return (workdf.mapInPandas(decode, schema)
+                .orderBy("_ref_offset").drop("_ref_offset"))
+
     def restore_into(self, db, include_wal: bool = True) -> dict[str, int]:
         """Load every table (flushed partitions + optionally the
         unflushed WAL tail) into a LocustDB engine. Returns rows per
@@ -633,6 +734,54 @@ class ReferenceDirReader:
                 n = db.ingest_wal_segment(path)
                 counts["<wal>"] = counts.get("<wal>", 0) + n
         return counts
+
+
+def _column_kind(col: RefColumn) -> str:
+    """Decoded type family without materializing: strings if any
+    string-producing op is in the codec; float if the value section
+    is f64; int otherwise (null-only columns report int and surface
+    as all-NULL)."""
+    for op in col.codec:
+        if op[0] in ("dict_lookup", "unpack_strings",
+                     "unhexpack_strings"):
+            return "str"
+    for op in col.codec:
+        if op[0] in ("lz4", "pco") and op[1] == "f64":
+            return "float"
+    if col.sections and col.sections[0][0] == "f64":
+        return "float"
+    return "int"
+
+
+def _promote_kind(prev: str | None, new: str) -> str:
+    if prev is None or prev == new:
+        return new
+    if {prev, new} == {"int", "float"}:
+        return "float"
+    return "str"
+
+
+def _to_pandas_col(values, mask, nrows: int, kind: str):
+    """Shape one materialized column for a mapInPandas output frame
+    under the promoted `kind` (Arrow casts the rest)."""
+    import pandas as pd
+
+    if isinstance(values, tuple) and values[0] == "allnull":
+        return pd.Series([None] * nrows, dtype=object)
+    if kind == "str":
+        vals = [v if isinstance(v, str) else str(v)
+                for v in (values if isinstance(values, list)
+                          else np.asarray(values).tolist())]
+        if mask is not None:
+            vals = [v if m else None
+                    for v, m in zip(vals, mask.tolist())]
+        return pd.Series(vals, dtype=object)
+    arr = np.asarray(values).astype("f8" if kind == "float" else "i8")
+    if mask is None:
+        return pd.Series(arr)
+    out = pd.Series(arr.astype(object))
+    out[~mask] = None
+    return out
 
 
 def _to_arrow(values, mask, nrows: int):

@@ -438,3 +438,48 @@ def test_refdir_column_roundtrip_property(values, try_lz4):
         else:
             assert g == float(e) or (
                 abs(g - float(e)) <= 1e-9 * max(1.0, abs(float(e))))
+
+
+def test_read_table_df_distributed(spark, tmp_path):
+    """read_table_df (executor-side mapInPandas decode) returns the
+    same rows as the driver-side read_table, including promoted types
+    and NULL fill for a column absent from early partitions."""
+    import os
+
+    root = str(tmp_path / "dist")
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(150),
+        "v": rng.normal(size=150),
+        "tag": [f"t{i % 3}" for i in range(150)],
+    })
+    write_reference_dir(root, {"big": df}, rows_per_partition=40)
+    # add a partition with an extra int column and v as int (promote)
+    rd0 = ReferenceDirReader(root)
+    from locustdb_spark.sources.refdir import (
+        RefPartition as RP, RefSubpartition as RS, partition_filename)
+    extra = pd.DataFrame({"id": [150, 151], "v": [1, 2],
+                          "tag": ["x", "y"], "new": [7, 8]})
+    cols = [build_column(c, extra[c]) for c in sorted(extra.columns)]
+    blob = wrap_blob(serialize_partition_segment(cols))
+    tdir = os.path.join(root, "tables", "big")
+    with open(os.path.join(tdir, partition_filename(99, "all")), "wb") as fh:
+        fh.write(blob)
+    rd0.meta.partitions.append(
+        RP(id=99, table="big", offset=150, len=2,
+           subpartitions=[RS(len(blob), "all", "v")]))
+    with open(os.path.join(root, "meta"), "wb") as fh:
+        fh.write(wrap_blob(serialize_dbmeta(rd0.meta)))
+
+    rd = ReferenceDirReader(root)
+    via_driver = rd.read_table("big").to_pandas()
+    via_spark = rd.read_table_df(spark, "big").toPandas()
+    assert len(via_spark) == 152
+    assert dict(rd.read_table_df(spark, "big").dtypes)["v"] == "double"
+    assert via_spark["id"].tolist() == via_driver["id"].tolist()
+    assert np.allclose(via_spark["v"], via_driver["v"].astype(float))
+    assert via_spark["tag"].tolist() == via_driver["tag"].tolist()
+    got_new = via_spark["new"].tolist()
+    assert got_new[:150] == [None] * 150 or \
+        all(pd.isna(x) for x in got_new[:150])
+    assert got_new[150:] == [7, 8]
