@@ -33,12 +33,28 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(data: bytes) -> str:
-    """Cheap container sniff: 'png', 'wav', or 'unknown'."""
+    """Cheap container sniff: 'png', 'jpeg', 'wav', or 'unknown'."""
     if data[:8] == PNG_MAGIC:
         return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return "unknown"
+
+
+def jpeg_decode(data: bytes):
+    """Baseline JFIF decode (pure Python + numpy IDCT, jpeg.py);
+    same (width, height, channels, pixels) contract as png_decode."""
+    from .jpeg import jpeg_decode as _dec
+
+    return _dec(data)
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+    from .jpeg import jpeg_encode as _enc
+
+    return _enc(pixels, quality)
 
 
 def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:

@@ -240,6 +240,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                     if kind == "png":
                         w, h, ch, _px = codecs.png_decode(b)
                         row.update(width=w, height=h, channels=ch)
+                    elif kind == "jpeg":
+                        w, h, ch, _px = codecs.jpeg_decode(b)
+                        row.update(width=w, height=h, channels=ch)
                     elif kind == "wav":
                         ch, rate, n, dur = codecs.wav_decode(b)
                         row.update(channels=ch, sample_rate=rate,
@@ -273,8 +276,11 @@ def resize_image(df: DataFrame, width: int = 64, height: int = 64,
                 b = bytes(p)
                 blob = None
                 try:
-                    if codecs.sniff(b) == "png":
-                        _w, _h, _c, px = codecs.png_decode(b)
+                    kind = codecs.sniff(b)
+                    if kind in ("png", "jpeg"):
+                        decode = (codecs.png_decode if kind == "png"
+                                  else codecs.jpeg_decode)
+                        _w, _h, _c, px = decode(b)
                         blob = codecs.png_encode(
                             codecs.png_resize_nearest(px, width, height))
                 except Exception:  # noqa: BLE001 — corrupt blob
@@ -292,10 +298,11 @@ def resize_image(df: DataFrame, width: int = 64, height: int = 64,
 
 
 def real_decoders_available(fmt: str = "png") -> bool:
-    """True when `fmt` can actually be decoded here. PNG and WAV are
-    always decodable (pure-stdlib codecs.py); other formats require
-    PIL, which this environment may not have."""
-    if fmt in ("png", "wav"):
+    """True when `fmt` can actually be decoded here. PNG, baseline
+    JPEG and WAV are always decodable (pure-Python codecs.py /
+    jpeg.py); other formats require PIL, which this environment may
+    not have."""
+    if fmt in ("png", "jpeg", "wav"):
         return True
     try:
         import PIL.Image  # noqa: F401
