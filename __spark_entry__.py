@@ -1170,6 +1170,30 @@ def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_refdir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference data-directory migration under the oracle gate
+    (sources/refdir.py): the documents table is exported into the
+    reference's on-disk format (checksummed blobs, partition-segment
+    capnp, lz4-frame sections) across multiple partitions, then read
+    back through the DISTRIBUTED decoder (mapInPandas, one task per
+    reference partition). The round trip must be value-exact against
+    a plain scan — proving the byte formats, codec stack, and
+    partition reassembly lose and corrupt nothing."""
+    import tempfile
+
+    from locustdb_spark.sources.refdir import (
+        ReferenceDirReader, write_reference_dir)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    root = tempfile.mkdtemp(prefix="refdir_oracle_")
+    write_reference_dir(root, {"documents": docs.toPandas()},
+                        rows_per_partition=200)
+    back = ReferenceDirReader(root).read_table_df(spark, "documents")
+    return back.select("doc_id", "lang", "source",
+                       F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median via the custom-UDAF escape hatch
     (operators/custom_agg.py, GROUPED_AGG pandas UDF — the analog of
@@ -1711,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_outliers": x_outliers,
         "x_weighted_median": x_weighted_median,
         "x_versioned_scan": x_versioned_scan,
+        "x_refdir_roundtrip": x_refdir_roundtrip,
         "x_tpch_q6": x_tpch_q6,
         "x_tpch_q3": x_tpch_q3,
         "x_drift_chi2": x_drift_chi2,
@@ -2250,6 +2275,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_quantity) AS BIGINT))
                         AS BIGINT) AS sum_qty
             FROM lineitem WHERE l_partkey BETWEEN 1 AND 400
+        """,
+        "x_refdir_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
         """,
         "x_weighted_median": """
             WITH r AS (
