@@ -843,6 +843,36 @@ def p_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 chunk_chars=64)
 
 
+def p_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM scoring (operators/lm.py): train a
+    bigram model on the even-doc_id half of the corpus (min_count=2),
+    score every document. Gate columns are the integer-exact parts
+    (totals / unseen mass / summed model counts); the float
+    avg_logprob rides the same aggregation and is pytest-pinned
+    instead (libm log10 is not bit-portable across engines)."""
+    from locustdb_spark.operators.lm import ngram_counts, score_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    model = ngram_counts(docs.filter(F.col("doc_id") % 2 == 0),
+                         n=2, min_count=2)
+    return score_documents(docs, model, n=2).select(
+        "doc_id", "n_ngrams", "n_unseen", "seen_cnt_sum")
+
+
+def p_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style in-distribution filter: keep documents whose
+    unseen-bigram fraction against the even-doc model is <= 2%."""
+    from locustdb_spark.operators.lm import ngram_counts, \
+        perplexity_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    model = ngram_counts(docs.filter(F.col("doc_id") % 2 == 0),
+                         n=2, min_count=2)
+    return perplexity_filter(docs, model, n=2,
+                             max_unseen_frac=0.02).select(
+        "doc_id", "lang", "n_chars")
+
+
 def p_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import redact_pii
 
@@ -1796,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": p_repetition,
         "text_decontaminate": p_decontaminate,
         "text_redact": p_redact,
+        "text_lm_score": p_lm_score,
+        "text_lm_filter": p_lm_filter,
         "text_boilerplate": p_boilerplate,
         "multimodal_decode": p_multimodal_decode,
         "multimodal_features": p_multimodal_features,
@@ -3208,6 +3240,57 @@ def oracle_sql() -> dict[str, str]:
                 AS shared_fraction
             FROM h JOIN dph USING (ch)
             GROUP BY 1
+        """,
+        "text_lm_score": """
+            WITH t AS (SELECT doc_id, """ + _DUCK_TOKS + """ AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(len(toks) - 1,
+                                                         0)),
+                             i -> array_to_string(toks[i:i+1], ' ')))
+                         AS ngram
+                  FROM t),
+            model AS (SELECT ngram, count(*) AS cnt FROM g
+                      WHERE doc_id % 2 = 0
+                      GROUP BY ngram HAVING count(*) >= 2),
+            s AS (SELECT g.doc_id,
+                         count(*) AS n_ngrams,
+                         sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                             AS n_unseen,
+                         sum(coalesce(m.cnt, 0)) AS seen_cnt_sum
+                  FROM g LEFT JOIN model m USING (ngram)
+                  GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+                   CAST(coalesce(s.seen_cnt_sum, 0) AS BIGINT)
+                       AS seen_cnt_sum
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "text_lm_filter": """
+            WITH t AS (SELECT doc_id, """ + _DUCK_TOKS + """ AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(len(toks) - 1,
+                                                         0)),
+                             i -> array_to_string(toks[i:i+1], ' ')))
+                         AS ngram
+                  FROM t),
+            model AS (SELECT ngram, count(*) AS cnt FROM g
+                      WHERE doc_id % 2 = 0
+                      GROUP BY ngram HAVING count(*) >= 2),
+            s AS (SELECT g.doc_id,
+                         count(*) AS n_ngrams,
+                         sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                             AS n_unseen
+                  FROM g LEFT JOIN model m USING (ngram)
+                  GROUP BY g.doc_id)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN s USING (doc_id)
+            WHERE s.n_ngrams > 0
+              AND s.n_unseen * 1000000 <= s.n_ngrams * 20000
         """,
         "text_redact": """
             SELECT doc_id,

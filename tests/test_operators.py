@@ -1472,3 +1472,75 @@ def test_pack_sequences_substreams_disjoint_and_budgeted(spark):
     base = pack_sequences(docs, budget=256).collect()
     assert {r.bin_id for r in base} == set(range(max(
         r.bin_id for r in base) + 1))
+
+
+def test_lm_score_matches_pure_python(spark):
+    """avg_logprob (the float part the oracle can't hash) against an
+    independent pure-Python reimplementation: add-one smoothing over
+    the model total, mean log10 per document."""
+    import math
+
+    from locustdb_spark.operators.lm import ngram_counts, score_documents
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "completely novel words here"),
+        (4, "the cat"),
+        (5, "x"),            # 1 token -> zero bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = ngram_counts(docs.filter("doc_id <= 2"), n=2)
+    out = {r.doc_id: r for r in
+           score_documents(docs, model, n=2).collect()}
+
+    # python reference
+    def bigrams(t):
+        toks = [w for w in t.lower().split(" ") if w]
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    counts = {}
+    for did, t in rows:
+        if did <= 2:
+            for g in bigrams(t):
+                counts[g] = counts.get(g, 0) + 1
+    total, vocab = sum(counts.values()), len(counts)
+    for did, t in rows:
+        gs = bigrams(t)
+        r = out[did]
+        assert r.n_ngrams == len(gs)
+        if not gs:
+            assert r.avg_logprob is None
+            assert (r.n_unseen, r.seen_cnt_sum) == (0, 0)
+            continue
+        assert r.n_unseen == sum(1 for g in gs if g not in counts)
+        assert r.seen_cnt_sum == sum(counts.get(g, 0) for g in gs)
+        exp = sum(math.log10((counts.get(g, 0) + 1) / (total + vocab))
+                  for g in gs) / len(gs)
+        assert abs(r.avg_logprob - exp) < 1e-9, (did, r.avg_logprob, exp)
+
+
+def test_lm_broadcast_model_equivalent(spark):
+    from locustdb_spark.operators.lm import ngram_counts, score_documents
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet") \
+        .limit(40)
+    model = ngram_counts(docs, n=2, min_count=2)
+    a = score_documents(docs, model, n=2).orderBy("doc_id").collect()
+    b = score_documents(docs, model, n=2,
+                        broadcast_model=True).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_lm_perplexity_filter_keeps_in_distribution(spark):
+    from locustdb_spark.operators.lm import ngram_counts, \
+        perplexity_filter
+
+    rows = [(1, "alpha beta gamma alpha beta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally unrelated gibberish tokens qq zz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = ngram_counts(docs.filter("doc_id = 1"), n=2)
+    kept = sorted(r.doc_id for r in perplexity_filter(
+        docs, model, n=2, max_unseen_frac=0.5).collect())
+    assert 1 in kept and 3 not in kept
