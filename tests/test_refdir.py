@@ -483,3 +483,50 @@ def test_read_table_df_distributed(spark, tmp_path):
     assert got_new[:150] == [None] * 150 or \
         all(pd.isna(x) for x in got_new[:150])
     assert got_new[150:] == [7, 8]
+
+
+# ------------------------------------------------------- error paths
+
+def test_truncated_blob_rejected():
+    blob = wrap_blob(b"payload")
+    with pytest.raises(ValueError, match="length mismatch"):
+        unwrap_blob(blob[:-3])
+    with pytest.raises(ValueError, match="too short"):
+        unwrap_blob(b"\x00" * 20)
+
+
+def test_corrupt_segment_names_the_problem(tmp_path):
+    """A segment whose payload is garbage fails with a parse error,
+    not a silent wrong answer; the blob checksum catches bit rot
+    first."""
+    root = str(tmp_path / "bad")
+    df = pd.DataFrame({"a": [1, 2, 3]})
+    write_reference_dir(root, {"t": df})
+    import os
+
+    seg = os.path.join(root, "tables", "t", "00000_all.part")
+    data = bytearray(open(seg, "rb").read())
+    data[60] ^= 0xFF  # flip a payload byte -> checksum mismatch
+    open(seg, "wb").write(bytes(data))
+    rd = ReferenceDirReader(root)
+    with pytest.raises(ValueError, match="checksum"):
+        rd.read_table("t")
+
+
+def test_unknown_codec_discriminant_rejected():
+    from locustdb_spark.sources.event_buffer import pack
+    # craft a minimal segment with an out-of-range codec op disc
+    col = build_column("c", pd.Series([1, 2, 3]), try_lz4=False)
+    blob = serialize_partition_segment([col])
+    # corrupt the codec list is fiddly; instead check the dispatch
+    # path directly
+    bad = RefColumn("c", 3, None, [("mystery",)],
+                    [("i64", np.array([1, 2, 3], "i8"))])
+    with pytest.raises(ValueError, match="unknown codec op"):
+        materialize_column(bad)
+
+
+def test_missing_meta_is_empty_dir(tmp_path):
+    rd = ReferenceDirReader(str(tmp_path / "nothing"))
+    assert rd.tables() == []
+    assert rd.wal_files() == []
