@@ -721,14 +721,17 @@ class ReferenceDirReader:
     def restore_into(self, db, include_wal: bool = True) -> dict[str, int]:
         """Load every table (flushed partitions + optionally the
         unflushed WAL tail) into a LocustDB engine. Returns rows per
-        table."""
+        table. Tables decode through the distributed path
+        (:meth:`read_table_df`) so the driver never materializes a
+        table — segment bytes flow executor-side straight into the
+        engine's parquet append."""
         counts: dict[str, int] = {}
         for table in self.tables():
-            pa_table = self.read_table(table)
-            if pa_table.num_rows:
-                df = db.spark.createDataFrame(pa_table.to_pandas())
+            df = self.read_table_df(db.spark, table)
+            n = df.count()
+            if n:
                 db.ingest_df(table, df)
-                counts[table] = counts.get(table, 0) + pa_table.num_rows
+                counts[table] = counts.get(table, 0) + n
         if include_wal:
             for path in self.wal_files(unflushed_only=True):
                 n = db.ingest_wal_segment(path)
