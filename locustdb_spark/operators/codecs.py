@@ -33,13 +33,16 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(data: bytes) -> str:
-    """Cheap container sniff: 'png', 'jpeg', 'wav', or 'unknown'."""
+    """Cheap container sniff: 'png', 'jpeg', 'wav', 'mp4', or
+    'unknown'."""
     if data[:8] == PNG_MAGIC:
         return "png"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if len(data) >= 12 and data[4:8] in (b"ftyp", b"moov", b"mdat"):
+        return "mp4"
     return "unknown"
 
 
@@ -160,3 +163,126 @@ def wav_decode(data: bytes) -> tuple[int, int, int, float]:
         rate = wf.getframerate()
         n = wf.getnframes()
         return ch, rate, n, n / rate if rate else 0.0
+
+
+# ---------------------------------------------------------------------
+# MP4 / ISO-BMFF container probe (ISO 14496-12, public spec)
+# ---------------------------------------------------------------------
+
+def mp4_probe(data: bytes) -> dict:
+    """Parse the ISO-BMFF box tree for container METADATA — an
+    ffprobe-lite: movie duration/timescale plus per-track handler,
+    codec fourcc, dimensions, sample and keyframe counts. No codec
+    payload is decoded (H.264 et al. need real codec libraries); this
+    is the part of video handling a corpus pipeline needs for
+    filtering/stats, and it works on real files.
+
+    Returns {duration_s, timescale, brand, tracks: [{handler, codec,
+    width, height, n_samples, n_keyframes, duration_s}]}.
+    """
+    out = {"duration_s": None, "timescale": None, "brand": None,
+           "tracks": []}
+
+    def boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size, btype = struct.unpack_from(">I4s", buf, pos)
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(
+                    f"mp4: bad box size {size} at {pos}")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def full(buf, start):
+        version = buf[start]
+        return version, start + 4
+
+    def parse_trak(start, end):
+        t = {"handler": None, "codec": None, "width": None,
+             "height": None, "n_samples": 0, "n_keyframes": None,
+             "duration_s": None}
+
+        def parse_stbl(s, e):
+            for bt, bs, be in boxes(data, s, e):
+                if bt == b"stsd":
+                    _v, p = full(data, bs)
+                    (n,) = struct.unpack_from(">I", data, p)
+                    if n >= 1:
+                        t["codec"] = data[p + 8:p + 12].decode(
+                            "ascii", "replace")
+                elif bt == b"stts":
+                    _v, p = full(data, bs)
+                    (n,) = struct.unpack_from(">I", data, p)
+                    total = 0
+                    for i in range(n):
+                        cnt, _delta = struct.unpack_from(
+                            ">II", data, p + 4 + 8 * i)
+                        total += cnt
+                    t["n_samples"] = total
+                elif bt == b"stss":
+                    _v, p = full(data, bs)
+                    (n,) = struct.unpack_from(">I", data, p)
+                    t["n_keyframes"] = n
+
+        def parse_minf(s, e):
+            for bt, bs, be in boxes(data, s, e):
+                if bt == b"stbl":
+                    parse_stbl(bs, be)
+
+        def parse_mdia(s, e):
+            for bt, bs, be in boxes(data, s, e):
+                if bt == b"mdhd":
+                    v, p = full(data, bs)
+                    if v == 1:
+                        ts, dur = struct.unpack_from(
+                            ">IQ", data, p + 16)
+                    else:
+                        ts, dur = struct.unpack_from(
+                            ">II", data, p + 8)
+                    if ts:
+                        t["duration_s"] = dur / ts
+                elif bt == b"hdlr":
+                    _v, p = full(data, bs)
+                    t["handler"] = data[p + 4:p + 8].decode(
+                        "ascii", "replace")
+                elif bt == b"minf":
+                    parse_minf(bs, be)
+
+        for bt, bs, be in boxes(data, start, end):
+            if bt == b"tkhd":
+                v, p = full(data, bs)
+                # width/height: 16.16 fixed, last 8 bytes of the box
+                w16, h16 = struct.unpack_from(">II", data, be - 8)
+                t["width"] = w16 >> 16 or None
+                t["height"] = h16 >> 16 or None
+            elif bt == b"mdia":
+                parse_mdia(bs, be)
+        out["tracks"].append(t)
+
+    for btype, bstart, bend in boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            out["brand"] = data[bstart:bstart + 4].decode(
+                "ascii", "replace")
+        elif btype == b"moov":
+            for bt, bs, be in boxes(data, bstart, bend):
+                if bt == b"mvhd":
+                    v, p = full(data, bs)
+                    if v == 1:
+                        ts, dur = struct.unpack_from(
+                            ">IQ", data, p + 16)
+                    else:
+                        ts, dur = struct.unpack_from(
+                            ">II", data, p + 8)
+                    out["timescale"] = ts
+                    out["duration_s"] = (dur / ts) if ts else None
+                elif bt == b"trak":
+                    parse_trak(bs, be)
+    if out["brand"] is None and not out["tracks"]:
+        raise ValueError("mp4: no ftyp or moov box found")
+    return out

@@ -247,6 +247,14 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                         ch, rate, n, dur = codecs.wav_decode(b)
                         row.update(channels=ch, sample_rate=rate,
                                    duration_s=dur)
+                    elif kind == "mp4":
+                        info = codecs.mp4_probe(b)
+                        vids = [t for t in info["tracks"]
+                                if t["handler"] == "vide"]
+                        row.update(
+                            duration_s=info["duration_s"],
+                            width=vids[0]["width"] if vids else None,
+                            height=vids[0]["height"] if vids else None)
                 except Exception:  # noqa: BLE001 — corrupt blob
                     row["format"] = "corrupt"
                 rows.append(row)

@@ -530,3 +530,16 @@ def test_missing_meta_is_empty_dir(tmp_path):
     rd = ReferenceDirReader(str(tmp_path / "nothing"))
     assert rd.tables() == []
     assert rd.wal_files() == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_lz4_decompress_never_hangs_or_crashes(data):
+    """Adversarial block bytes either decode or raise cleanly
+    (ValueError/IndexError) — no hangs, no unbounded memory (output
+    capped via max_output)."""
+    try:
+        out = decompress_block(data, max_output=1 << 16)
+        assert len(out) <= (1 << 16) + 0xFFFF + 264  # one overshoot max
+    except (ValueError, IndexError):
+        pass
