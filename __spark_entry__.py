@@ -1173,6 +1173,91 @@ def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): region -> nation ->
+    customer chain broadcasts into orders, lineitem joins orders and
+    a supplier-in-same-nation condition, revenue grouped by nation.
+    The star dimensions (region/nation/supplier) all broadcast; the
+    fact tables join them map-side, so the only wide ops are the
+    orders<->lineitem join and the final small aggregation. Revenue
+    uses the exact integer-cents pattern."""
+    nat = (_read(spark, sf_dir, "nation")
+           .join(F.broadcast(_read(spark, sf_dir, "region")
+                             .filter(F.col("r_name") == "ASIA")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    cust = (_read(spark, sf_dir, "customer")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_nationkey").alias("cnat"),
+                    "n_name"))
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996)
+    sup = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("snat"))
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    j = (li
+         .join(orders.select("o_orderkey", "o_custkey"),
+               li.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .filter(F.col("cnat") == F.col("snat")))
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(cents * disc_bp).alias("revenue_micro"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue_micro").desc(), "n_name")
+    )
+
+
+def x_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority counting per class): lineitem rows
+    shipped in 1997 join orders (the order side is filtered columns
+    only), counting high- vs low-priority orders per return flag —
+    join + conditional aggregation, one wide join keyed on orderkey
+    and one small group."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997)
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+             .alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).cast("long")
+             .alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+def x_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): lineitem joins the part
+    dimension (broadcast), ratio of promo revenue to total revenue
+    for one ship-month. The ratio is computed from two exact integer
+    micro-unit sums and divided once (basis points, rounded), so the
+    value is engine-portable."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997)
+        & (F.month("l_shipdate") == 6))
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", cents * disc_bp) \
+        .otherwise(F.lit(0))
+    return j.agg(
+        F.sum(promo).alias("promo_micro"),
+        F.sum(cents * disc_bp).alias("total_micro"),
+        (F.round(F.sum(promo).cast("double") * 10000
+                 / F.sum(cents * disc_bp))
+         .cast("long")).alias("promo_bp"),
+    )
+
+
 def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end versioned-table replay under the oracle gate
     (locustdb_spark/versioned.py): lineitem is committed in two
@@ -1768,6 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_refdir_roundtrip": x_refdir_roundtrip,
         "x_tpch_q6": x_tpch_q6,
         "x_tpch_q3": x_tpch_q3,
+        "x_tpch_q5": x_tpch_q5,
+        "x_tpch_q12": x_tpch_q12,
+        "x_tpch_q14": x_tpch_q14,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -2301,6 +2389,58 @@ def oracle_sql() -> dict[str, str]:
               AND year(o_orderdate) <= 1995
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "x_tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS BIGINT) AS revenue_micro,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND year(o_orderdate) = 1996
+              AND c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue_micro DESC, n_name
+        """,
+        "x_tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                     AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE year(l_shipdate) = 1997
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "x_tpch_q14": """
+            SELECT
+              CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                CAST(round(l_extendedprice * 100) AS BIGINT) *
+                CAST(round((1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_micro,
+              CAST(sum(
+                CAST(round(l_extendedprice * 100) AS BIGINT) *
+                CAST(round((1 - l_discount) * 100) AS BIGINT)
+              ) AS BIGINT) AS total_micro,
+              CAST(round(
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                  CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  CAST(round((1 - l_discount) * 100) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE) * 10000 /
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    CAST(round((1 - l_discount) * 100) AS BIGINT))
+              ) AS BIGINT) AS promo_bp
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 6
         """,
         "x_versioned_scan": """
             SELECT count(*) AS cnt,
