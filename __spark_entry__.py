@@ -349,6 +349,17 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
 
 
+def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user estimate per event type
+    (operators/sampling.py kmv_distinct) — the deterministic sketch
+    that, unlike HLL, is bit-identical across engines and therefore
+    sits under the value-hash oracle."""
+    from locustdb_spark.operators.sampling import kmv_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (ROLLUP) — subtotal rows carry NULL keys."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1828,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rollup": x_rollup,
         "x_cube": x_cube,
         "x_approx_distinct": x_approx_distinct,
+        "x_kmv_distinct": x_kmv_distinct,
         "x_json_extract": x_json_extract,
         "x_sessionize_batch": x_sessionize_batch,
         "x_event_transitions": x_event_transitions,
@@ -2389,6 +2401,24 @@ def oracle_sql() -> dict[str, str]:
               AND year(o_orderdate) <= 1995
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "x_kmv_distinct": """
+            WITH d AS (
+              SELECT DISTINCT event_type,
+                ('0x'||substr(md5(user_id::VARCHAR || '|kmv'),1,15))::BIGINT AS h
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                     list(h ORDER BY h) AS hs
+              FROM d GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(round(CASE WHEN n <= 64 THEN CAST(n AS DOUBLE)
+                     ELSE 63.0 * 1152921504606846976.0
+                          / CAST(hs[64] AS DOUBLE) END) AS BIGINT)
+                       AS distinct_est
+            FROM s
         """,
         "x_tpch_q5": """
             SELECT n_name,

@@ -273,6 +273,53 @@ def shuffle_shards(
     )
 
 
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group — the
+    deterministic, engine-portable sketch (complementing HLL, whose
+    register layout differs across engines): estimate = (k-1) * 2^60 /
+    h_(k), where h_(k) is the k-th smallest 60-bit md5-derived id
+    hash; exact when a group has <= k distinct ids. Same inputs give
+    the same answer in any engine with md5, so it sits under the
+    DuckDB value-hash oracle — the property HLL cannot offer.
+
+    Scale shape: a distinct on (group, hash) collapses duplicates
+    with bounded hash-agg cells (shuffle 1), then the k smallest
+    hashes merge through scan-partition-bounded cells exactly like
+    `_salted_topk` (no cell holds more than one partition's hashes or
+    k * partitions-per-bucket elements). The estimate arithmetic is
+    pure double IEEE ops on exactly-converted longs, so it is
+    bit-portable."""
+    h = _id_hash(id_col, salt)
+    d = (df.select(F.col(group_col).alias("_g"), h.alias("_h"))
+         .distinct()
+         .select("_g", "_h", F.spark_partition_id().alias("_pid")))
+
+    def topk(arr: Column) -> Column:
+        return F.slice(F.array_sort(arr), 1, k)
+
+    p1 = d.groupBy("_g", "_pid").agg(
+        topk(F.collect_list("_h")).alias("_hs"),
+        F.count(F.lit(1)).alias("_n"))
+    p2 = p1.groupBy("_g").agg(
+        topk(F.flatten(F.collect_list("_hs"))).alias("_hs"),
+        F.sum("_n").alias("_n"))
+    # F.get is NULL-safe out of bounds (element_at raises under ANSI
+    # when a group has fewer than k distinct hashes)
+    kth = F.get("_hs", k - 1)
+    est = F.when(F.col("_n") <= k, F.col("_n").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / kth.cast("double"))
+    return p2.select(
+        F.col("_g").alias(group_col),
+        F.round(est).cast("long").alias("distinct_est"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str = "source",

@@ -1544,3 +1544,16 @@ def test_lm_perplexity_filter_keeps_in_distribution(spark):
     kept = sorted(r.doc_id for r in perplexity_filter(
         docs, model, n=2, max_unseen_frac=0.5).collect())
     assert 1 in kept and 3 not in kept
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from locustdb_spark.operators.sampling import kmv_distinct
+
+    rows = [("small", i % 10) for i in range(200)] + \
+           [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    out = {r.g: r.distinct_est
+           for r in kmv_distinct(df, "g", "uid", k=64).collect()}
+    assert out["small"] == 10  # below k -> exact
+    # KMV rse ~ 1/sqrt(k-1) ~ 12.6%; allow 3 sigma
+    assert abs(out["big"] - 5000) < 5000 * 0.4, out["big"]
