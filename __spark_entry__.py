@@ -1001,6 +1001,32 @@ def p_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _query_vec(spark, sf_dir), k=10, n_clusters=8, nprobe=2)
 
 
+IVF_FROZEN_CLUSTERS = 16
+IVF_FROZEN_NPROBE = 4
+
+
+def p_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with FROZEN centroids (the first 16 embedding vectors)
+    and sequential-order arithmetic end to end
+    (similarity.ivf_assign_expr): assignment, probe selection, and
+    the in-cluster top-k are all reproducible in DuckDB, putting the
+    full IVF pipeline — coarse quantizer assignment, nprobe pruning,
+    pruned brute force — under the value-hash oracle. k-means
+    training (sim_ann_ivf) stays the production path; this entry
+    proves the plumbing."""
+    from locustdb_spark.operators.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+    return ann_ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10,
+        nprobe=IVF_FROZEN_NPROBE, centroids=cents, assign="expr")
+
+
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import label_centroids
 
@@ -1912,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": p_knn_join,
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf": p_ann_ivf,
+        "sim_ann_ivf_frozen": p_ann_ivf_frozen,
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
         "sim_quantize": p_quantize,
@@ -3285,6 +3312,60 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rn
               FROM sims
             ) WHERE rn <= 5
+        """,
+        "sim_ann_ivf_frozen": """
+            WITH c AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS qe
+              FROM embeddings WHERE vec_id = 0
+            ), pc AS (
+              SELECT cid FROM c, q
+              ORDER BY (
+                list_sum(list_transform(generate_series(1, len(cv)),
+                         i -> cv[i] * qe[i]))
+                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(qe, x -> x * x))))
+              ) DESC, cid
+              LIMIT 4
+            ), sims_vc AS (
+              SELECT e.vec_id, c.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, c
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster
+              FROM sims_vc GROUP BY vec_id
+            ), cand AS (
+              SELECT vec_id FROM assign
+              WHERE cluster IN (SELECT cid FROM pc)
+            ), sims AS (
+              SELECT e.vec_id,
+                round(
+                  list_sum(list_transform(
+                      generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+                  / (sqrt(list_sum(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.qe,
+                         x -> x * x)))), 6
+                ) AS cosine_sim
+              FROM embeddings e, q
+              WHERE e.vec_id IN (SELECT vec_id FROM cand)
+            )
+            SELECT vec_id, cosine_sim FROM sims
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """,
         "sim_ann_lsh": (
             _DUCK_COSINE

@@ -264,6 +264,30 @@ def ivf_assign(
     )
 
 
+def ivf_assign_expr(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """JVM-expression variant of :func:`ivf_assign`: per-centroid
+    cosine as ordered-sum `aggregate` expressions over literal arrays,
+    argmax with first-index (min cluster id) tie-break via
+    array_position. Slower per row than the numpy matmul path but
+    bit-reproducible in any engine with sequential list arithmetic —
+    which is what lets an IVF pipeline sit under a SQL value-hash
+    oracle (the numpy path's SIMD summation order differs)."""
+    vec = F.col(vec_col).cast("array<double>")
+    coss = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        coss.append(cosine(vec, arr))
+    sims = F.array(*coss)
+    cluster = (F.array_position(sims, F.array_max(sims)) - 1) \
+        .cast("int")
+    return df.withColumn("cluster", cluster)
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -274,6 +298,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     round_to: int | None = 6,
     centroids: list[list[float]] | None = None,
+    assign: str = "numpy",
 ) -> DataFrame:
     """IVF approximate top-k: probe the `nprobe` clusters whose
     centroids are most cosine-similar to the query, brute-force only
@@ -281,17 +306,39 @@ def ann_ivf_topk(
     (useful for testing recall).
 
     Pass precomputed `centroids` to skip training (the production
-    pattern: train once, store, reuse per query).
+    pattern: train once, store, reuse per query). `assign="expr"`
+    routes assignment AND probe selection through sequential-order
+    arithmetic (ivf_assign_expr + plain Python sums) so the whole
+    pipeline is reproducible in SQL engines — the oracle-checkable
+    mode; the default numpy path is the fast one.
     """
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_clusters, vec_col=vec_col, id_col=id_col
         )
-    c = np.array(centroids, dtype=float)
-    q = np.array(query_vec, dtype=float)
-    qn = q / np.linalg.norm(q)
-    probe = np.argsort(-(c @ qn), kind="stable")[:nprobe].tolist()
-    cands = ivf_assign(df, centroids, vec_col, id_col).filter(
+    if assign == "expr":
+        # probe selection with plain left-to-right Python float
+        # arithmetic (matches sequential SQL list_sum, unlike numpy's
+        # pairwise/SIMD ordering)
+        import math
+
+        qnorm = math.sqrt(sum(x * x for x in query_vec))
+        scored = []
+        for j, cvec in enumerate(centroids):
+            d = 0.0
+            for a, b in zip(cvec, query_vec):
+                d += a * b
+            cn = math.sqrt(sum(x * x for x in cvec))
+            scored.append((-(d / (cn * qnorm)), j))
+        probe = [j for _, j in sorted(scored)[:nprobe]]
+        assigned = ivf_assign_expr(df, centroids, vec_col, id_col)
+    else:
+        c = np.array(centroids, dtype=float)
+        q = np.array(query_vec, dtype=float)
+        qn = q / np.linalg.norm(q)
+        probe = np.argsort(-(c @ qn), kind="stable")[:nprobe].tolist()
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
+    cands = assigned.filter(
         F.col("cluster").isin([int(p) for p in probe])
     )
     return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)

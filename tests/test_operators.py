@@ -1557,3 +1557,40 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     assert out["small"] == 10  # below k -> exact
     # KMV rse ~ 1/sqrt(k-1) ~ 12.6%; allow 3 sigma
     assert abs(out["big"] - 5000) < 5000 * 0.4, out["big"]
+
+
+def test_ivf_assign_expr_matches_numpy(spark):
+    """The oracle-checkable expression assignment and the fast numpy
+    path agree on every vector (same centroids, same argmax)."""
+    from locustdb_spark.operators.similarity import (
+        ivf_assign, ivf_assign_expr)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(300)
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    a = {r.vec_id: r.cluster
+         for r in ivf_assign(emb, cents).collect()}
+    b = {r.vec_id: r.cluster
+         for r in ivf_assign_expr(emb, cents).collect()}
+    assert a == b
+
+
+def test_ivf_frozen_full_probe_is_exact(spark):
+    """assign='expr' with nprobe == n_clusters equals brute-force
+    cosine top-k."""
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk, cosine_topk)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(500)
+    q = [float(x)
+         for x in emb.filter("vec_id = 0").head().embedding]
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    exact = cosine_topk(emb, q, k=10).collect()
+    ivf = ann_ivf_topk(emb, q, k=10, nprobe=8, centroids=cents,
+                       assign="expr").collect()
+    assert exact == ivf
