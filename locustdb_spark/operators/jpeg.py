@@ -206,10 +206,14 @@ def _extend(v: int, t: int) -> int:
 # decoder
 # ---------------------------------------------------------------------------
 
-def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+def jpeg_decode(data: bytes,
+                max_pixels: int = 64 << 20) -> tuple[int, int, int,
+                                                     np.ndarray]:
     """Decode a baseline JFIF. Returns (width, height, channels,
     uint8 array (height, width, channels)); channels is 1 (gray) or
-    3 (RGB)."""
+    3 (RGB). `max_pixels` bounds work/memory against decompression
+    bombs (a corrupt SOF claiming 65535x65535 must fail fast, not
+    spin the executor)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -277,6 +281,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += seglen
     if width is None or scan is None:
         raise ValueError("missing SOF0/SOS")
+    if width * height > max_pixels:
+        raise ValueError(
+            f"image {width}x{height} exceeds max_pixels={max_pixels}")
+    if not comps or any(c[1] < 1 or c[2] < 1 or c[1] > 4 or c[2] > 4
+                        for c in comps):
+        raise ValueError("invalid component sampling factors")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -149,3 +149,26 @@ def test_multimodal_dispatch_includes_jpeg(spark):
     w2, h2, c2, _ = codecs.png_decode(bytes(rs[1].resized))
     assert (w2, h2, c2) == (8, 8, 3)
     assert rs[2].resized is None
+
+
+def test_bomb_and_fuzz_rejected_quickly():
+    """Corrupt SOF dimensions fail fast (max_pixels), and random
+    garbage after SOI raises instead of hanging."""
+    import time
+
+    bad = bytearray(_golden_dc_only())
+    idx = bad.index(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2): claim 65535x65535
+    struct.pack_into(">HH", bad, idx + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="max_pixels"):
+        jpeg_decode(bytes(bad))
+
+    rng = np.random.default_rng(4)
+    t0 = time.time()
+    for _ in range(60):
+        blob = b"\xff\xd8" + rng.bytes(300)
+        try:
+            jpeg_decode(blob)
+        except (ValueError, struct.error, IndexError, KeyError):
+            pass
+    assert time.time() - t0 < 30
