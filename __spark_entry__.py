@@ -1005,6 +1005,24 @@ IVF_FROZEN_CLUSTERS = 16
 IVF_FROZEN_NPROBE = 4
 
 
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the multi-probe LSH ANN against exact brute-force
+    cosine — the evaluation loop every ANN deployment needs, itself
+    under the oracle (both the approximate and the exact side are
+    deterministic, so the overlap count is too)."""
+    from locustdb_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    approx = ann_lsh_topk(emb, q, k=10, num_planes=ANN_PLANES) \
+        .select("vec_id")
+    exact = cosine_topk(emb, q, k=10).select("vec_id")
+    return (approx.join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("recall_hits"),
+                 F.max(F.lit(10)).cast("long").alias("k")))
+
+
 def p_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with FROZEN centroids (the first 16 embedding vectors)
     and sequential-order arithmetic end to end
@@ -1939,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf": p_ann_ivf,
         "sim_ann_ivf_frozen": p_ann_ivf_frozen,
+        "x_ann_recall": x_ann_recall,
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
         "sim_quantize": p_quantize,
@@ -3313,6 +3332,23 @@ def oracle_sql() -> dict[str, str]:
               FROM sims
             ) WHERE rn <= 5
         """,
+        "x_ann_recall": (
+            _DUCK_COSINE
+            + f", b AS ({_duck_buckets()}), "
+            """approx AS (
+              SELECT sims.vec_id FROM sims
+              JOIN b ON sims.vec_id = b.vec_id
+              WHERE bit_count(xor(b.bucket,
+                (SELECT bucket FROM b WHERE vec_id = 0))) <= 1
+              ORDER BY cosine_sim DESC, sims.vec_id LIMIT 10
+            ), exact AS (
+              SELECT vec_id FROM sims
+              ORDER BY cosine_sim DESC, vec_id LIMIT 10
+            )
+            SELECT count(*) AS recall_hits, CAST(10 AS BIGINT) AS k
+            FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
+            """
+        ),
         "sim_ann_ivf_frozen": """
             WITH c AS (
               SELECT vec_id AS cid,
