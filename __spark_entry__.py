@@ -884,6 +884,64 @@ def p_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars")
 
 
+_BPE_SEED = ("the quick brown fox jumps over the lazy dog low lower "
+             "lowest newest widest the cat sat on the mat and the dog "
+             "ran over the hill to the river bank")
+_BPE_NUM_MERGES = 24
+
+
+def _bpe_frozen_merges() -> list[tuple[str, str]]:
+    """Frozen merge table trained on a constant seed (pure Python, no
+    Spark) — the same list is formatted into the DuckDB oracle, so the
+    gate checks real BPE APPLICATION end to end; training itself (like
+    k-means) is pinned in pytest."""
+    from collections import Counter
+
+    from locustdb_spark.operators.bpe import train_bpe_py
+
+    return train_bpe_py(dict(Counter(_BPE_SEED.split())),
+                        _BPE_NUM_MERGES)
+
+
+def p_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counts over the corpus with a frozen merge
+    table, through the PRODUCTION path (operators/bpe.py
+    bpe_encode_count: Arrow-batched greedy-rank segmentation with a
+    word cache). The oracle replays the merges as an in-order replace
+    chain — equivalent by the BPE invariant that earlier merges never
+    become re-applicable after later ones."""
+    from locustdb_spark.operators.bpe import bpe_encode_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_encode_count(docs, _bpe_frozen_merges())
+
+
+def _duck_bpe_counts() -> str:
+    merges = _bpe_frozen_merges()
+    sym = ("' ' || array_to_string(string_split(w, ''), ' ') "
+           "|| ' </w> '")
+    for a, b in merges:
+        sym = f"replace({sym}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'),
+              w -> w != '')) AS w
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, count(*) AS n_words,
+                 sum(len(list_filter(string_split(trim({sym}), ' '),
+                                     s -> s != ''))) AS n_tokens
+          FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN t USING (doc_id)
+    """
+
+
 def p_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import redact_pii
 
@@ -1973,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": p_decontaminate,
         "text_redact": p_redact,
         "text_lm_score": p_lm_score,
+        "text_bpe_counts": p_bpe_counts,
         "text_lm_filter": p_lm_filter,
         "text_boilerplate": p_boilerplate,
         "multimodal_decode": p_multimodal_decode,
@@ -3528,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN dph USING (ch)
             GROUP BY 1
         """,
+        "text_bpe_counts": _duck_bpe_counts(),
         "text_lm_score": """
             WITH t AS (SELECT doc_id, """ + _DUCK_TOKS + """ AS toks
                        FROM documents),

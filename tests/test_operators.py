@@ -1594,3 +1594,54 @@ def test_ivf_frozen_full_probe_is_exact(spark):
     ivf = ann_ivf_topk(emb, q, k=10, nprobe=8, centroids=cents,
                        assign="expr").collect()
     assert exact == ivf
+
+
+def test_bpe_train_classic_example():
+    """Sennrich-style toy vocab: the first merges must fuse the most
+    frequent adjacent pair, ties broken lexicographically."""
+    from locustdb_spark.operators.bpe import (END, segment_word,
+        train_bpe_py)
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe_py(counts, 10)
+    # (t,</w>), (s,t..), (e,s..) all hit 9 (newest 6 + widest 3);
+    # the deterministic tie-break is lexicographically LARGEST pair,
+    # so (t,</w>) wins round 1, and the chain merges est</w> next
+    assert merges[0] == ("t", END)
+    assert merges[1] == ("s", "t" + END)
+    assert merges[2] == ("e", "st" + END)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    segs = segment_word("newest", ranks)
+    assert "".join(segs) == "newest</w>"
+    assert len(segs) < len("newest") + 1  # actually merged something
+
+
+def test_bpe_expr_matches_fast_path(spark):
+    from locustdb_spark.operators.bpe import (
+        bpe_encode_count, bpe_token_count_expr, train_bpe,
+        word_histogram)
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet") \
+        .limit(60)
+    merges = train_bpe(word_histogram(docs), num_merges=30)
+    fast = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_encode_count(docs, merges).collect()}
+    expr = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_token_count_expr(docs, merges).collect()}
+    assert fast == expr
+    # tokens per word strictly between 1 and chars+1
+    for did, (nw, nt) in fast.items():
+        assert nt >= nw  # at least one token per word
+
+
+def test_bpe_edge_cases(spark):
+    from locustdb_spark.operators.bpe import bpe_encode_count
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe_encode_count(docs, []).collect()}
+    assert out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[3] == (1, 2)  # 'a' + '</w>' with no merges
+    assert out[4] == (0, 0)
