@@ -917,11 +917,19 @@ def p_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_bpe_counts() -> str:
+    """Mirrors bpe_token_count_expr's framed-symbol encoding
+    (operators/bpe.py): every symbol is \\x01sym\\x02, so one replace
+    pass per merge handles adjacent occurrences ('banana') exactly
+    like BPE's simultaneous merge; token count = number of \\x01."""
     merges = _bpe_frozen_merges()
-    sym = ("' ' || array_to_string(string_split(w, ''), ' ') "
-           "|| ' </w> '")
+    o, c = "\x01", "\x02"
+    clean = "replace(replace(w, chr(1), ''), chr(2), '')"
+    sym = (f"array_to_string(list_transform(string_split({clean}, ''), "
+           "ch -> chr(1) || ch || chr(2)), '') || chr(1) || '</w>' "
+           "|| chr(2)")
     for a, b in merges:
-        sym = f"replace({sym}, ' {a} {b} ', ' {a}{b} ')"
+        sym = (f"replace({sym}, '{o}{a}{c}{o}{b}{c}', "
+               f"'{o}{a}{b}{c}')")
     return f"""
         WITH w AS (
           SELECT doc_id, unnest(list_filter(
@@ -931,8 +939,8 @@ def _duck_bpe_counts() -> str:
         ),
         t AS (
           SELECT doc_id, count(*) AS n_words,
-                 sum(len(list_filter(string_split(trim({sym}), ' '),
-                                     s -> s != ''))) AS n_tokens
+                 sum(len({sym}) - len(replace({sym}, chr(1), '')))
+                     AS n_tokens
           FROM w GROUP BY doc_id
         )
         SELECT d.doc_id,
@@ -1077,8 +1085,9 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     exact = cosine_topk(emb, q, k=10).select("vec_id")
     return (approx.join(exact, "vec_id", "left_semi")
-            .agg(F.count(F.lit(1)).alias("recall_hits"),
-                 F.max(F.lit(10)).cast("long").alias("k")))
+            .agg(F.count(F.lit(1)).alias("recall_hits"))
+            .select("recall_hits",
+                    F.lit(10).cast("long").alias("k")))
 
 
 def p_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,7 +141,8 @@ def bpe_encode_count(
                 t = (text or "")
                 if lowercase:
                     t = t.lower()
-                words = t.split()
+                words = [w.replace(_OPEN, "").replace(_CLOSE, "")
+                         for w in t.split()]
                 total = 0
                 for w in words:
                     n = cache.get(w)
@@ -158,11 +159,29 @@ def bpe_encode_count(
         count, f"{id_col} long, n_words long, n_tokens long")
 
 
-def _spaced_chars(text: Column) -> Column:
-    """word -> ' '-separated chars + the end marker, e.g. 'low' ->
-    'l o w </w>'."""
+# Symbol framing for the expression path. A space-separated encoding
+# ("a b" -> "ab") CONSUMES the shared separator, so a second adjacent
+# occurrence of the pair in the same word is missed by a single
+# replace pass ("banana": ' b a n a n a ' merges only one 'an') —
+# each symbol must carry its own delimiters. SOH/STX control chars
+# frame every symbol (\x01sym\x02), making the pair pattern
+# "\x01a\x02\x01b\x02" self-contained: adjacent occurrences share no
+# characters, so one left-to-right replace pass IS BPE's simultaneous
+# merge. Input words are stripped of the two framing chars first
+# (control characters, not text).
+_OPEN = "\x01"
+_CLOSE = "\x02"
+
+
+def _framed_chars(word: Column) -> Column:
+    clean = F.replace(F.replace(word, F.lit(_OPEN), F.lit("")),
+                      F.lit(_CLOSE), F.lit(""))
     return F.concat(
-        F.array_join(F.split(text, ""), " "), F.lit(" " + END))
+        F.array_join(
+            F.transform(F.split(clean, ""),
+                        lambda c: F.concat(F.lit(_OPEN), c,
+                                           F.lit(_CLOSE))), ""),
+        F.lit(_OPEN + END + _CLOSE))
 
 
 def bpe_token_count_expr(
@@ -172,21 +191,26 @@ def bpe_token_count_expr(
     id_col: str = "doc_id",
     lowercase: bool = True,
 ) -> DataFrame:
-    """Expression-only variant: per word, chars are space-joined and
-    each merge becomes one `replace(' a b ' -> ' ab ')` pass in merge
-    order — exactly BPE's left-to-right non-overlapping simultaneous
-    merge. Engine-portable (same replace semantics everywhere), which
-    is what puts REAL BPE counts under a SQL oracle. Practical for
-    merge lists up to a few hundred (one expression per merge)."""
+    """Expression-only variant: each symbol is individually framed
+    (\\x01sym\\x02) and each merge becomes one replace pass in merge
+    order — exactly BPE's left-to-right simultaneous merge, including
+    adjacent occurrences ("banana"). Engine-portable (same replace
+    semantics everywhere), which is what puts REAL BPE counts under a
+    SQL oracle. Practical for merge lists up to a few hundred (one
+    expression per merge)."""
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     exploded = docs.select(F.col(id_col),
                            F.explode_outer(words).alias("_w"))
-    sym = F.concat(F.lit(" "), _spaced_chars(F.col("_w")), F.lit(" "))
+    sym = _framed_chars(F.col("_w"))
     for a, b in merges:
-        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    n_tokens_word = F.size(
-        F.filter(F.split(F.trim(sym), " "), lambda s: s != ""))
+        sym = F.replace(
+            sym,
+            F.lit(f"{_OPEN}{a}{_CLOSE}{_OPEN}{b}{_CLOSE}"),
+            F.lit(f"{_OPEN}{a}{b}{_CLOSE}"))
+    n_tokens_word = (F.length(sym)
+                     - F.length(F.replace(sym, F.lit(_OPEN),
+                                          F.lit(""))))
     per_word = exploded.select(
         F.col(id_col),
         F.when(F.col("_w").isNull(), F.lit(0))

@@ -281,6 +281,13 @@ def jpeg_decode(data: bytes,
         pos += seglen
     if width is None or scan is None:
         raise ValueError("missing SOF0/SOS")
+    if len(scan) != len(comps):
+        # spec-valid but rare: one scan per component
+        # (non-interleaved); decoding it as interleaved would return
+        # plausible-shaped garbage — refuse instead
+        raise ValueError(
+            f"non-interleaved multi-scan JPEG unsupported "
+            f"({len(scan)} of {len(comps)} components in first scan)")
     if width * height > max_pixels:
         raise ValueError(
             f"image {width}x{height} exceeds max_pixels={max_pixels}")

@@ -34,15 +34,19 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str) -> Column:
-    """Whitespace tokenization over lowercased text (matches the
-    text.py operators and their DuckDB oracles)."""
-    return F.filter(F.split(F.lower(F.col(text_col)), " "),
-                    lambda t: t != "")
+    """The text.py tokenization (single source of truth for the
+    space-split the shared DuckDB oracles depend on)."""
+    from .text import _tokens as _text_tokens
+
+    return _text_tokens(F.col(text_col))
 
 
 def _ngrams(toks: Column, n: int) -> Column:
     if n == 1:
-        return toks
+        # NULL text -> empty array, matching the n >= 2 branch (the
+        # every-doc-restored contract relies on size() == 0, and
+        # size(NULL) is -1)
+        return F.coalesce(toks, F.array().cast("array<string>"))
     # sequence(1, 0) is DESCENDING in Spark, so the short-document
     # case must be handled explicitly, not with greatest()
     return F.when(

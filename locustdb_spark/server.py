@@ -184,10 +184,16 @@ class _Handler(BaseHTTPRequestHandler):
         templates/index.html with table_stats() names and the
         PerfCounter fields; our counter surface is the /metrics
         registry plus per-table stats, so those are what render)."""
+        import html
+        from urllib.parse import quote
+
         stats = self.db.table_stats()
         names = sorted(t["name"] for t in stats)
+        # table names arrive via the ingest API unrestricted — escape
+        # for both the href attribute and the text node
         items = "".join(
-            f'<li><a href="table/{n}">{n}</a></li>' for n in names)
+            f'<li><a href="table/{quote(n, safe="")}">'
+            f"{html.escape(n)}</a></li>" for n in names)
         with self.metrics._lock:
             counters = dict(self.metrics.counters)
         perf = "<br>".join(

@@ -727,10 +727,13 @@ class ReferenceDirReader:
         engine's parquet append."""
         counts: dict[str, int] = {}
         for table in self.tables():
-            df = self.read_table_df(db.spark, table)
-            n = df.count()
+            # row count comes from the metastore (sum of partition
+            # lens) so the distributed decode runs exactly ONCE — a
+            # df.count() here would re-execute the whole segment
+            # decode before the ingest did it again
+            n = sum(p.len for p in self.meta.for_table(table))
             if n:
-                db.ingest_df(table, df)
+                db.ingest_df(table, self.read_table_df(db.spark, table))
                 counts[table] = counts.get(table, 0) + n
         if include_wal:
             for path in self.wal_files(unflushed_only=True):
@@ -983,6 +986,7 @@ def serialize_partition_segment(cols: list[RefColumn]) -> bytes:
                 b.list_ptr(sw + 3, target, 2, len(raw))
             elif kind in ("u16", "u32"):
                 code = 3 if kind == "u16" else 4
+                b.put_u16(sw, 0, 1 if kind == "u16" else 2)
                 arr = np.asarray(payload)
                 raw = arr.astype("<u2" if kind == "u16" else "<u4") \
                     .tobytes()

@@ -252,9 +252,14 @@ class HadoopStorage(TableStorage):
             return self._put_if_absent_rename(path, data)
         if scheme in self._OBJECT_STORES:
             return self._put_if_absent_conditional(path, data)
-        # Unknown scheme: rename-commit is the safest generic guess
-        # for anything with real filesystem semantics.
-        return self._put_if_absent_rename(path, data)
+        # Unknown scheme: FAIL SAFE. The Hadoop FileSystem contract
+        # does not guarantee no-clobber rename, so assuming rename
+        # semantics for an arbitrary connector could let two racing
+        # writers both "win" — the exact lost-commit bug this method
+        # exists to prevent. Try the conditional-create builder
+        # (correct wherever supported) and otherwise raise with
+        # guidance, rather than maybe losing commits silently.
+        return self._put_if_absent_conditional(path, data)
 
     def _put_if_absent_posix(self, path: str, data: bytes) -> bool:
         local = path[len("file:"):] if path.startswith("file:") else path

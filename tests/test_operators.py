@@ -1645,3 +1645,24 @@ def test_bpe_edge_cases(spark):
     assert out[1] == (0, 0) and out[2] == (0, 0)
     assert out[3] == (1, 2)  # 'a' + '</w>' with no merges
     assert out[4] == (0, 0)
+
+
+def test_bpe_expr_handles_adjacent_merges(spark):
+    """Regression (r3 review): 'banana'-style words have ADJACENT
+    occurrences of a merge pair; a space-separated replace encoding
+    consumed the shared separator and missed the second one. The
+    framed-symbol encoding must match the greedy fast path exactly."""
+    from locustdb_spark.operators.bpe import (
+        bpe_encode_count, bpe_token_count_expr, train_bpe_py)
+
+    docs = spark.createDataFrame(
+        [(1, "banana haha low"), (2, "nananananana hahahaha"),
+         (3, "2020 20202020")],
+        "doc_id long, text string")
+    merges = train_bpe_py(
+        {"banana": 3, "haha": 2, "low": 1, "nana": 2, "2020": 2}, 12)
+    fast = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_encode_count(docs, merges).collect()}
+    expr = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_token_count_expr(docs, merges).collect()}
+    assert fast == expr, (fast, expr)

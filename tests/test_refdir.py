@@ -543,3 +543,27 @@ def test_lz4_decompress_never_hangs_or_crashes(data):
         assert len(out) <= (1 << 16) + 0xFFFF + 264  # one overshoot max
     except (ValueError, IndexError):
         pass
+
+
+def test_u16_u32_section_discriminants_roundtrip():
+    """Regression (r3 review): the serializer wrote u16/u32 sections
+    with the union discriminant left at 0 (u8), which the parser then
+    rejected. Round-trip a dict column whose index section is u16 and
+    whose dict_indices are u64, plus a raw u32 section."""
+    dict_data = b"xyzz"
+    entries = [(0, 1), (1, 1), (2, 2)]  # x, y, zz
+    col = RefColumn(
+        "s", 4, None,
+        [("push_section", 1), ("push_section", 2), ("dict_lookup",)],
+        [("u16", np.array([2, 0, 1, 2], "u2")),
+         ("u64", np.array([(o << 24) | ln for o, ln in entries], "u8")),
+         ("u8", np.frombuffer(dict_data, "u1"))])
+    col32 = RefColumn(
+        "c", 3, None, [("to_i64",)],
+        [("u32", np.array([7, 8, 9], "u4"))])
+    blob = serialize_partition_segment([col, col32])
+    parsed = parse_partition_segment(blob)
+    vals, _ = materialize_column(parsed[0])
+    assert vals == ["zz", "x", "y", "zz"]
+    vals32, _ = materialize_column(parsed[1])
+    assert vals32.tolist() == [7, 8, 9]
