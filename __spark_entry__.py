@@ -924,7 +924,8 @@ def _duck_bpe_counts() -> str:
     merges = _bpe_frozen_merges()
     o, c = "\x01", "\x02"
     clean = "replace(replace(w, chr(1), ''), chr(2), '')"
-    sym = (f"array_to_string(list_transform(string_split({clean}, ''), "
+    sym = (f"array_to_string(list_transform(list_filter("
+           f"string_split({clean}, ''), ch -> ch != ''), "
            "ch -> chr(1) || ch || chr(2)), '') || chr(1) || '</w>' "
            "|| chr(2)")
     for a, b in merges:
@@ -1418,12 +1419,19 @@ def x_refdir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition reassembly lose and corrupt nothing."""
     import tempfile
 
+    import os
+    import shutil
+
     from locustdb_spark.sources.refdir import (
         ReferenceDirReader, write_reference_dir)
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
-    root = tempfile.mkdtemp(prefix="refdir_oracle_")
+    # fixed per-process path, cleaned before reuse — mkdtemp would
+    # leak one full table copy per gate/bench invocation
+    root = os.path.join(tempfile.gettempdir(),
+                        f"refdir_oracle_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
     write_reference_dir(root, {"documents": docs.toPandas()},
                         rows_per_partition=200)
     back = ReferenceDirReader(root).read_table_df(spark, "documents")

@@ -450,7 +450,10 @@ class LocustDB:
         from .sources.refdir import write_reference_dir
 
         names = tables if tables is not None else self.table_names()
-        frames = {name: self.snapshot(name).toPandas() for name in names}
+        # lazy suppliers: one table materializes at a time (peak
+        # driver memory = largest table, not the whole database)
+        frames = {name: (lambda n=name: self.snapshot(n).toPandas())
+                  for name in names}
         write_reference_dir(path, frames,
                             rows_per_partition=rows_per_partition)
 

@@ -131,6 +131,13 @@ def bpe_encode_count(
     Arrow-batched; per-word segmentation cache amortizes hot words."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
+    import re
+
+    # ASCII \s+ to match the Spark/DuckDB split (Java regex \s is
+    # ASCII-only; Python str.split() and unicode \s would also break
+    # on NBSP/thin-space, diverging from the expr path and oracle)
+    ws = re.compile(r"\s+", re.ASCII)
+
     def count(batches):
         import pandas as pd
 
@@ -142,7 +149,7 @@ def bpe_encode_count(
                 if lowercase:
                     t = t.lower()
                 words = [w.replace(_OPEN, "").replace(_CLOSE, "")
-                         for w in t.split()]
+                         for w in ws.split(t) if w != ""]
                 total = 0
                 for w in words:
                     n = cache.get(w)
@@ -176,9 +183,12 @@ _CLOSE = "\x02"
 def _framed_chars(word: Column) -> Column:
     clean = F.replace(F.replace(word, F.lit(_OPEN), F.lit("")),
                       F.lit(_CLOSE), F.lit(""))
+    # split('', '') yields [''] — filter it or an all-control word
+    # would gain a phantom empty symbol vs the fast path
+    chars = F.filter(F.split(clean, ""), lambda c: c != "")
     return F.concat(
         F.array_join(
-            F.transform(F.split(clean, ""),
+            F.transform(chars,
                         lambda c: F.concat(F.lit(_OPEN), c,
                                            F.lit(_CLOSE))), ""),
         F.lit(_OPEN + END + _CLOSE))

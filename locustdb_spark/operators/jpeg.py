@@ -229,6 +229,9 @@ def jpeg_decode(data: bytes,
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -288,6 +291,12 @@ def jpeg_decode(data: bytes,
         raise ValueError(
             f"non-interleaved multi-scan JPEG unsupported "
             f"({len(scan)} of {len(comps)} components in first scan)")
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is non-interleaved — the
+        # MCU is one 8x8 block and the declared sampling factors do
+        # not apply (grayscale files often keep the source's 2x2
+        # luma sampling in SOF)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     if width * height > max_pixels:
         raise ValueError(
             f"image {width}x{height} exceeds max_pixels={max_pixels}")

@@ -226,7 +226,10 @@ def decompress_frame(src: bytes) -> bytes:
     if content_size_flag:
         i += 8
     if dict_id:
-        i += 4
+        # matches may reference preset-dictionary history this
+        # decoder does not have — corrupt output with no error is
+        # worse than refusing
+        raise ValueError("lz4: preset-dictionary frames unsupported")
     i += 1  # header checksum byte
     out = bytearray()
     while True:

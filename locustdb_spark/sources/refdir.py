@@ -1021,11 +1021,15 @@ def write_reference_dir(root: str, tables: dict[str, "object"],
                         rows_per_partition: int = 1 << 20) -> None:
     """Write pandas DataFrames as a reference data directory (meta +
     partition segments, empty wal/). The output opens in both this
-    reader and a reference instance."""
+    reader and a reference instance. A table value may be a callable
+    returning the frame (lazy supplier — one table in memory at a
+    time)."""
     os.makedirs(os.path.join(root, "wal"), exist_ok=True)
     meta = RefMeta(next_wal_id=0)
     pid = 0
     for table, df in tables.items():
+        if callable(df):
+            df = df()
         tdir = os.path.join(root, "tables", sanitize_table_name(table))
         os.makedirs(tdir, exist_ok=True)
         offset = 0

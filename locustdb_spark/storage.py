@@ -37,6 +37,41 @@ import shutil
 import uuid
 
 
+def posix_put_if_absent(path: str, data: bytes) -> bool:
+    """The shared POSIX commit primitive: write a temp file, then
+    hard-link it to the final name — the link is atomic and fails
+    with EEXIST if another writer already committed. Used by
+    LocalStorage, HadoopStorage's file:-scheme dispatch, and
+    versioned.PosixCommitStore."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def strip_file_uri(path: str) -> str:
+    """file:-URI -> local path. Handles file:/p, file:///p, and
+    file://localhost/p; a file:// URI with a real remote authority
+    has no local path and is rejected."""
+    if not path.startswith("file:"):
+        return path
+    rest = path[len("file:"):]
+    if rest.startswith("//"):
+        authority, sep, tail = rest[2:].partition("/")
+        if authority not in ("", "localhost"):
+            raise ValueError(
+                f"file URI with remote authority {authority!r} has "
+                "no local path")
+        return "/" + tail if sep else "/"
+    return rest
+
+
 class TableStorage:
     """Layout operations for one table root. Paths are joined with
     '/' so the same code serves POSIX paths and URIs."""
@@ -123,16 +158,7 @@ class LocalStorage(TableStorage):
         return pq.ParquetFile(path).metadata  # stream, don't slurp
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
+        return posix_put_if_absent(path, data)
 
 
 class HadoopStorage(TableStorage):
@@ -262,20 +288,7 @@ class HadoopStorage(TableStorage):
         return self._put_if_absent_conditional(path, data)
 
     def _put_if_absent_posix(self, path: str, data: bytes) -> bool:
-        local = path[len("file:"):] if path.startswith("file:") else path
-        # file:///p and file:/p both mean /p
-        while local.startswith("//"):
-            local = local[1:]
-        tmp = f"{local}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        try:
-            os.link(tmp, local)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
+        return posix_put_if_absent(strip_file_uri(path), data)
 
     def _put_if_absent_rename(self, path: str, data: bytes) -> bool:
         fs, p = self._fs_path(path)

@@ -95,19 +95,13 @@ class CommitStore:
 class PosixCommitStore(CommitStore):
     """Local/NFS filesystems: write a temp file, then `os.link` it to
     the final name — link fails with EEXIST if another writer already
-    committed, and the link itself is atomic."""
+    committed, and the link itself is atomic (the shared primitive in
+    storage.py)."""
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
+        from .storage import posix_put_if_absent
+
+        return posix_put_if_absent(path, data)
 
 
 class ConditionalPutCommitStore(CommitStore):

@@ -30,10 +30,11 @@ from locustdb_spark.client import LoggingClient  # noqa: E402
 
 
 def _clean(row: dict) -> dict:
-    # reference wandb_data_import.py:35 — numeric fields only,
-    # None -> 0.0
-    return {k: (v or 0.0) for k, v in row.items()
-            if not isinstance(v, (dict, str))}
+    # reference wandb_data_import.py:35 — numeric fields only (lists/
+    # tuples/bools are not scalar metric values), None -> 0.0
+    return {k: (0.0 if v is None else v) for k, v in row.items()
+            if v is None or (isinstance(v, (int, float))
+                             and not isinstance(v, bool))}
 
 
 def iter_jsonl_runs(dirpath: str):

@@ -172,3 +172,29 @@ def test_bomb_and_fuzz_rejected_quickly():
         except (ValueError, struct.error, IndexError, KeyError):
             pass
     assert time.time() - t0 < 30
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker."""
+    blob = _golden_dc_only()
+    # inject fill bytes before the DQT marker
+    idx = blob.index(b"\xff\xdb")
+    padded = blob[:idx] + b"\xff\xff\xff" + blob[idx:]
+    w, h, c, px = jpeg_decode(padded)
+    assert (w, h, c) == (8, 8, 1) and np.all(px == 133)
+
+
+def test_grayscale_with_subsampled_sof_decodes_per_spec():
+    """T.81 A.2: a single-component scan is non-interleaved — the MCU
+    is one block and SOF sampling factors do not apply. Encode 4:1:1-
+    style gray (sampling byte 0x22 in SOF) by patching our encoder
+    output; the stream itself is one block per MCU either way."""
+    g = np.full((8, 8, 1), 90, np.uint8)
+    blob = bytearray(jpeg_encode(g, quality=90))
+    idx = bytes(blob).index(b"\xff\xc0")
+    assert blob[idx + 11] == 0x11  # component sampling h=v=1
+    blob[idx + 11] = 0x22  # claim 2x2 sampling, stream unchanged
+    w, h, c, px = jpeg_decode(bytes(blob))
+    assert (w, h, c) == (8, 8, 1)
+    assert abs(int(px.mean()) - 90) <= 2

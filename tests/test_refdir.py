@@ -567,3 +567,28 @@ def test_u16_u32_section_discriminants_roundtrip():
     assert vals == ["zz", "x", "y", "zz"]
     vals32, _ = materialize_column(parsed[1])
     assert vals32.tolist() == [7, 8, 9]
+
+
+def test_strip_file_uri_variants():
+    from locustdb_spark.storage import strip_file_uri
+
+    assert strip_file_uri("/plain/path") == "/plain/path"
+    assert strip_file_uri("file:/a/b") == "/a/b"
+    assert strip_file_uri("file:///a/b") == "/a/b"
+    assert strip_file_uri("file://localhost/a/b") == "/a/b"
+    with pytest.raises(ValueError, match="remote authority"):
+        strip_file_uri("file://otherhost/a/b")
+
+
+def test_lz4_dict_frame_rejected():
+    import struct as _s
+
+    from locustdb_spark.sources.lz4 import xxh32 as _x
+
+    flg = 0x40 | 0x20 | 0x01  # version + indep + dictID
+    header = bytes([flg, 0x40]) + _s.pack("<I", 1234)
+    hc = (_x(header) >> 8) & 0xFF
+    frame = _s.pack("<I", 0x184D2204) + header + bytes([hc]) \
+        + _s.pack("<I", 0)
+    with pytest.raises(ValueError, match="dictionary"):
+        decompress_frame(frame)
