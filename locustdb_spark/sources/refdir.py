@@ -305,6 +305,8 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
             odisc = struct.unpack_from("<H", r.segs[oseg], 8 * ow)[0]
             if odisc == 0:  # add -> Add struct via ptr0
                 ares = r.resolve(oseg, ow + odw)
+                if ares is None or ares[0] != "struct":
+                    raise ValueError("codec op: missing Add struct")
                 _, aseg, aw, adw, _ = ares
                 t = struct.unpack_from("<H", r.segs[aseg], 8 * aw)[0]
                 amount = struct.unpack_from(
@@ -321,6 +323,8 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
                 codec.append(("dict_lookup",))
             elif odisc == 5:  # lz4 -> LZ4 struct
                 lres = r.resolve(oseg, ow + odw)
+                if lres is None or lres[0] != "struct":
+                    raise ValueError("codec op: missing LZ4 struct")
                 _, lseg, lw, ldw, _ = lres
                 t = struct.unpack_from("<H", r.segs[lseg], 8 * lw)[0]
                 n = struct.unpack_from("<Q", r.segs[lseg], 8 * lw + 8)[0]
@@ -329,6 +333,9 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
                 codec.append(("unpack_strings",))
             elif odisc == 7:  # unhexpack
                 ures = r.resolve(oseg, ow + odw)
+                if ures is None or ures[0] != "struct":
+                    raise ValueError(
+                        "codec op: missing UnhexpackStrings struct")
                 _, useg, uw, udw, _ = ures
                 upper = bool(r.segs[useg][8 * uw] & 1)
                 total = struct.unpack_from(
@@ -338,6 +345,8 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
                 codec.append(("nullable",))
             elif odisc == 9:  # pco -> Pco struct
                 pres = r.resolve(oseg, ow + odw)
+                if pres is None or pres[0] != "struct":
+                    raise ValueError("codec op: missing Pco struct")
                 _, pseg2, pw2, pdw2, _ = pres
                 t = struct.unpack_from("<H", r.segs[pseg2], 8 * pw2)[0]
                 n = struct.unpack_from(
