@@ -458,3 +458,82 @@ def quantize_embeddings(
         .select(F.col(id_col), "dim_idx",
                 scaled.cast("long").alias("q"))
     )
+
+
+# ---------------------------------------------------------------------
+# persisted IVF index layout: cluster-partitioned parquet
+# ---------------------------------------------------------------------
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Materialize the IVF index as hive-partitioned parquet
+    (`path/cluster=K/...`) plus the centroid table
+    (`path/_centroids.json`). This is the production layout for ANN
+    over a large corpus: a probe reads ONLY the probed clusters'
+    directories — Spark's partition pruning turns nprobe/n_clusters
+    into a literal fraction of bytes scanned, which is what makes IVF
+    an index rather than a filter. Re-assignment after retraining is
+    one scan + write. Returns the centroids used."""
+    import json
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_clusters, vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    (assigned.write.mode("overwrite")
+     .partitionBy("cluster").parquet(path))
+    # centroids ride next to the data (tiny; one driver-side file)
+    sess = df.sparkSession
+    sc = sess.sparkContext
+    payload = json.dumps(centroids)
+    # write through the Hadoop FS so the path scheme matches the data
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_centroids.json")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    return centroids
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Query a `build_ivf_index` layout: rank centroids against the
+    query driver-side (tiny), then scan ONLY the nprobe winning
+    cluster partitions (`cluster IN (...)` prunes directories — the
+    plan's PartitionFilters show it) and brute-force within them."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_centroids.json")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream))
+    finally:
+        stream.close()
+    centroids = json.loads(raw.decode("utf-8"))
+    c = np.array(centroids, dtype=float)
+    q = np.array(query_vec, dtype=float)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(c @ qn), kind="stable")[:nprobe].tolist()
+    cands = (spark.read.parquet(path)
+             .filter(F.col("cluster").isin([int(x) for x in probe])))
+    return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)

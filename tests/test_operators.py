@@ -1666,3 +1666,34 @@ def test_bpe_expr_handles_adjacent_merges(spark):
     expr = {r.doc_id: (r.n_words, r.n_tokens)
             for r in bpe_token_count_expr(docs, merges).collect()}
     assert fast == expr, (fast, expr)
+
+
+def test_ivf_index_layout_prunes_partitions(spark, tmp_path):
+    """build_ivf_index writes cluster-partitioned parquet and
+    probe_ivf_index reads ONLY the probed clusters: the probe plan's
+    PartitionFilters carry the cluster IN-list (directory pruning —
+    nprobe/n_clusters of the bytes), and results equal running the
+    same probe over the full table."""
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk, build_ivf_index, probe_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(600)
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    path = str(tmp_path / "ivf_index")
+    out_cents = build_ivf_index(emb, path, centroids=cents)
+    assert out_cents == cents
+    q = [float(x) for x in emb.filter("vec_id = 3").head().embedding]
+
+    probed = probe_ivf_index(spark, path, q, k=5, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # the scan must NOT read all partitions: isin list has 2 entries
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:800]
+
+    direct = ann_ivf_topk(emb, q, k=5, nprobe=2, centroids=cents)
+    assert probed.collect() == direct.collect()
