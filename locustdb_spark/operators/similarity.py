@@ -537,3 +537,61 @@ def probe_ivf_index(
     cands = (spark.read.parquet(path)
              .filter(F.col("cluster").isin([int(x) for x in probe])))
     return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> None:
+    """Materialize the sign-LSH index as bucket-partitioned parquet
+    (`path/bucket=K/...`). The hyperplanes are md5-derived from
+    (plane, dim) alone, so NO side table is needed — any session can
+    recompute the same bucket for a query vector. A probe reads only
+    the buckets within its Hamming radius: directory pruning turns
+    multiprobe/2^planes into the fraction of bytes scanned."""
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = df.withColumn(
+        "bucket", bucket_expr(vec, num_planes, dims))
+    (assigned.write.mode("overwrite")
+     .partitionBy("bucket").parquet(path))
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Query a `build_lsh_index` layout: compute the query's bucket
+    driver-side from the deterministic hyperplanes, enumerate the
+    buckets within Hamming distance `multiprobe`, scan only those
+    partitions (PartitionFilters pruning) and brute-force within."""
+    from itertools import combinations
+
+    qbucket = 0
+    for p in range(num_planes):
+        proj = sum(x * _plane_sign(p, i)
+                   for i, x in enumerate(query_vec))
+        if proj >= 0:
+            qbucket |= 1 << p
+    probe = []
+    for r in range(multiprobe + 1):
+        for flips in combinations(range(num_planes), r):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            probe.append(b)
+    cands = (spark.read.parquet(path)
+             .filter(F.col("bucket").isin(probe)))
+    return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)

@@ -1697,3 +1697,24 @@ def test_ivf_index_layout_prunes_partitions(spark, tmp_path):
 
     direct = ann_ivf_topk(emb, q, k=5, nprobe=2, centroids=cents)
     assert probed.collect() == direct.collect()
+
+
+def test_lsh_index_layout_prunes_and_matches(spark, tmp_path):
+    """build_lsh_index/probe_lsh_index: bucket-partitioned parquet,
+    Hamming-radius probe list in the PartitionFilters, results equal
+    the in-memory ann_lsh_topk on the same corpus."""
+    from locustdb_spark.operators.similarity import (
+        ann_lsh_topk, build_lsh_index, probe_lsh_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(600)
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, num_planes=4)
+    q = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+
+    probed = probe_lsh_index(spark, path, q, k=8, num_planes=4,
+                             multiprobe=1)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    direct = ann_lsh_topk(emb, q, k=8, num_planes=4, multiprobe=1)
+    assert probed.collect() == direct.collect()
