@@ -199,6 +199,31 @@ def hyperplane_buckets(
     )
 
 
+
+def _rank_probes(centroids: list[list[float]], query_vec: list[float],
+                 nprobe: int) -> list[int]:
+    """Top-nprobe cluster ids by centroid-dot-query (the shared
+    probe-selection for in-memory and persisted IVF paths)."""
+    c = np.array(centroids, dtype=float)
+    q = np.array([float(x) for x in query_vec], dtype=float)
+    qn = q / np.linalg.norm(q)
+    return [int(i) for i in
+            np.argsort(-(c @ qn), kind="stable")[:nprobe]]
+
+
+def _query_bucket(query_vec: list[float], num_planes: int) -> int:
+    """Sign-LSH bucket of a query vector in float64 — MUST match
+    bucket_expr's double-precision arithmetic (np.float32 inputs
+    would flip signs on near-zero projections)."""
+    qbucket = 0
+    for p in range(num_planes):
+        proj = sum(float(x) * _plane_sign(p, i)
+                   for i, x in enumerate(query_vec))
+        if proj >= 0:
+            qbucket |= 1 << p
+    return qbucket
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_clusters: int = 16,
@@ -333,10 +358,7 @@ def ann_ivf_topk(
         probe = [j for _, j in sorted(scored)[:nprobe]]
         assigned = ivf_assign_expr(df, centroids, vec_col, id_col)
     else:
-        c = np.array(centroids, dtype=float)
-        q = np.array(query_vec, dtype=float)
-        qn = q / np.linalg.norm(q)
-        probe = np.argsort(-(c @ qn), kind="stable")[:nprobe].tolist()
+        probe = _rank_probes(centroids, query_vec, nprobe)
         assigned = ivf_assign(df, centroids, vec_col, id_col)
     cands = assigned.filter(
         F.col("cluster").isin([int(p) for p in probe])
@@ -363,13 +385,7 @@ def ann_lsh_topk(
     multiprobe=0 is classic single-bucket LSH; multiprobe=num_planes
     degrades to exact search. The Hamming test is a JVM-side
     bit_count(xor) — bucket assignment stays a pure projection."""
-    qbucket = 0
-    for p in range(num_planes):
-        proj = sum(
-            float(v) * _plane_sign(p, i) for i, v in enumerate(query_vec)
-        )
-        if proj >= 0:
-            qbucket |= 1 << p
+    qbucket = _query_bucket(query_vec, num_planes)
     with_buckets = hyperplane_buckets(
         df, num_planes, vec_col, id_col, dims=len(query_vec)
     )
@@ -530,12 +546,9 @@ def probe_ivf_index(
     finally:
         stream.close()
     centroids = json.loads(raw.decode("utf-8"))
-    c = np.array(centroids, dtype=float)
-    q = np.array(query_vec, dtype=float)
-    qn = q / np.linalg.norm(q)
-    probe = np.argsort(-(c @ qn), kind="stable")[:nprobe].tolist()
+    probe = _rank_probes(centroids, query_vec, nprobe)
     cands = (spark.read.parquet(path)
-             .filter(F.col("cluster").isin([int(x) for x in probe])))
+             .filter(F.col("cluster").isin(probe)))
     return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)
 
 
@@ -544,7 +557,6 @@ def build_lsh_index(
     path: str,
     num_planes: int = 8,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     dims: int | None = None,
 ) -> None:
     """Materialize the sign-LSH index as bucket-partitioned parquet
@@ -579,12 +591,7 @@ def probe_lsh_index(
     partitions (PartitionFilters pruning) and brute-force within."""
     from itertools import combinations
 
-    qbucket = 0
-    for p in range(num_planes):
-        proj = sum(x * _plane_sign(p, i)
-                   for i, x in enumerate(query_vec))
-        if proj >= 0:
-            qbucket |= 1 << p
+    qbucket = _query_bucket(query_vec, num_planes)
     probe = []
     for r in range(multiprobe + 1):
         for flips in combinations(range(num_planes), r):

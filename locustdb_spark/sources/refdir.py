@@ -99,6 +99,20 @@ def maybe_unwrap_blob(data: bytes) -> bytes:
 _SIZE_CODE_BYTES = {2: 1, 3: 2, 4: 4, 5: 8}
 
 
+
+def _resolve_struct(r: _Reader, seg: int, w: int, what: str):
+    """Resolve a pointer that must be a struct, with bounds checks —
+    a corrupt negative offset would otherwise wrap Python indexing to
+    the segment tail and read garbage silently."""
+    res = r.resolve(seg, w)
+    if res is None or res[0] != "struct":
+        raise ValueError(f"{what}: missing struct")
+    _, tseg, target, dw, pw = res
+    if target < 0 or 8 * (target + dw + pw) > len(r.segs[tseg]):
+        raise ValueError(f"{what}: struct out of bounds")
+    return tseg, target, dw, pw
+
+
 def _read_bytes_list(r: _Reader, seg: int, w: int) -> bytes:
     res = r.resolve(seg, w)
     if res is None:
@@ -294,7 +308,8 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
         if disc == 0 and cpw >= 2:
             rres = r.resolve(cseg, cw + cdw + 1)
             if rres is not None:
-                _, rseg, rw, rdw, _ = rres
+                rseg, rw, rdw, _ = _resolve_struct(
+                    r, cseg, cw + cdw + 1, "column range")
                 if rdw >= 2:
                     s = struct.unpack_from("<q", r.segs[rseg], 8 * rw)[0]
                     e = struct.unpack_from(
@@ -304,10 +319,8 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
         for oseg, ow, odw, opw in r.composite(cseg, cw + cdw + 2):
             odisc = struct.unpack_from("<H", r.segs[oseg], 8 * ow)[0]
             if odisc == 0:  # add -> Add struct via ptr0
-                ares = r.resolve(oseg, ow + odw)
-                if ares is None or ares[0] != "struct":
-                    raise ValueError("codec op: missing Add struct")
-                _, aseg, aw, adw, _ = ares
+                aseg, aw, adw, _ = _resolve_struct(
+                    r, oseg, ow + odw, "codec op Add")
                 t = struct.unpack_from("<H", r.segs[aseg], 8 * aw)[0]
                 amount = struct.unpack_from(
                     "<q", r.segs[aseg], 8 * aw + 8)[0]
@@ -322,21 +335,16 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
             elif odisc == 4:
                 codec.append(("dict_lookup",))
             elif odisc == 5:  # lz4 -> LZ4 struct
-                lres = r.resolve(oseg, ow + odw)
-                if lres is None or lres[0] != "struct":
-                    raise ValueError("codec op: missing LZ4 struct")
-                _, lseg, lw, ldw, _ = lres
+                lseg, lw, ldw, _ = _resolve_struct(
+                    r, oseg, ow + odw, "codec op LZ4")
                 t = struct.unpack_from("<H", r.segs[lseg], 8 * lw)[0]
                 n = struct.unpack_from("<Q", r.segs[lseg], 8 * lw + 8)[0]
                 codec.append(("lz4", _ENC[t], n))
             elif odisc == 6:
                 codec.append(("unpack_strings",))
             elif odisc == 7:  # unhexpack
-                ures = r.resolve(oseg, ow + odw)
-                if ures is None or ures[0] != "struct":
-                    raise ValueError(
-                        "codec op: missing UnhexpackStrings struct")
-                _, useg, uw, udw, _ = ures
+                useg, uw, udw, _ = _resolve_struct(
+                    r, oseg, ow + odw, "codec op Unhexpack")
                 upper = bool(r.segs[useg][8 * uw] & 1)
                 total = struct.unpack_from(
                     "<Q", r.segs[useg], 8 * uw + 8)[0]
@@ -344,10 +352,8 @@ def parse_partition_segment(data: bytes) -> list[RefColumn]:
             elif odisc == 8:
                 codec.append(("nullable",))
             elif odisc == 9:  # pco -> Pco struct
-                pres = r.resolve(oseg, ow + odw)
-                if pres is None or pres[0] != "struct":
-                    raise ValueError("codec op: missing Pco struct")
-                _, pseg2, pw2, pdw2, _ = pres
+                pseg2, pw2, pdw2, _ = _resolve_struct(
+                    r, oseg, ow + odw, "codec op Pco")
                 t = struct.unpack_from("<H", r.segs[pseg2], 8 * pw2)[0]
                 n = struct.unpack_from(
                     "<Q", r.segs[pseg2], 8 * pw2 + 8)[0]

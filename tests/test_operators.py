@@ -1715,6 +1715,8 @@ def test_lsh_index_layout_prunes_and_matches(spark, tmp_path):
     probed = probe_lsh_index(spark, path, q, k=8, num_planes=4,
                              multiprobe=1)
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "bucket" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:800]
     direct = ann_lsh_topk(emb, q, k=8, num_planes=4, multiprobe=1)
     assert probed.collect() == direct.collect()
