@@ -6,9 +6,15 @@ Spark-first extensions (joins/windows/distinct/as-of/range/quantiles/
 salted-skew — absent in the reference dialect), and the
 LLM-data-pipeline operators (locustdb_spark.operators: dedup +
 clustering, similarity, sampling/splits, text analysis, multimodal
-plumbing). Each entry has a DuckDB oracle in `oracle_sql()` with
-matching column names and types (exception: sim_ann_ivf — k-means is
-not SQL-expressible; the driver records a rows-only check). The full
+plumbing). Every entry has a DuckDB oracle in `oracle_sql()` with
+matching column names and types. Capabilities whose values are not
+SQL-expressible stay out of `queries()` and are pytest-pinned instead:
+trained-k-means IVF ANN (its full pipeline is oracle-checked via the
+frozen-centroid sibling `sim_ann_ivf_frozen`; exactness at
+nprobe=n_clusters, determinism, and sample-bias tests live in
+tests/test_operators.py) and Spark's native HLL sketch
+(`x_approx_distinct` below, pinned within rsd of exact; the
+oracle-checkable sketch-distinct is `x_kmv_distinct`). The full
 inventory-to-key mapping is SURVEY.md §8.
 """
 
@@ -340,10 +346,11 @@ def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type. The
     reference lists 'precise set sizes' as a non-goal; Spark's sketch
-    aggregates scale to any cardinality in fixed memory. No SQL oracle
-    (sketch implementations differ across engines — the driver records
-    a rows-only check); tests pin the estimates to the exact counts
-    within rsd."""
+    aggregates scale to any cardinality in fixed memory. Not a
+    `queries()` entry (HLL register layouts differ across engines, so
+    no cross-engine value oracle exists); tests pin the estimates to
+    the exact counts within rsd, and the oracle-checkable sketch
+    sibling is `x_kmv_distinct`."""
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
@@ -1054,20 +1061,6 @@ def p_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         num_planes=ANN_PLANES)
 
 
-def p_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: spherical-kmeans coarse quantizer (deterministic
-    driver-side training on a bounded sample), pandas-UDF cluster
-    assignment, probe-then-brute-force. No SQL oracle — k-means
-    training is not SQL-expressible; the driver records a rows-only
-    check and tests/test_operators.py proves exactness at
-    nprobe=n_clusters against brute force."""
-    from locustdb_spark.operators.similarity import ann_ivf_topk
-
-    emb = _read(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_clusters=8, nprobe=2)
-
-
 IVF_FROZEN_CLUSTERS = 16
 IVF_FROZEN_NPROBE = 4
 
@@ -1097,9 +1090,10 @@ def p_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.ivf_assign_expr): assignment, probe selection, and
     the in-cluster top-k are all reproducible in DuckDB, putting the
     full IVF pipeline — coarse quantizer assignment, nprobe pruning,
-    pruned brute force — under the value-hash oracle. k-means
-    training (sim_ann_ivf) stays the production path; this entry
-    proves the plumbing."""
+    pruned brute force — under the value-hash oracle. Trained k-means
+    (similarity.kmeans_centroids, hash-sampled and deterministic)
+    stays the production path, pytest-pinned; this entry proves the
+    plumbing."""
     from locustdb_spark.operators.similarity import ann_ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1957,7 +1951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quantiles": x_quantiles,
         "x_rollup": x_rollup,
         "x_cube": x_cube,
-        "x_approx_distinct": x_approx_distinct,
         "x_kmv_distinct": x_kmv_distinct,
         "x_json_extract": x_json_extract,
         "x_sessionize_batch": x_sessionize_batch,
@@ -2030,7 +2023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": p_cosine_topk,
         "sim_knn_join": p_knn_join,
         "sim_ann_lsh": p_ann_lsh,
-        "sim_ann_ivf": p_ann_ivf,
         "sim_ann_ivf_frozen": p_ann_ivf_frozen,
         "x_ann_recall": x_ann_recall,
         "sim_lsh_buckets": p_lsh_buckets,

@@ -233,17 +233,22 @@ def kmeans_centroids(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Spherical k-means coarse quantizer for IVF, trained on a
-    bounded, deterministic sample (first `sample` vectors by id via
-    TakeOrderedAndProject — no full scan materialized on the driver).
+    bounded, deterministic, *unbiased* sample: the `sample` vectors
+    with the smallest xxhash64(id) (TakeOrderedAndProject — no full
+    scan materialized on the driver). Ordering by a hash of the id
+    instead of the id itself means time-ordered or cluster-sorted
+    corpora don't train centroids on their oldest/first slice; the
+    hash order is a uniform pseudo-random permutation, so the sample
+    is i.i.d.-like while staying bit-deterministic across runs.
 
     Deterministic by construction: init is the first `n_clusters`
-    sampled vectors, then `iters` Lloyd steps in numpy. At 100 TB the
-    sample stays 4096 rows regardless of corpus size; training cost is
-    a driver-side matmul, and the centroids ship to executors as a
-    closure constant.
+    sampled vectors (in hash order), then `iters` Lloyd steps in
+    numpy. At 100 TB the sample stays 4096 rows regardless of corpus
+    size; training cost is a driver-side matmul, and the centroids
+    ship to executors as a closure constant.
     """
     rows = (
-        df.orderBy(id_col)
+        df.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample)
         .select(F.col(vec_col).cast("array<double>"))
         .collect()

@@ -49,6 +49,47 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .dialect.parser import NotImplementedQueryError
 from .engine import LocustDB, QueryError
 
+# /plot dev surface (reference server/mod.rs:110-117 renders
+# templates/plot.html: a uPlot page over a columnar query payload).
+# Ours fetches the GET /query_data dev series — the reference
+# template fetches its POST-only /query_cols route, which a browser
+# GET can't reach, so we point at the route that actually serves a
+# columnar payload — and renders cols[0] as x vs cols[1] as y.
+PLOT_TEMPLATE = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>LocustDB plot</title>
+<link rel="stylesheet"
+ href="https://leeoniya.github.io/uPlot/dist/uPlot.min.css">
+<style>body { margin: 0; }</style></head>
+<body>
+<script src="https://leeoniya.github.io/uPlot/dist/uPlot.iife.min.js">
+</script>
+<h2 id="wait">Fetching query_data...</h2>
+<script>
+function makeChart(packed) {
+    const data = packed.series;
+    const yname = packed.cols[1];
+    const opts = {
+        title: "Server Events",
+        width: 1000,
+        height: 750,
+        series: [
+            {},
+            { label: yname, stroke: "red",
+              width: 1 / devicePixelRatio },
+        ],
+    };
+    new uPlot(opts, data, document.body);
+    document.getElementById("wait").textContent = "Done!";
+}
+fetch("query_data").then(r => r.json()).then(packed => {
+    document.getElementById("wait").textContent = "Rendering...";
+    setTimeout(() => makeChart(packed), 0);
+});
+</script>
+</body></html>
+"""
+
 
 class Metrics:
     """Minimal Prometheus-text metrics registry (reference /metrics,
@@ -152,13 +193,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, self.metrics.render(),
                            "text/plain; version=0.0.4")
             elif self.path == "/plot":
-                # static plotting page (reference server/mod.rs:110-117
-                # renders the plot.html template; dev surface)
-                self._send(
-                    200,
-                    "<html><body><h1>plot</h1><p>POST /query_cols and "
-                    "render cols client-side.</p></body></html>",
-                    "text/html; charset=utf8")
+                self._send(200, PLOT_TEMPLATE, "text/html; charset=utf8")
             elif self.path == "/query_data":
                 # reference server/mod.rs:180-190 returns this exact
                 # hardcoded dev-stub series; kept verbatim for parity

@@ -657,6 +657,59 @@ def test_ann_ivf_nprobe_recall_monotone(spark, emb):
     assert rs[-1] == 1.0
 
 
+def test_kmeans_hash_sample_unbiased_on_sorted_corpus(spark):
+    """Training on the smallest-xxhash64(id) sample must beat an
+    id-prefix sample on a corpus whose ids correlate with content
+    (e.g. time-ordered drift): 4 orthogonal direction-clusters laid
+    out contiguously by id. A 64-vector prefix only ever sees cluster
+    0, so its centroids split cluster 0 by noise and scatter the other
+    clusters' members across cells — nprobe=1 recall collapses. The
+    hash sample sees every cluster and recovers the true directions."""
+    import numpy as np
+
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk, cosine_topk, kmeans_centroids)
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for j in range(4):
+        base = np.zeros(8)
+        base[2 * j] = 1.0
+        for i in range(100):
+            v = base + rng.normal(0, 0.05, 8)
+            rows.append((j * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    def mean_recall(cents):
+        total = 0.0
+        for j in range(4):  # one query per true cluster
+            qv = rows[j * 100 + 50][1]
+            exact = {r.vec_id for r in cosine_topk(df, qv, k=10).collect()}
+            got = {r.vec_id for r in ann_ivf_topk(
+                df, qv, k=10, nprobe=1, centroids=cents).collect()}
+            total += len(exact & got) / len(exact)
+        return total / 4
+
+    # current sampler: hash-ordered (unbiased)
+    hash_cents = kmeans_centroids(df, n_clusters=4, sample=64)
+    # the old prefix sampler, reproduced by restricting the corpus to
+    # the first 64 ids before training
+    prefix_cents = kmeans_centroids(
+        df.filter("vec_id < 64"), n_clusters=4, sample=64)
+
+    # structural bias: every prefix centroid points at cluster 0's
+    # axis; the hash centroids recover all four true directions
+    axes = np.array([0, 2, 4, 6])
+    assert all(np.argmax(np.abs(c)) == 0 for c in np.array(prefix_cents))
+    hash_axis_hits = {int(np.argmax(np.abs(c))) for c in np.array(hash_cents)}
+    assert hash_axis_hits == set(axes.tolist())
+
+    r_hash, r_prefix = mean_recall(hash_cents), mean_recall(prefix_cents)
+    assert r_hash >= 0.95
+    assert r_hash > r_prefix
+
+
 def test_funnel_known_values(spark):
     from locustdb_spark.operators.events import funnel
 

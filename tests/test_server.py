@@ -219,11 +219,21 @@ def test_plot_and_query_data_dev_surfaces(served_db):
     """GET /plot (static page) and /query_data (the reference's
     hardcoded dev-stub series, server/mod.rs:110-190) — route parity."""
     _, url = served_db
-    page = urllib.request.urlopen(f"{url}/plot").read().decode()
+    resp = urllib.request.urlopen(f"{url}/plot")
+    assert resp.headers["Content-Type"].startswith("text/html")
+    page = resp.read().decode()
     assert "<html" in page
+    # the template is a real uPlot page wired to the columnar payload
+    # it renders (reference templates/plot.html does the same over its
+    # query_cols route)
+    assert "uPlot" in page and 'fetch("query_data")' in page
+    assert "packed.series" in page and "packed.cols" in page
     data = json.loads(urllib.request.urlopen(f"{url}/query_data").read())
     assert data["cols"] == ["time", "cpu"]
     assert len(data["series"]) == 2 and len(data["series"][0]) == 9
+    # the payload shape matches what the template consumes: series[0]
+    # is the x axis, series[1] the named y series, equal lengths
+    assert len(data["series"][0]) == len(data["series"][1])
 
 
 def test_root_index_html(served_db):
