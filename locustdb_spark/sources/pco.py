@@ -1,0 +1,929 @@
+"""Pure-Python codec for Pco (pcodec) standalone files.
+
+The reference persists numeric columns with the pco crate whenever
+trial compression beats LZ4 (reference src/mem_store/column.rs:116-126
+calls ``pco::standalone::{simpler_compress, simple_decompress}``,
+pinned to pco 0.4.6 in /root/reference/Cargo.toml:47), so a real
+production data directory usually contains Pco-compressed sections.
+This module implements the published pcodec format — wrapped format
+version 3 as embedded in the standalone container — so
+``sources/refdir.py`` can materialize those columns.
+
+Spec provenance and confidence
+------------------------------
+The pcodec format is public (pcodec repo, ``docs/format.md``). This
+environment is offline: neither the crate, its docs, nor any
+crate-produced bytes are available here, so this implementation is a
+careful reconstruction of that spec from prior study, and conformance
+against crate output could not be executed in-environment. To keep the
+reconstruction honest and testable:
+
+* every structural decision is listed below with a confidence note,
+* the encoder emits the same layout the decoder parses, and round
+  trips (plus hand-assembled golden vectors for the bit-level
+  primitives) pin each shape,
+* a parse that violates any invariant raises :class:`PcoFormatError`
+  (never garbage output for *structural* errors), which refdir maps to
+  its ``PcoUnsupportedError`` degrade path.
+
+Layout decisions (H = high confidence, M = medium):
+
+* bit packing is little-endian, LSB-first within each byte (H)
+* standalone container: ``b"pco!"`` magic, one standalone-version
+  byte, a ULEB128 count hint, one wrapped-format-version byte, then
+  chunks of ``[dtype byte][count-1 in 24 bits][chunk meta][page]``
+  terminated by a zero dtype byte (M — the decoder also accepts the
+  header without the count hint)
+* dtype bytes: u32=1 u64=2 i32=3 i64=4 f32=5 f64=6 u16=7 i16=8 (M)
+* chunk meta: mode in 4 bits (classic=0, int-mult=1, float-mult=2,
+  float-quant=3; mult bases / quant k follow inline), delta encoding
+  in 4 bits (none=0, consecutive=1 with 3-bit order and a
+  secondary-uses-delta bit, lookback=2), then per latent var a 4-bit
+  ANS size log, a 15-bit bin count, and bins of
+  ``[weight-1][lower][offset bit count]`` (M)
+* page: per latent var the delta moments then four ANS state indexes,
+  byte-align, then the body in 256-number batches, each batch holding
+  every latent var's ANS bits followed by its offset bits (M)
+* ANS: tANS over a table of size ``1 << size_log`` with **contiguous**
+  state ranges per bin in bin order; decode is
+  ``sym = table[x]; x' = ((weight + k) << b) | next b bits`` with
+  ``b = size_log - floor(log2(weight + k))``, four lanes interleaved
+  round-robin by position (M — the lane count and the state-update
+  rule are standard tANS; the contiguous spread is the reconstruction
+  with the most residual risk)
+
+Number <-> latent mappings (H — these are the standard order-
+preserving bijections the spec uses): unsigned ints are identity,
+signed ints flip the sign bit, floats map through the total-order
+involution (positive: set the sign bit; negative: complement).
+
+Scale note: refdir decodes columns executor-side (mapInPandas over
+partition files), so this pure-Python decoder runs distributed; the
+hot loops are numpy-vectorized per 256-batch where the format allows.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"pco!"
+STANDALONE_VERSION = 2
+FORMAT_VERSION = 3
+TERMINATION_BYTE = 0
+FULL_BATCH_N = 256
+ANS_LANES = 4
+MAX_CHUNK_N = 1 << 24
+
+# mode ids (chunk meta, 4 bits)
+MODE_CLASSIC = 0
+MODE_INT_MULT = 1
+MODE_FLOAT_MULT = 2
+MODE_FLOAT_QUANT = 3
+
+# delta ids (chunk meta, 4 bits)
+DELTA_NONE = 0
+DELTA_CONSECUTIVE = 1
+DELTA_LOOKBACK = 2
+
+
+class PcoFormatError(ValueError):
+    """Structurally invalid (or unsupported-variant) Pco payload."""
+
+
+# dtype byte -> (name, latent bit width, numpy dtype)
+DTYPES = {
+    1: ("u32", 32, np.uint32),
+    2: ("u64", 64, np.uint64),
+    3: ("i32", 32, np.int32),
+    4: ("i64", 64, np.int64),
+    5: ("f32", 32, np.float32),
+    6: ("f64", 64, np.float64),
+    7: ("u16", 16, np.uint16),
+    8: ("i16", 16, np.int16),
+}
+DTYPE_BYTES = {name: b for b, (name, _, _) in DTYPES.items()}
+
+
+# ---------------------------------------------------------------------------
+# number <-> latent (order-preserving bijections into unsigned space)
+# ---------------------------------------------------------------------------
+
+def _to_latents(values, dtype_name: str) -> list[int]:
+    width = 32 if dtype_name.endswith("32") else (
+        16 if dtype_name.endswith("16") else 64)
+    sign = 1 << (width - 1)
+    mask = (1 << width) - 1
+    if dtype_name.startswith("u"):
+        return [int(v) & mask for v in values]
+    if dtype_name.startswith("i"):
+        return [(int(v) ^ sign) & mask for v in values]
+    # float total-order map
+    pack_fmt = {"f32": "<f", "f64": "<d"}[dtype_name]
+    int_fmt = {"f32": "<I", "f64": "<Q"}[dtype_name]
+    out = []
+    for v in values:
+        bits = struct.unpack(int_fmt, struct.pack(pack_fmt, float(v)))[0]
+        out.append((bits ^ sign) if not (bits & sign) else (~bits) & mask)
+    return out
+
+
+def _from_latents(latents: list[int], dtype_name: str) -> np.ndarray:
+    _, width, npdt = DTYPES[DTYPE_BYTES[dtype_name]]
+    sign = 1 << (width - 1)
+    mask = (1 << width) - 1
+    arr = np.array(latents, dtype=np.uint64)
+    if dtype_name.startswith("u"):
+        return arr.astype(npdt)
+    if dtype_name.startswith("i"):
+        return (arr ^ np.uint64(sign)).astype(
+            np.uint64).astype({"i16": np.uint16, "i32": np.uint32,
+                               "i64": np.uint64}[dtype_name]).view(npdt)
+    int_np = {"f32": np.uint32, "f64": np.uint64}[dtype_name]
+    u = arr.astype(int_np)
+    neg = (u & int_np(sign)) == 0
+    bits = np.where(neg, ~u & int_np(mask), u ^ int_np(sign))
+    return bits.astype(int_np).view(npdt)
+
+
+def _latent_to_signed(latent: int, width: int) -> int:
+    """Inverse sign-flip: latent -> signed int (for mult multipliers)."""
+    sign = 1 << (width - 1)
+    bits = latent ^ sign
+    return bits - (1 << width) if bits & sign else bits
+
+
+# ---------------------------------------------------------------------------
+# bit IO (LSB-first within bytes)
+# ---------------------------------------------------------------------------
+
+class BitWriter:
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        if value < 0 or value >> nbits:
+            raise ValueError(f"value {value} does not fit in {nbits} bits")
+        self._acc |= value << self._nbits
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._bytes.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def align(self) -> None:
+        if self._nbits:
+            self._bytes.append(self._acc & 0xFF)
+            self._acc = 0
+            self._nbits = 0
+
+    def getvalue(self) -> bytes:
+        self.align()
+        return bytes(self._bytes)
+
+
+class BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        end = self._pos + nbits
+        if end > len(self._data) * 8:
+            raise PcoFormatError("bit stream truncated")
+        first = self._pos >> 3
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(self._data[first:last + 1], "little")
+        out = (chunk >> (self._pos & 7)) & ((1 << nbits) - 1)
+        self._pos = end
+        return out
+
+    def align(self) -> None:
+        self._pos = (self._pos + 7) & ~7
+
+    def bits_left(self) -> int:
+        return len(self._data) * 8 - self._pos
+
+
+# ---------------------------------------------------------------------------
+# ANS (tANS, contiguous per-bin state ranges, 4 interleaved lanes)
+# ---------------------------------------------------------------------------
+
+class AnsSpec:
+    """Decode/encode tables for one latent var's bins."""
+
+    def __init__(self, size_log: int, weights: list[int]) -> None:
+        table = 1 << size_log
+        if sum(weights) != table:
+            raise PcoFormatError(
+                f"ANS weights sum {sum(weights)} != table size {table}")
+        if any(w <= 0 for w in weights):
+            raise PcoFormatError("ANS bin weight must be >= 1")
+        self.size_log = size_log
+        self.table = table
+        self.weights = weights
+        # contiguous spread: bin i owns states [cum_i, cum_i + w_i)
+        self.cum = np.zeros(len(weights) + 1, dtype=np.int64)
+        np.cumsum(np.asarray(weights, dtype=np.int64),
+                  out=self.cum[1:])
+        # per-state decode tables (index space: state - table)
+        syms = np.repeat(np.arange(len(weights), dtype=np.int64),
+                         np.asarray(weights, dtype=np.int64))
+        occ = np.arange(table, dtype=np.int64) - self.cum[syms]
+        x_base = np.asarray(weights, dtype=np.int64)[syms] + occ
+        # bits to refill = size_log - floor(log2(w + k)); x_base is at
+        # most 2^15 so float log2 is exact here
+        nbits = size_log - np.floor(np.log2(x_base)).astype(np.int64)
+        self.dec_sym = syms
+        self.dec_bits = nbits
+        self.dec_base = (x_base << nbits) - table  # next index before refill
+
+    def decode_batch(self, reader: BitReader, states: list[int],
+                     count: int) -> np.ndarray:
+        """Decode `count` symbols; states are table indexes (mutated)."""
+        out = np.empty(count, dtype=np.int64)
+        sym, bits, base = self.dec_sym, self.dec_bits, self.dec_base
+        for i in range(count):
+            lane = i & (ANS_LANES - 1)
+            s = states[lane]
+            out[i] = sym[s]
+            b = int(bits[s])
+            states[lane] = int(base[s]) + reader.read(b)
+        return out
+
+    def encode_batch(self, symbols: list[int],
+                     states: list[int]) -> list[tuple[int, int]]:
+        """Encode symbols (reverse order internally); returns the list
+        of (value, nbits) refill chunks in DECODER read order; states
+        are table indexes (mutated; final values go to page meta)."""
+        chunks: list[tuple[int, int]] = [(0, 0)] * len(symbols)
+        table = self.table
+        for i in range(len(symbols) - 1, -1, -1):
+            lane = i & (ANS_LANES - 1)
+            s = symbols[i]
+            w = self.weights[s]
+            x = states[lane] + table  # absolute state in [table, 2*table)
+            b = x.bit_length() - w.bit_length()
+            if (x >> b) >= 2 * w:
+                b += 1
+            if (x >> b) < w:
+                b -= 1
+            chunks[i] = (x & ((1 << b) - 1), b)
+            k = (x >> b) - w
+            states[lane] = int(self.cum[s]) + k
+        return chunks
+
+
+# ---------------------------------------------------------------------------
+# metadata structures
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Bin:
+    weight: int
+    lower: int
+    offset_bits: int
+
+
+@dataclass
+class LatentVarMeta:
+    ans_size_log: int
+    bins: list[Bin] = field(default_factory=list)
+
+
+@dataclass
+class ChunkMeta:
+    dtype_name: str
+    mode: int = MODE_CLASSIC
+    mode_base: int = 0        # int-mult base (latent) / float-mult base bits
+    quant_k: int = 0          # float-quant low-bit count
+    delta: int = DELTA_NONE
+    delta_order: int = 0
+    secondary_uses_delta: bool = False
+    lookback_window_log: int = 0
+    lookback_state_log: int = 0
+    latent_vars: list[LatentVarMeta] = field(default_factory=list)
+
+    @property
+    def width(self) -> int:
+        return DTYPES[DTYPE_BYTES[self.dtype_name]][1]
+
+    def n_latent_vars(self) -> int:
+        n = 1
+        if self.mode != MODE_CLASSIC:
+            n += 1
+        if self.delta == DELTA_LOOKBACK:
+            n += 1
+        return n
+
+    def var_is_delta(self, var_idx: int) -> bool:
+        """Does consecutive-delta apply to this latent var? Var order:
+        [lookback var (lookback only)], primary, [secondary]."""
+        if self.delta != DELTA_CONSECUTIVE:
+            return False
+        first_real = 1 if self.delta == DELTA_LOOKBACK else 0
+        if var_idx == first_real:
+            return True
+        return var_idx == first_real + 1 and self.secondary_uses_delta
+
+
+_OFFSET_BITS_BITS = {16: 5, 32: 6, 64: 7}
+
+
+def _write_chunk_meta(w: BitWriter, meta: ChunkMeta) -> None:
+    width = meta.width
+    w.write(meta.mode, 4)
+    if meta.mode in (MODE_INT_MULT, MODE_FLOAT_MULT):
+        w.write(meta.mode_base, width)
+    elif meta.mode == MODE_FLOAT_QUANT:
+        w.write(meta.quant_k, _OFFSET_BITS_BITS[width])
+    w.write(meta.delta, 4)
+    if meta.delta == DELTA_CONSECUTIVE:
+        w.write(meta.delta_order, 3)
+        w.write(int(meta.secondary_uses_delta), 1)
+    elif meta.delta == DELTA_LOOKBACK:
+        w.write(meta.lookback_window_log, 5)
+        w.write(meta.lookback_state_log, 4)
+        w.write(int(meta.secondary_uses_delta), 1)
+    obits = _OFFSET_BITS_BITS[width]
+    for lv in meta.latent_vars:
+        w.write(lv.ans_size_log, 4)
+        w.write(len(lv.bins), 15)
+        for b in lv.bins:
+            w.write(b.weight - 1, lv.ans_size_log)
+            w.write(b.lower, width)
+            w.write(b.offset_bits, obits)
+    w.align()
+
+
+def _read_chunk_meta(r: BitReader, dtype_name: str) -> ChunkMeta:
+    meta = ChunkMeta(dtype_name=dtype_name)
+    width = meta.width
+    meta.mode = r.read(4)
+    if meta.mode in (MODE_INT_MULT, MODE_FLOAT_MULT):
+        meta.mode_base = r.read(width)
+        if meta.mode == MODE_INT_MULT and meta.mode_base == 0:
+            raise PcoFormatError("int-mult base 0")
+    elif meta.mode == MODE_FLOAT_QUANT:
+        meta.quant_k = r.read(_OFFSET_BITS_BITS[width])
+        if meta.quant_k == 0 or meta.quant_k >= width:
+            raise PcoFormatError(f"float-quant k {meta.quant_k}")
+    elif meta.mode != MODE_CLASSIC:
+        raise PcoFormatError(f"unknown mode {meta.mode}")
+    meta.delta = r.read(4)
+    if meta.delta == DELTA_CONSECUTIVE:
+        meta.delta_order = r.read(3)
+        meta.secondary_uses_delta = bool(r.read(1))
+        if meta.delta_order == 0:
+            raise PcoFormatError("consecutive delta of order 0")
+    elif meta.delta == DELTA_LOOKBACK:
+        meta.lookback_window_log = r.read(5)
+        meta.lookback_state_log = r.read(4)
+        meta.secondary_uses_delta = bool(r.read(1))
+    elif meta.delta != DELTA_NONE:
+        raise PcoFormatError(f"unknown delta encoding {meta.delta}")
+    obits = _OFFSET_BITS_BITS[width]
+    for _ in range(meta.n_latent_vars()):
+        size_log = r.read(4)
+        if size_log > 14:
+            raise PcoFormatError(f"ANS size log {size_log} > 14")
+        n_bins = r.read(15)
+        if n_bins > (1 << size_log):
+            raise PcoFormatError(
+                f"{n_bins} bins exceed ANS table {1 << size_log}")
+        lv = LatentVarMeta(ans_size_log=size_log)
+        for _ in range(n_bins):
+            weight = r.read(size_log) + 1
+            lower = r.read(width)
+            ob = r.read(obits)
+            if ob > width:
+                raise PcoFormatError(f"offset bits {ob} > width {width}")
+            lv.bins.append(Bin(weight, lower, ob))
+        meta.latent_vars.append(lv)
+    r.align()
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# latent var body encode/decode
+# ---------------------------------------------------------------------------
+
+def _var_counts(meta: ChunkMeta, n: int) -> list[int]:
+    """Number of body latents per latent var for a page of n numbers."""
+    counts = []
+    for var_idx in range(meta.n_latent_vars()):
+        c = n
+        if meta.delta == DELTA_LOOKBACK and var_idx == 0:
+            c = n  # one lookback per number
+        if meta.var_is_delta(var_idx):
+            c = max(0, n - meta.delta_order)
+        counts.append(c)
+    return counts
+
+
+def _delta_encode(latents: list[int], order: int,
+                  width: int) -> tuple[list[int], list[int]]:
+    """Return (moments, deltas) for consecutive delta of `order`."""
+    mask = (1 << width) - 1
+    moments = []
+    cur = list(latents)
+    for _ in range(order):
+        if not cur:
+            moments.append(0)
+            continue
+        moments.append(cur[0])
+        cur = [(cur[i + 1] - cur[i]) & mask for i in range(len(cur) - 1)]
+    return moments, cur
+
+
+def _delta_decode(deltas: list[int], moments: list[int], n: int,
+                  width: int) -> list[int]:
+    mask = (1 << width) - 1
+    m = list(moments)
+    o = len(m)
+    out = []
+    for i in range(n):
+        out.append(m[0] if o else 0)
+        for j in range(o - 1):
+            m[j] = (m[j] + m[j + 1]) & mask
+        if o and i < len(deltas):
+            m[o - 1] = (m[o - 1] + deltas[i]) & mask
+    return out
+
+
+def _decode_var_batch(reader: BitReader, lv: LatentVarMeta,
+                      states: list[int], count: int) -> list[int]:
+    """Decode `count` body latents for one var within one batch."""
+    if count == 0:
+        return []
+    spec = lv._spec  # attached by _prepare_var
+    if spec is None:
+        raise PcoFormatError("latent var has data but no bins")
+    syms = spec.decode_batch(reader, states, count)
+    lowers = lv._lowers[syms]
+    obs = lv._obits[syms]
+    offsets = [reader.read(int(b)) for b in obs]
+    return [int(lo) + off for lo, off in zip(lowers.tolist(), offsets)]
+
+
+def _prepare_var(lv: LatentVarMeta) -> None:
+    lv._spec = AnsSpec(lv.ans_size_log, [b.weight for b in lv.bins]) \
+        if lv.bins else None
+    lv._lowers = np.array([b.lower for b in lv.bins], dtype=object)
+    lv._obits = np.array([b.offset_bits for b in lv.bins], dtype=np.int64)
+
+
+def _join_latents(meta: ChunkMeta, vars_latents: list[list[int]],
+                  n: int) -> list[int]:
+    """Combine per-var (already delta-decoded) latents into number
+    latents per the chunk mode."""
+    width = meta.width
+    mask = (1 << width) - 1
+    first = 1 if meta.delta == DELTA_LOOKBACK else 0
+    primary = vars_latents[first]
+    if meta.mode == MODE_CLASSIC:
+        joined = primary
+    elif meta.mode == MODE_INT_MULT:
+        secondary = vars_latents[first + 1]
+        base = meta.mode_base
+        joined = [(p * base + s) & mask
+                  for p, s in zip(primary, secondary)]
+    elif meta.mode == MODE_FLOAT_MULT:
+        secondary = vars_latents[first + 1]
+        base = struct.unpack(
+            "<d" if width == 64 else "<f",
+            meta.mode_base.to_bytes(width // 8, "little"))[0]
+        mid = 1 << (width - 1)
+        joined = []
+        for p, s in zip(primary, secondary):
+            mult = _latent_to_signed(p, width)
+            approx = float(mult) * base
+            approx_lat = _to_latents([approx],
+                                     "f64" if width == 64 else "f32")[0]
+            joined.append((approx_lat + s - mid) & mask)
+    elif meta.mode == MODE_FLOAT_QUANT:
+        secondary = vars_latents[first + 1]
+        k = meta.quant_k
+        joined = [((p << k) | s) & mask
+                  for p, s in zip(primary, secondary)]
+    else:  # pragma: no cover - rejected at meta parse
+        raise PcoFormatError(f"mode {meta.mode}")
+    if meta.delta == DELTA_LOOKBACK:
+        lookbacks = vars_latents[0]
+        out: list[int] = []
+        for i in range(n):
+            lb = (lookbacks[i] + 1) if i < len(lookbacks) else 1
+            prev = out[i - lb] if 0 <= i - lb < i else 0
+            out.append((joined[i] + prev) & mask)
+        return out
+    return joined
+
+
+def _split_latents(meta: ChunkMeta, latents: list[int]) -> list[list[int]]:
+    """Inverse of :func:`_join_latents` (no lookback support — the
+    fixture encoder never emits it)."""
+    width = meta.width
+    if meta.mode == MODE_CLASSIC:
+        return [list(latents)]
+    if meta.mode == MODE_INT_MULT:
+        base = meta.mode_base
+        return [[x // base for x in latents], [x % base for x in latents]]
+    if meta.mode == MODE_FLOAT_QUANT:
+        k = meta.quant_k
+        return [[x >> k for x in latents],
+                [x & ((1 << k) - 1) for x in latents]]
+    if meta.mode == MODE_FLOAT_MULT:
+        import math
+
+        base = struct.unpack(
+            "<d" if width == 64 else "<f",
+            meta.mode_base.to_bytes(width // 8, "little"))[0]
+        mask = (1 << width) - 1
+        sign = 1 << (width - 1)
+        mid = 1 << (width - 1)
+        fname = "f64" if width == 64 else "f32"
+        prim, sec = [], []
+        for lat in latents:
+            x = float(_from_latents([lat], fname)[0])
+            mult = int(round(x / base)) if base and math.isfinite(x) else 0
+            # clamp so the multiplier survives the width-bit latent
+            # round trip; the ULP adjustment absorbs the remainder
+            # (mod-2^width arithmetic makes the join exact regardless)
+            mult = max(-sign, min(sign - 1, mult))
+            approx_lat = _to_latents([float(mult) * base], fname)[0]
+            prim.append(((mult & mask) ^ sign) & mask)
+            sec.append((lat - approx_lat + mid) & mask)
+        return [prim, sec]
+    raise PcoFormatError(f"mode {meta.mode}")
+
+
+# ---------------------------------------------------------------------------
+# page encode/decode
+# ---------------------------------------------------------------------------
+
+def _decode_page(reader: BitReader, meta: ChunkMeta, n: int) -> list[int]:
+    width = meta.width
+    counts = _var_counts(meta, n)
+    var_states: list[list[int]] = []
+    var_moments: list[list[int]] = []
+    for var_idx, lv in enumerate(meta.latent_vars):
+        _prepare_var(lv)
+        moments = []
+        if meta.var_is_delta(var_idx):
+            moments = [reader.read(width)
+                       for _ in range(meta.delta_order)]
+        var_moments.append(moments)
+        if lv._spec is not None:
+            states = [reader.read(lv.ans_size_log)
+                      for _ in range(ANS_LANES)]
+            if any(s >= lv._spec.table for s in states):
+                raise PcoFormatError("ANS state index out of range")
+        else:
+            if counts[var_idx] > 0:
+                raise PcoFormatError("latent var with no bins but data")
+            states = [0] * ANS_LANES
+        var_states.append(states)
+    reader.align()
+    bodies: list[list[int]] = [[] for _ in meta.latent_vars]
+    max_count = max(counts) if counts else 0
+    for start in range(0, max_count, FULL_BATCH_N):
+        for var_idx, lv in enumerate(meta.latent_vars):
+            take = min(FULL_BATCH_N, counts[var_idx] - start)
+            if take > 0:
+                bodies[var_idx].extend(_decode_var_batch(
+                    reader, lv, var_states[var_idx], take))
+    vars_latents = []
+    for var_idx in range(len(meta.latent_vars)):
+        lat = bodies[var_idx]
+        if meta.var_is_delta(var_idx):
+            lat = _delta_decode(lat, var_moments[var_idx], n, width)
+        vars_latents.append(lat)
+    return _join_latents(meta, vars_latents, n)
+
+
+def _encode_page(meta: ChunkMeta, latents: list[int]) -> bytes:
+    width = meta.width
+    n = len(latents)
+    vars_latents = _split_latents(meta, latents)
+    bodies: list[list[int]] = []
+    moments_per_var: list[list[int]] = []
+    for var_idx, lat in enumerate(vars_latents):
+        if meta.var_is_delta(var_idx):
+            moments, deltas = _delta_encode(lat, meta.delta_order, width)
+            moments_per_var.append(moments)
+            bodies.append(deltas)
+        else:
+            moments_per_var.append([])
+            bodies.append(lat)
+    counts = [len(b) for b in bodies]
+
+    # per var: symbol per latent (first matching bin) + offsets
+    var_syms: list[list[int]] = []
+    var_offs: list[list[tuple[int, int]]] = []
+    for lv, body in zip(meta.latent_vars, bodies):
+        syms, offs = [], []
+        bins = lv.bins
+        for x in body:
+            for bi, b in enumerate(bins):
+                d = x - b.lower
+                if 0 <= d < (1 << b.offset_bits):
+                    syms.append(bi)
+                    offs.append((d, b.offset_bits))
+                    break
+            else:
+                raise ValueError(f"latent {x} fits no bin")
+        var_syms.append(syms)
+        var_offs.append(offs)
+
+    # ANS-encode bodies batch-interleaved; lane states seed at 0 and
+    # run in reverse across the whole var body, so encode batches in
+    # reverse batch order too, then emit forward.
+    var_specs = [AnsSpec(lv.ans_size_log, [b.weight for b in lv.bins])
+                 if lv.bins else None for lv in meta.latent_vars]
+    var_states = [[0] * ANS_LANES for _ in meta.latent_vars]
+    max_count = max(counts) if counts else 0
+    batch_starts = list(range(0, max_count, FULL_BATCH_N))
+    # chunks[var][batch] -> list of (value, nbits) in decoder order
+    ans_chunks: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for var_idx, (spec, syms) in enumerate(zip(var_specs, var_syms)):
+        if spec is None:
+            continue
+        # global reverse encoding across batches: process batches last
+        # to first; within encode_batch symbols are consumed reverse.
+        # Lane assignment is per-batch position (i % 4), matching the
+        # decoder's per-batch lane reset-free round robin.
+        for start in reversed(batch_starts):
+            batch = syms[start:start + FULL_BATCH_N]
+            if batch:
+                ans_chunks[(var_idx, start)] = var_specs[var_idx] \
+                    .encode_batch(batch, var_states[var_idx])
+
+    w = BitWriter()
+    for var_idx, lv in enumerate(meta.latent_vars):
+        for m in moments_per_var[var_idx]:
+            w.write(m, width)
+        if var_specs[var_idx] is not None:
+            for s in var_states[var_idx]:
+                w.write(s, lv.ans_size_log)
+    w.align()
+    for start in batch_starts:
+        for var_idx in range(len(meta.latent_vars)):
+            take = min(FULL_BATCH_N, counts[var_idx] - start)
+            if take <= 0:
+                continue
+            for val, nb in ans_chunks.get((var_idx, start), []):
+                w.write(val, nb)
+            for off, nb in var_offs[var_idx][start:start + take]:
+                w.write(off, nb)
+    return w.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# binning (encoder side)
+# ---------------------------------------------------------------------------
+
+def _build_bins(body: list[int], max_bins: int = 64) -> LatentVarMeta:
+    """Equal-population bins over the sorted body; weights normalized
+    to the ANS table with largest-remainder rounding (min weight 1)."""
+    if not body:
+        return LatentVarMeta(ans_size_log=0, bins=[])
+    srt = sorted(body)
+    n = len(srt)
+    n_bins = min(max_bins, n)
+    bins_raw: list[tuple[int, int, int]] = []  # (lower, offset_bits, count)
+    for bi in range(n_bins):
+        i = (bi * n) // n_bins
+        j = ((bi + 1) * n) // n_bins
+        if j <= i:
+            continue
+        lo, hi = srt[i], srt[j - 1]
+        ob = (hi - lo).bit_length()
+        # merge into the previous bin when that loses nothing (same
+        # lower+range, or this slice already fits inside it) —
+        # duplicate bins would split the ANS weight and cost bits
+        if bins_raw:
+            plo, pob, pcount = bins_raw[-1]
+            if plo <= lo and hi <= plo + (1 << pob) - 1:
+                bins_raw[-1] = (plo, pob, pcount + (j - i))
+                continue
+        bins_raw.append((lo, ob, j - i))
+    size_log = min(14, max(1, (len(bins_raw) - 1).bit_length() + 3)) \
+        if len(bins_raw) > 1 else 0
+    table = 1 << size_log
+    total = sum(c for _, _, c in bins_raw)
+    weights = [max(1, (c * table) // total) for _, _, c in bins_raw]
+    # fix rounding to sum exactly to table
+    excess = sum(weights) - table
+    wi = 0
+    while excess > 0:
+        if weights[wi] > 1:
+            weights[wi] -= 1
+            excess -= 1
+        wi = (wi + 1) % len(weights)
+    if excess < 0:
+        weights[0] += -excess
+    lv = LatentVarMeta(ans_size_log=size_log)
+    for (lo, ob, _), wt in zip(bins_raw, weights):
+        lv.bins.append(Bin(weight=wt, lower=lo, offset_bits=ob))
+    return lv
+
+
+# ---------------------------------------------------------------------------
+# standalone container
+# ---------------------------------------------------------------------------
+
+def _write_uleb(w: bytearray, value: int) -> None:
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            w.append(b | 0x80)
+        else:
+            w.append(b)
+            return
+
+
+def _read_uleb(data: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        if pos >= len(data):
+            raise PcoFormatError("truncated varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return out, pos
+        if shift > 63:
+            raise PcoFormatError("varint too long")
+
+
+def simpler_compress(
+    values,
+    dtype_name: str,
+    mode: int = MODE_CLASSIC,
+    mode_base: int | float = 0,
+    quant_k: int = 0,
+    delta_order: int | None = None,
+    secondary_uses_delta: bool = False,
+    max_bins: int = 64,
+) -> bytes:
+    """Standalone-compress `values` (fixture-quality trial encoder:
+    classic binning + optional consecutive delta; int-mult /
+    float-mult / float-quant available for wire-shape coverage via the
+    explicit mode args). Mirrors the pco crate entry point the
+    reference calls (column.rs:316-380)."""
+    if dtype_name not in DTYPE_BYTES:
+        raise ValueError(f"unsupported dtype {dtype_name}")
+    width = DTYPES[DTYPE_BYTES[dtype_name]][1]
+    latents = _to_latents(values, dtype_name)
+
+    meta = ChunkMeta(dtype_name=dtype_name, mode=mode)
+    if mode == MODE_INT_MULT:
+        meta.mode_base = int(mode_base)
+    elif mode == MODE_FLOAT_MULT:
+        meta.mode_base = int.from_bytes(struct.pack(
+            "<d" if width == 64 else "<f", float(mode_base)), "little")
+    elif mode == MODE_FLOAT_QUANT:
+        meta.quant_k = quant_k
+    if delta_order is None:
+        delta_order = _pick_delta_order(latents, width) \
+            if mode == MODE_CLASSIC else 0
+    if delta_order and len(latents) > delta_order:
+        meta.delta = DELTA_CONSECUTIVE
+        meta.delta_order = delta_order
+        meta.secondary_uses_delta = secondary_uses_delta
+
+    vars_latents = _split_latents(meta, latents)
+    for var_idx, lat in enumerate(vars_latents):
+        body = lat
+        if meta.var_is_delta(var_idx):
+            _, body = _delta_encode(lat, meta.delta_order, width)
+        meta.latent_vars.append(_build_bins(body, max_bins))
+
+    out = bytearray()
+    out += MAGIC
+    out.append(STANDALONE_VERSION)
+    _write_uleb(out, len(latents))
+    out.append(FORMAT_VERSION)
+    for start in range(0, len(latents), MAX_CHUNK_N):
+        chunk = latents[start:start + MAX_CHUNK_N]
+        out.append(DTYPE_BYTES[dtype_name])
+        out += struct.pack("<I", len(chunk) - 1)[:3]
+        mw = BitWriter()
+        _write_chunk_meta(mw, meta)
+        out += mw.getvalue()
+        out += _encode_page(meta, chunk)
+    out.append(TERMINATION_BYTE)
+    return bytes(out)
+
+
+def _pick_delta_order(latents: list[int], width: int) -> int:
+    """Deterministic trial: order minimizing mean delta magnitude on a
+    bounded sample (0..3)."""
+    sample = latents[:2048]
+    if len(sample) < 8:
+        return 0
+    mask = (1 << width) - 1
+    half = 1 << (width - 1)
+
+    def cost(seq: list[int]) -> float:
+        tot = 0
+        for x in seq:
+            mag = x if x < half else (mask + 1 - x)
+            tot += mag.bit_length()
+        return tot / max(1, len(seq))
+
+    best_order, best_cost = 0, cost(sample)
+    cur = sample
+    for order in (1, 2, 3):
+        cur = [(cur[i + 1] - cur[i]) & mask for i in range(len(cur) - 1)]
+        c = cost(cur)
+        if c < best_cost - 0.5:
+            best_order, best_cost = order, c
+    return best_order
+
+
+def _parse_header(data: bytes) -> list[tuple[int, int | None, int]]:
+    """Returns candidate (pos_after_header, n_hint, format_version)
+    tuples for the primary layout (magic, sver, uleb n-hint, fver) and
+    the no-hint variant; :func:`simple_decompress` tries each in order
+    and keeps the first whose full body parses, so an off-by-one in
+    the reconstructed header layout degrades gracefully instead of
+    failing a whole directory."""
+    if data[:4] != MAGIC:
+        raise PcoFormatError("bad magic (not a pco standalone file)")
+    if len(data) < 6:
+        raise PcoFormatError("truncated header")
+    candidates = []
+    # layout A: sver, n_hint uleb, fver
+    try:
+        n_hint, pos = _read_uleb(data, 5)
+        if pos < len(data):
+            candidates.append((pos + 1, n_hint, data[pos]))
+    except PcoFormatError:
+        pass
+    # layout B: sver, fver (no hint)
+    candidates.append((6, None, data[5]))
+    ok = [(pos, n_hint, fver) for pos, n_hint, fver in candidates
+          if fver <= 10 and pos < len(data)
+          and (data[pos] == TERMINATION_BYTE or data[pos] in DTYPES)]
+    if not ok:
+        raise PcoFormatError("unrecognized standalone header layout")
+    return ok
+
+
+def simple_decompress(data: bytes):
+    """Decompress a standalone pco file; returns a numpy array (the
+    concatenation of all chunks). Mirrors
+    pco::standalone::simple_decompress (column.rs:465-505 call sites).
+    """
+    data = bytes(data)
+    first_err: PcoFormatError | None = None
+    for pos, _, _ in _parse_header(data):
+        try:
+            return _decompress_body(data, pos)
+        except PcoFormatError as e:
+            if first_err is None:
+                first_err = e
+    raise first_err
+
+
+def _decompress_body(data: bytes, pos: int):
+    chunks: list[np.ndarray] = []
+    dtype_name = None
+    while True:
+        if pos >= len(data):
+            raise PcoFormatError("missing termination byte")
+        dtype_byte = data[pos]
+        pos += 1
+        if dtype_byte == TERMINATION_BYTE:
+            break
+        if dtype_byte not in DTYPES:
+            raise PcoFormatError(f"unknown dtype byte {dtype_byte}")
+        name = DTYPES[dtype_byte][0]
+        if dtype_name is None:
+            dtype_name = name
+        elif dtype_name != name:
+            raise PcoFormatError("mixed dtypes in standalone file")
+        if pos + 3 > len(data):
+            raise PcoFormatError("truncated chunk length")
+        n = int.from_bytes(data[pos:pos + 3], "little") + 1
+        pos += 3
+        reader = BitReader(data[pos:])
+        meta = _read_chunk_meta(reader, name)
+        latents = _decode_page(reader, meta, n)
+        reader.align()
+        pos += reader._pos // 8
+        chunks.append(_from_latents(latents, name))
+    if not chunks:
+        return np.array([], dtype=np.float64)
+    return np.concatenate(chunks)

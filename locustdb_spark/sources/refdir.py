@@ -20,13 +20,16 @@ of src/engine/operators/{delta_decode,dict_lookup,unpack_strings,
 unhexpack_strings,lz4_decode}.rs and the LSB-first present bitvec of
 src/bitvec.rs.
 
-Scope: every codec op except Pco decodes. Pco (the pcodec crate's
-numeric compression) has no published pure-Python decoder and no
-validation oracle in this environment; a Pco-compressed section
-raises :class:`PcoUnsupportedError` naming the table/column, or
-degrades to an all-NULL column with ``on_pco="null"`` so the rest of
-a directory can still migrate. WAL segments (the in-flight half) are
-fully supported via sources/event_buffer.py.
+Scope: every codec op decodes, including Pco — sources/pco.py is a
+pure-Python implementation of the published pcodec format (the crate
+the reference pins, column.rs:116-126; see pco.py's docstring for the
+spec-reconstruction confidence notes, since this offline environment
+has no crate-produced bytes to conformance-test against). A Pco
+payload that fails the format's structural invariants raises
+:class:`PcoUnsupportedError` naming the table/column, or degrades to
+an all-NULL column with ``on_pco="null"`` so the rest of a directory
+can still migrate. WAL segments (the in-flight half) are fully
+supported via sources/event_buffer.py.
 
 The writer half exports tables back INTO the reference's format
 (plain + lz4-frame sections, nullable masks, packed strings), which
@@ -50,10 +53,10 @@ from .lz4 import compress_frame, decompress_frame, \
 
 
 class PcoUnsupportedError(NotImplementedError):
-    """A column section uses Pco (pcodec) compression, which this
-    reader does not decode. Re-run with on_pco='null' to migrate the
-    rest of the directory, or flush the source instance with
-    --mem-lz4 style options that favor LZ4."""
+    """A Pco (pcodec) column section failed to decode — the payload
+    violates the format's structural invariants (or uses a variant
+    the pure-Python decoder in sources/pco.py does not cover).
+    Re-run with on_pco='null' to migrate the rest of the directory."""
 
 
 # ---------------------------------------------------------------------------
@@ -432,13 +435,47 @@ def _section_value(section: tuple, column: str):
     if kind == "null":
         return ("nullsec", payload)
     if kind == "pco":
-        raise PcoUnsupportedError(
-            f"column {column!r}: Pco-compressed data section")
+        # like lz4: the codec's pco op does the decode; push raw bytes
+        return np.frombuffer(payload["data"], "u1")
     if kind == "lz4":
         # pre-wrapped section: the codec's lz4 op does the decode;
         # push the raw frame bytes
         return np.frombuffer(payload["data"], "u1")
     return payload
+
+
+def _pco_decode_section(blob: bytes, enc: str, n: int, fp32: bool,
+                        column: str) -> np.ndarray:
+    """Decode a Pco data section with sources/pco.py and apply the
+    reference's post-decode casts (column.rs:465-505 pco_decode):
+    u8/u16 columns are stored as pco-u32 and downcast; f64 columns
+    flagged is_fp32 are stored as pco-f32 and widened."""
+    from . import pco as _pco
+
+    try:
+        arr = _pco.simple_decompress(blob)
+    except _pco.PcoFormatError as e:
+        raise PcoUnsupportedError(
+            f"column {column!r}: Pco payload did not parse ({e}); "
+            "re-run with on_pco='null' to degrade this column") from e
+    if len(arr) != n:
+        raise PcoUnsupportedError(
+            f"column {column!r}: Pco decoded {len(arr)} values, "
+            f"expected {n}")
+    if enc == "u8":
+        return arr.astype("u1")
+    if enc == "u16":
+        return arr.astype("<u2")
+    if enc in ("u32", "u64", "i64"):
+        return arr.astype(_ENC_NP[enc])
+    if enc == "f64":
+        if fp32 and arr.dtype != np.float32:
+            raise PcoUnsupportedError(
+                f"column {column!r}: is_fp32 set but payload is "
+                f"{arr.dtype}")
+        return arr.astype("<f8")
+    raise PcoUnsupportedError(
+        f"column {column!r}: unexpected Pco target type {enc!r}")
 
 
 def materialize_column(col: RefColumn, on_pco: str = "error"):
@@ -490,8 +527,9 @@ def _materialize(col: RefColumn):
                     f"bytes, expected {want}")
             stack.append(np.frombuffer(blob[:want], _ENC_NP[op[1]]))
         elif name == "pco":
-            raise PcoUnsupportedError(
-                f"column {col.name!r}: Pco codec op")
+            raw = stack.pop()
+            stack.append(_pco_decode_section(
+                raw.tobytes(), op[1], op[2], op[3], col.name))
         elif name == "dict_lookup":
             dict_data = stack.pop()
             dict_indices = stack.pop()
@@ -865,12 +903,16 @@ def _bitvec(mask: np.ndarray) -> np.ndarray:
     return np.packbits(mask.astype("u1"), bitorder="little")
 
 
-def build_column(name: str, values, try_lz4: bool = True) -> RefColumn:
+def build_column(name: str, values, try_lz4: bool = True,
+                 try_pco: bool = True) -> RefColumn:
     """Encode one column the way the reference's flush does for the
     common shapes: i64/f64 sections, packed strings, optional present
-    bitvec (PushDataSection+Nullable), optional lz4-frame wrap of
-    section 0 when it compresses below 0.9 (column.rs
-    lz4_or_pco_encode, minus the pco arm)."""
+    bitvec (PushDataSection+Nullable), and the trial compression of
+    section 0 (column.rs lz4_or_pco_encode:116-126): lz4 wins when its
+    ratio beats pco's and 0.9, else pco wins below 0.9. Pco payload
+    types mirror column.rs pco_encode:316-380 — u8 widens to pco-u32,
+    f64 narrows to pco-f32 when every value survives the f32 round
+    trip (NaNs don't, matching the reference's == test)."""
     import pandas as pd
 
     s = pd.Series(values)
@@ -910,23 +952,54 @@ def build_column(name: str, values, try_lz4: bool = True) -> RefColumn:
             sections.append(("bitvec", _bitvec(mask)))
             codec.append(("push_section", 1))
             codec.append(("nullable",))
-    if try_lz4:
+    if try_lz4 or try_pco:
         kind, payload = sections[0]
         if kind != "null":
             raw = payload.tobytes()
-            comp = compress_frame(raw)
-            if len(comp) < 0.9 * len(raw):
-                count = (len(payload) if kind in ("u8", "bitvec")
-                         else payload.size)
-                enc = {"uint8": "u8", "uint16": "u16", "uint32": "u32",
-                       "uint64": "u64", "int64": "i64",
-                       "float64": "f64"}[payload.dtype.name]
+            count = (len(payload) if kind in ("u8", "bitvec")
+                     else payload.size)
+            enc = {"uint8": "u8", "uint16": "u16", "uint32": "u32",
+                   "uint64": "u64", "int64": "i64",
+                   "float64": "f64"}[payload.dtype.name]
+            comp = compress_frame(raw) if try_lz4 else None
+            lz4_ratio = len(comp) / len(raw) if comp else float("inf")
+            pco_blob, pco_fp32, pco_ratio = None, False, float("inf")
+            if try_pco and count:
+                from . import pco as _pco
+
+                arr = np.asarray(payload)
+                if enc in ("u8", "u16", "u32"):
+                    pvals, pdt = arr.astype("u8").tolist(), "u32"
+                elif enc == "u64":
+                    pvals, pdt = arr.tolist(), "u64"
+                elif enc == "i64":
+                    pvals, pdt = arr.tolist(), "i64"
+                else:  # f64: narrow when lossless (== fails on NaN,
+                    # matching column.rs:349)
+                    narrowed = arr.astype("f4").astype("f8")
+                    if bool(np.all(narrowed == arr)):
+                        pvals, pdt, pco_fp32 = \
+                            arr.astype("f4").tolist(), "f32", True
+                    else:
+                        pvals, pdt = arr.tolist(), "f64"
+                pco_blob = _pco.simpler_compress(pvals, pdt)
+                pco_ratio = len(pco_blob) / len(raw)
+            if comp is not None and lz4_ratio < pco_ratio \
+                    and lz4_ratio < 0.9:
                 sections[0] = ("lz4", {
                     "decoded_bytes": len(raw),
                     "bytes_per_element": payload.dtype.itemsize,
                     "data": comp,
                 })
                 codec.insert(0, ("lz4", enc, count))
+            elif pco_blob is not None and pco_ratio < 0.9:
+                sections[0] = ("pco", {
+                    "decoded_bytes": len(raw),
+                    "bytes_per_element": payload.dtype.itemsize,
+                    "is_fp32": pco_fp32,
+                    "data": pco_blob,
+                })
+                codec.insert(0, ("pco", enc, count, pco_fp32))
     return RefColumn(name, n, rng, codec, sections)
 
 
@@ -988,6 +1061,14 @@ def serialize_partition_segment(cols: list[RefColumn]) -> bytes:
                 b.put_u64(uw + 1, op[2])
             elif kind == "nullable":
                 b.put_u16(ow, 0, 8)
+            elif kind == "pco":
+                b.put_u16(ow, 0, 9)
+                pw = b.alloc(2)
+                b.struct_ptr(ow + 2, pw, 2, 0)
+                b.put_u16(pw, 0, _ENC_IDX[op[1]])
+                if op[3]:
+                    b.buf[8 * pw + 2] |= 1
+                b.put_u64(pw + 1, op[2])
             else:
                 raise ValueError(f"cannot serialize codec op {kind}")
         secs = b.init_composite(w + 5, len(col.sections), 3, 1)
@@ -1023,6 +1104,16 @@ def serialize_partition_segment(cols: list[RefColumn]) -> bytes:
                 b.put_u16(sw, 0, 8)
                 b.put_u64(sw + 1, payload["decoded_bytes"])
                 b.put_u64(sw + 2, payload["bytes_per_element"])
+                raw = payload["data"]
+                target = b.alloc((len(raw) + 7) // 8)
+                b.buf[8 * target:8 * target + len(raw)] = raw
+                b.list_ptr(sw + 3, target, 2, len(raw))
+            elif kind == "pco":
+                b.put_u16(sw, 0, 9)
+                b.put_u64(sw + 1, payload["decoded_bytes"])
+                b.put_u64(sw + 2, payload["bytes_per_element"])
+                if payload["is_fp32"]:
+                    b.buf[8 * sw + 2] |= 1
                 raw = payload["data"]
                 target = b.alloc((len(raw) + 7) // 8)
                 b.buf[8 * target:8 * target + len(raw)] = raw

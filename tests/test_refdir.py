@@ -231,7 +231,9 @@ def test_codec_lz4_section():
     assert vals.tolist() == list(range(100))
 
 
-def test_codec_pco_raises_and_degrades():
+def test_codec_pco_garbage_raises_and_degrades():
+    """A Pco payload that is not a pco file still gets the named
+    error / on_pco='null' degrade path."""
     col = RefColumn(
         "c", 5, None, [("pco", "i64", 5, False)],
         [("pco", {"decoded_bytes": 40, "bytes_per_element": 8,
@@ -240,6 +242,91 @@ def test_codec_pco_raises_and_degrades():
         materialize_column(col, on_pco="error")
     vals, mask = materialize_column(col, on_pco="null")
     assert vals == ("allnull", 5) and mask is None
+
+
+def test_codec_pco_section_decodes():
+    """Pco sections decode (sources/pco.py) with column.rs:465-505's
+    post-decode casts: i64 passthrough, u8-as-pco-u32 downcast,
+    is_fp32 widening to f64."""
+    from locustdb_spark.sources.pco import simpler_compress
+
+    ints = [10**9 + 7 * i for i in range(500)]
+    blob = simpler_compress(ints, "i64")
+    col = RefColumn(
+        "c", 500, None, [("pco", "i64", 500, False)],
+        [("pco", {"decoded_bytes": 4000, "bytes_per_element": 8,
+                  "is_fp32": False, "data": blob})])
+    vals, mask = materialize_column(col, on_pco="error")
+    assert mask is None and vals.tolist() == ints
+
+    bytevals = [i % 251 for i in range(300)]
+    blob8 = simpler_compress(bytevals, "u32")  # column.rs:318 widens
+    col8 = RefColumn(
+        "b", 300, None, [("pco", "u8", 300, False)],
+        [("pco", {"decoded_bytes": 300, "bytes_per_element": 1,
+                  "is_fp32": False, "data": blob8})])
+    vals8, _ = materialize_column(col8, on_pco="error")
+    assert vals8.dtype == np.uint8 and vals8.tolist() == bytevals
+
+    f32s = [float(np.float32(0.5 * i)) for i in range(400)]
+    blobf = simpler_compress(f32s, "f32")
+    colf = RefColumn(
+        "f", 400, None, [("pco", "f64", 400, True)],
+        [("pco", {"decoded_bytes": 3200, "bytes_per_element": 8,
+                  "is_fp32": True, "data": blobf})])
+    valsf, _ = materialize_column(colf, on_pco="error")
+    assert valsf.dtype == np.float64 and valsf.tolist() == f32s
+
+
+def test_codec_pco_length_mismatch_raises():
+    from locustdb_spark.sources.pco import simpler_compress
+
+    blob = simpler_compress([1, 2, 3], "i64")
+    col = RefColumn(
+        "c", 5, None, [("pco", "i64", 5, False)],
+        [("pco", {"decoded_bytes": 40, "bytes_per_element": 8,
+                  "is_fp32": False, "data": blob})])
+    with pytest.raises(PcoUnsupportedError, match="expected 5"):
+        materialize_column(col, on_pco="error")
+
+
+def test_pco_bearing_directory_restores_without_on_pco_firing(tmp_path):
+    """The round-4 gate: a directory whose numeric columns ARE
+    Pco-compressed (build_column's trial picks pco for smooth numeric
+    data, mirroring column.rs:116-126) restores end to end with
+    on_pco='error' — the error path never fires."""
+    root = str(tmp_path / "pcodir")
+    df = pd.DataFrame({
+        "ts": [1_600_000_000 + 60 * i for i in range(3000)],
+        "reading": np.round(np.linspace(0.0, 30.0, 3000), 3),
+        "tag": [f"t{i % 4}" for i in range(3000)],
+        "gaps": pd.Series([float(i) if i % 9 else None
+                           for i in range(3000)]),
+    })
+    write_reference_dir(root, {"sensor": df}, rows_per_partition=1000)
+
+    rd = ReferenceDirReader(root, on_pco="error")
+    # the fixture must actually exercise the pco path: re-parse one
+    # segment directly and require a pco section in it
+    import glob
+    import os
+
+    seg_files = glob.glob(os.path.join(root, "tables", "sensor", "*"))
+    assert seg_files
+    with open(seg_files[0], "rb") as fh:
+        cols = parse_partition_segment(unwrap_blob(fh.read()))
+    kinds = {c.name: [s[0] for s in c.sections] for c in cols}
+    assert any("pco" in ks for ks in kinds.values()), kinds
+
+    out = rd.read_table("sensor").to_pandas().sort_values("ts") \
+        .reset_index(drop=True)
+    assert out["ts"].tolist() == df["ts"].tolist()
+    assert out["reading"].tolist() == df["reading"].tolist()
+    assert out["tag"].tolist() == df["tag"].tolist()
+    got = out["gaps"].tolist()
+    exp = df["gaps"].tolist()
+    assert all((pd.isna(a) and pd.isna(b)) or a == b
+               for a, b in zip(exp, got))
 
 
 # ------------------------------------------------- segment round trip
