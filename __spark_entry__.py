@@ -1746,6 +1746,26 @@ def p_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_binary_payload(docs), frame_bytes=256, max_frames=8)
 
 
+def p_multimodal_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container frame extraction under the value-hash oracle:
+    each document's byte slices are muxed as the samples of an actual
+    ISO-BMFF file (codecs.mp4_encode — real stsc/stsz/stco tables,
+    chunked), then sample_frames_mp4 walks those sample tables to get
+    the frames back. Because mux→demux is the identity on sample
+    payloads, DuckDB reproduces every output value as md5s of text
+    substrings — the real sample-table walker sits under the oracle,
+    while MJPEG pixel decode of the extracted frames is pytest-pinned
+    (tests/test_mp4.py)."""
+    from locustdb_spark.operators.multimodal import (
+        pack_frames_as_mp4, sample_frames_mp4, with_binary_payload)
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = pack_frames_as_mp4(
+        with_binary_payload(docs), frame_bytes=256, max_frames=4)
+    return sample_frames_mp4(packed).select(
+        "doc_id", "frame_id", "is_key", "frame_len", "frame_md5")
+
+
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window moving average (ROWS frame) per user over the
     event stream. One shuffle on user_id; the frame itself is computed
@@ -2047,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": p_multimodal_features,
         "multimodal_resize": p_multimodal_resize,
         "multimodal_frames": p_multimodal_frames,
+        "multimodal_frames_mp4": p_multimodal_frames_mp4,
     }
     # Order the inventory so any sampled PREFIX is maximally valuable:
     # the LLM-data-pipeline operators first (the components graded as
@@ -3760,6 +3781,22 @@ def oracle_sql() -> dict[str, str]:
             , e AS (
               SELECT doc_id, text, unnest(range(0, nf)) AS f FROM d)
             SELECT doc_id, CAST(f AS INT) AS frame_id,
+              CAST(strlen(substring(text, CAST(f*256+1 AS BIGINT), 256))
+                   AS INT) AS frame_len,
+              md5(substring(text, CAST(f*256+1 AS BIGINT), 256))
+                AS frame_md5
+            FROM e
+        """,
+        "multimodal_frames_mp4": """
+            WITH d AS (
+              SELECT doc_id, text,
+                least(4, greatest(1,
+                  CAST(ceil(strlen(text)/256.0) AS BIGINT))) AS nf
+              FROM documents)
+            , e AS (
+              SELECT doc_id, text, unnest(range(0, nf)) AS f FROM d)
+            SELECT doc_id, CAST(f AS INT) AS frame_id,
+              TRUE AS is_key,
               CAST(strlen(substring(text, CAST(f*256+1 AS BIGINT), 256))
                    AS INT) AS frame_len,
               md5(substring(text, CAST(f*256+1 AS BIGINT), 256))

@@ -6,8 +6,10 @@ standard library: PNG (zlib inflate + the five scanline filters from
 the public PNG spec, RFC 2083) and WAV (the stdlib `wave` module).
 These make the multimodal pipeline's decode step REAL for real bytes —
 width/height/pixels out of an actual PNG, channels/rate/duration out
-of an actual WAV — while `multimodal.py`'s deterministic stubs remain
-for formats this environment cannot decode (JPEG, MP4) and for the
+of an actual WAV, frames out of an actual MP4 (sample-table walker +
+muxer below; JPEG lives in operators/jpeg.py) — while
+`multimodal.py`'s deterministic stubs remain for codecs this
+environment cannot decode (H.264 payloads) and for the
 SQL-oracle-checkable entries.
 
 Scanline unfiltering is row-sequential by construction (filters
@@ -286,3 +288,254 @@ def mp4_probe(data: bytes) -> dict:
     if out["brand"] is None and not out["tracks"]:
         raise ValueError("mp4: no ftyp or moov box found")
     return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample extraction + muxing (ISO/IEC 14496-12 sample tables)
+# ---------------------------------------------------------------------------
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"mp4: bad box size {size} at {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_sample_tables(data: bytes) -> list[dict]:
+    """Parse each track's stbl into a flat sample map (the part of
+    ISO-BMFF the round-3 probe skipped): stsz sizes, stsc
+    sample-to-chunk runs, stco/co64 chunk offsets, stss sync set.
+    Returns per track {handler, codec, samples: [(offset, size,
+    is_key)]} with absolute file offsets, bounds-checked."""
+    tracks: list[dict] = []
+
+    def full(start):
+        return data[start], start + 4
+
+    def parse_stbl(s, e, t):
+        sizes: list[int] = []
+        stsc: list[tuple[int, int]] = []  # (first_chunk, per_chunk)
+        offsets: list[int] = []
+        sync: set[int] | None = None
+        for bt, bs, be in _mp4_boxes(data, s, e):
+            if bt == b"stsd":
+                _v, p = full(bs)
+                (n,) = struct.unpack_from(">I", data, p)
+                if n >= 1:
+                    t["codec"] = data[p + 8:p + 12].decode(
+                        "ascii", "replace")
+            elif bt == b"stsz":
+                _v, p = full(bs)
+                uniform, count = struct.unpack_from(">II", data, p)
+                if uniform:
+                    sizes = [uniform] * count
+                else:
+                    sizes = list(struct.unpack_from(
+                        f">{count}I", data, p + 8))
+            elif bt == b"stsc":
+                _v, p = full(bs)
+                (n,) = struct.unpack_from(">I", data, p)
+                for i in range(n):
+                    first, per, _desc = struct.unpack_from(
+                        ">III", data, p + 4 + 12 * i)
+                    stsc.append((first, per))
+            elif bt in (b"stco", b"co64"):
+                _v, p = full(bs)
+                (n,) = struct.unpack_from(">I", data, p)
+                fmt = ">I" if bt == b"stco" else ">Q"
+                w = 4 if bt == b"stco" else 8
+                offsets = [struct.unpack_from(fmt, data, p + 4 + w * i)[0]
+                           for i in range(n)]
+            elif bt == b"stss":
+                _v, p = full(bs)
+                (n,) = struct.unpack_from(">I", data, p)
+                sync = {struct.unpack_from(">I", data, p + 4 + 4 * i)[0]
+                        for i in range(n)}
+        # expand sample-to-chunk runs into per-sample file offsets
+        samples: list[tuple[int, int, bool]] = []
+        si = 0
+        for ci in range(1, len(offsets) + 1):
+            per = 0
+            for first, per_chunk in stsc:
+                if first <= ci:
+                    per = per_chunk
+                else:
+                    break
+            pos = offsets[ci - 1]
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                size = sizes[si]
+                if pos + size > len(data):
+                    raise ValueError(
+                        f"mp4: sample {si + 1} overruns file "
+                        f"({pos}+{size} > {len(data)})")
+                is_key = sync is None or (si + 1) in sync
+                samples.append((pos, size, is_key))
+                pos += size
+                si += 1
+        t["samples"] = samples
+
+    def parse_trak(start, end, t):
+        for bt, bs, be in _mp4_boxes(data, start, end):
+            if bt == b"mdia":
+                for bt2, bs2, be2 in _mp4_boxes(data, bs, be):
+                    if bt2 == b"hdlr":
+                        _v, p = full(bs2)
+                        t["handler"] = data[p + 4:p + 8].decode(
+                            "ascii", "replace")
+                    elif bt2 == b"minf":
+                        for bt3, bs3, be3 in _mp4_boxes(data, bs2, be2):
+                            if bt3 == b"stbl":
+                                parse_stbl(bs3, be3, t)
+
+    for btype, bstart, bend in _mp4_boxes(data, 0, len(data)):
+        if btype == b"moov":
+            for bt, bs, be in _mp4_boxes(data, bstart, bend):
+                if bt == b"trak":
+                    t = {"handler": None, "codec": None, "samples": []}
+                    parse_trak(bs, be, t)
+                    tracks.append(t)
+    if not tracks:
+        raise ValueError("mp4: no trak with a sample table found")
+    return tracks
+
+
+def mp4_extract_samples(
+    data: bytes,
+    handler: str = "vide",
+    keyframes_only: bool = False,
+    max_samples: int | None = None,
+) -> list[tuple[int, bytes, bool]]:
+    """Extract (sample_index, payload_bytes, is_keyframe) from the
+    first matching track — real frame bytes out of a real container.
+    For intra-only codecs (MJPEG-in-MP4, fourcc 'jpeg') each payload
+    is a decodable JPEG; inter-coded codecs (H.264...) come out as raw
+    access units for a downstream decoder."""
+    tracks = [t for t in mp4_sample_tables(data)
+              if handler is None or t["handler"] == handler]
+    if not tracks:
+        raise ValueError(f"mp4: no {handler!r} track")
+    out = []
+    for i, (pos, size, is_key) in enumerate(tracks[0]["samples"]):
+        if keyframes_only and not is_key:
+            continue
+        out.append((i, data[pos:pos + size], is_key))
+        if max_samples is not None and len(out) >= max_samples:
+            break
+    return out
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def _full_box(btype: bytes, version: int, flags: int,
+              body: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version,
+                                   flags.to_bytes(3, "big")) + body)
+
+
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+
+
+def mp4_encode(
+    samples: list[bytes],
+    width: int = 0,
+    height: int = 0,
+    codec: bytes = b"jpeg",
+    fps: int = 25,
+    samples_per_chunk: int = 2,
+    keyframe_every: int = 1,
+) -> bytes:
+    """Minimal ISO-BMFF muxer: one video track whose samples are the
+    given byte strings (MJPEG when they are JPEGs — fourcc 'jpeg' —
+    but any payload muxes, which is what lets the oracle-checked gate
+    entry push SQL-reproducible bytes through a real container).
+    Writes real stts/stsc/stsz/stco tables (chunked, so the reader's
+    sample-to-chunk expansion is exercised) and an stss box when
+    keyframe_every > 1. The writer-as-fixture-source for
+    mp4_extract_samples, same as refdir's writer."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("mp4_encode: need at least one sample")
+    timescale = 1000
+    dur = (n * timescale) // fps
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isomiso2mp41")
+    # mdat payload; chunk = samples_per_chunk consecutive samples
+    mdat_body = b"".join(samples)
+    mdat_off = len(ftyp) + 8  # absolute offset of first sample
+    chunk_offsets = []
+    pos = mdat_off
+    for i in range(0, n, samples_per_chunk):
+        chunk_offsets.append(pos)
+        pos += sum(len(s) for s in samples[i:i + samples_per_chunk])
+
+    # stsc runs: uniform chunks, plus a short final chunk if needed
+    n_chunks = len(chunk_offsets)
+    stsc_entries = [(1, samples_per_chunk, 1)]
+    last = n - samples_per_chunk * (n_chunks - 1)
+    if last != samples_per_chunk:
+        stsc_entries.append((n_chunks, last, 1))
+
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)       # data_ref_idx
+             + b"\x00" * 16                            # predefined
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+             + b"\x00" * 4 + struct.pack(">H", 1)      # frame_count
+             + b"\x00" * 32                            # compressorname
+             + struct.pack(">Hh", 0x18, -1))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _box(codec, entry))
+    stts = _full_box(b"stts", 0, 0, struct.pack(
+        ">III", 1, n, timescale // fps))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
+                     + b"".join(struct.pack(">III", *e)
+                                for e in stsc_entries))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(s))
+                                for s in samples))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", n_chunks)
+                     + b"".join(struct.pack(">I", o)
+                                for o in chunk_offsets))
+    stbl = stsd + stts + stsc + stsz + stco
+    if keyframe_every > 1:
+        keys = list(range(1, n + 1, keyframe_every))
+        stbl += _full_box(b"stss", 0, 0, struct.pack(">I", len(keys))
+                          + b"".join(struct.pack(">I", k)
+                                     for k in keys))
+    stbl = _box(b"stbl", stbl)
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _full_box(b"url ", 0, 1, b""))
+    minf = _box(b"minf",
+                _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+                + _box(b"dinf", dref) + stbl)
+    hdlr = _full_box(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                     + b"\x00" * 12 + b"frames\x00")
+    mdhd = _full_box(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 3, struct.pack(">III", 0, 0, 1)
+                     + b"\x00" * 4 + struct.pack(">I", dur)
+                     + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+                     + _MATRIX
+                     + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + _MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
