@@ -1065,6 +1065,38 @@ IVF_FROZEN_CLUSTERS = 16
 IVF_FROZEN_NPROBE = 4
 
 
+def p_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed k-NN JOIN (similarity.ann_knn_join) under the
+    value-hash oracle: the embeddings corpus is materialized as a
+    cluster-partitioned IVF index on disk with FROZEN centroids (the
+    first 16 vectors) and sequential-order expression assignment, then
+    a probe batch (every 97th vector) batch-joins it — per-query
+    nprobe centroid ranking, partition-pruned candidate scan, top-k
+    window. Everything is reproducible in DuckDB because assignment,
+    probe selection, and similarities all use sequential-order
+    arithmetic (the sim_ann_ivf_frozen recipe, extended to a join)."""
+    import os
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.similarity import (
+        ann_knn_join, build_ivf_index)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ivf_knn_oracle_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    build_ivf_index(emb, path, centroids=cents, assign="expr")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return ann_knn_join(spark, path, queries, k=5,
+                        nprobe=IVF_FROZEN_NPROBE)
+
+
 def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the multi-probe LSH ANN against exact brute-force
     cosine — the evaluation loop every ANN deployment needs, itself
@@ -2044,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": p_knn_join,
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf_frozen": p_ann_ivf_frozen,
+        "sim_ann_knn_join": p_ann_knn_join,
         "x_ann_recall": x_ann_recall,
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
@@ -3491,6 +3524,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cosine_sim FROM sims
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "sim_ann_knn_join": """
+            WITH c AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), q AS (
+              SELECT vec_id AS q_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS qe
+              FROM embeddings WHERE vec_id % 97 = 0
+            ), qc AS (
+              SELECT q.q_id, c.cid,
+                (list_sum(list_transform(generate_series(1, len(c.cv)),
+                          i -> c.cv[i] * q.qe[i]))
+                 / (sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(q.qe, x -> x * x)))))
+                    AS cos
+              FROM q, c
+            ), probes AS (
+              SELECT q_id, cid FROM (
+                SELECT q_id, cid, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos DESC, cid) AS rn
+                FROM qc) WHERE rn <= 4
+            ), sims_vc AS (
+              SELECT e.vec_id, c.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, c
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster
+              FROM sims_vc GROUP BY vec_id
+            ), pairs AS (
+              SELECT p.q_id, e.vec_id,
+                round(
+                  list_sum(list_transform(
+                      generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+                  / (sqrt(list_sum(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.qe,
+                         x -> x * x)))), 6
+                ) AS cosine_sim
+              FROM probes p
+              JOIN assign a ON a.cluster = p.cid
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              JOIN q ON q.q_id = p.q_id
+              WHERE e.vec_id <> p.q_id
+            )
+            SELECT q_id, vec_id, cosine_sim FROM (
+              SELECT q_id, vec_id, cosine_sim, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id)
+                  AS rn
+              FROM pairs) WHERE rn <= 5
         """,
         "sim_ann_lsh": (
             _DUCK_COSINE

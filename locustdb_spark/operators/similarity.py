@@ -82,8 +82,9 @@ def knn_join(
     reaches the row_number window, which shuffles |corpus| x |queries|
     triples on q_id. That bound makes this the exact-answer path for
     query batches up to ~thousands; larger batches should go through
-    the LSH/IVF indexes (`ann_topk`, `ann_ivf_topk`) which prune the
-    pair space before any join.
+    `ann_knn_join` (the indexed batch probe over a persisted IVF
+    index, which prunes the pair space to ~nprobe/n_clusters before
+    any join) or the single-query LSH/IVF probes.
     """
     from pyspark.sql.window import Window
 
@@ -492,6 +493,7 @@ def build_ivf_index(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "numpy",
 ) -> list[list[float]]:
     """Materialize the IVF index as hive-partitioned parquet
     (`path/cluster=K/...`) plus the centroid table
@@ -506,7 +508,8 @@ def build_ivf_index(
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_clusters, vec_col=vec_col, id_col=id_col)
-    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    assigner = ivf_assign_expr if assign == "expr" else ivf_assign
+    assigned = assigner(df, centroids, vec_col, id_col)
     (assigned.write.mode("overwrite")
      .partitionBy("cluster").parquet(path))
     # centroids ride next to the data (tiny; one driver-side file)
@@ -525,6 +528,23 @@ def build_ivf_index(
     return centroids
 
 
+def _read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Load `_centroids.json` through the Hadoop FS, so any scheme the
+    index was written to works."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_centroids.json")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
 def probe_ivf_index(
     spark,
     path: str,
@@ -539,22 +559,82 @@ def probe_ivf_index(
     query driver-side (tiny), then scan ONLY the nprobe winning
     cluster partitions (`cluster IN (...)` prunes directories — the
     plan's PartitionFilters show it) and brute-force within them."""
-    import json
-
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path + "/_centroids.json")
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    stream = fs.open(p)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(
-            stream))
-    finally:
-        stream.close()
-    centroids = json.loads(raw.decode("utf-8"))
+    centroids = _read_ivf_centroids(spark, path)
     probe = _rank_probes(centroids, query_vec, nprobe)
     cands = (spark.read.parquet(path)
              .filter(F.col("cluster").isin(probe)))
     return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)
+
+
+def ann_knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Indexed k-NN JOIN over a `build_ivf_index` layout: the batch
+    sibling of `probe_ivf_index` that closes the gap `knn_join`'s
+    docstring leaves between exact small-batch joins and indexed
+    single-query probes. Returns (q_id, vec_id, cosine_sim).
+
+    Per query, the nprobe nearest centroids are picked with
+    sequential-order expression arithmetic (array_sort over
+    (-cos, cid) structs — reproducible in SQL engines, same recipe as
+    `ivf_assign_expr`), each query explodes to nprobe
+    (q_id, probe_cluster) rows, and the exploded batch broadcast-joins
+    the index on its PARTITION column. The union of probed clusters
+    (at most n_clusters values, collected driver-side) is also applied
+    as a static `cluster IN (...)` filter so the scan's
+    PartitionFilters prune directories up front.
+
+    Scale shape vs `knn_join`: the similarity pair stream shrinks from
+    |corpus| x |queries| to ~|queries| x nprobe/n_clusters x |corpus|,
+    the corpus still never shuffles (query side broadcast; candidates
+    shuffle only (q_id, vec_id, sim) triples into the per-query top-k
+    window), and bytes read shrink with the partition pruning."""
+    from pyspark.sql.window import Window
+
+    centroids = _read_ivf_centroids(spark, path)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("_q_vec"),
+    )
+    ranked = F.array_sort(F.array(*[
+        F.struct(
+            (-cosine(F.col("_q_vec"),
+                     F.array(*[F.lit(float(x)) for x in c]))).alias("neg"),
+            F.lit(j).cast("int").alias("cid"),
+        )
+        for j, c in enumerate(centroids)
+    ]))
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    qp = q.withColumn("probe_cluster", F.explode(probes))
+    # bounded driver-side collect: the union of probed clusters has at
+    # most n_clusters elements regardless of batch size
+    probe_set = sorted(
+        int(r[0]) for r in qp.select("probe_cluster").distinct().collect())
+    idx = (spark.read.parquet(path)
+           .filter(F.col("cluster").isin(probe_set)))
+    pairs = idx.join(F.broadcast(qp),
+                     idx["cluster"] == qp["probe_cluster"])
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("q_id"))
+    sim = cosine(F.col(vec_col).cast("array<double>"), F.col("_q_vec"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pairs = pairs.select("q_id", F.col(id_col), sim.alias("cosine_sim"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def build_lsh_index(

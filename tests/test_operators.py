@@ -1773,3 +1773,65 @@ def test_lsh_index_layout_prunes_and_matches(spark, tmp_path):
     assert m and "bucket" in m.group(1), plan[:800]
     direct = ann_lsh_topk(emb, q, k=8, num_planes=4, multiprobe=1)
     assert probed.collect() == direct.collect()
+
+
+def test_ann_knn_join_matches_per_query_probes(spark, tmp_path):
+    """Indexed k-NN join == one probe_ivf-style query per probe
+    vector: same centroids, same nprobe, same tie-breaks. The batch
+    path must also prune partitions (PartitionFilters carries the
+    union of probed clusters, not all of them)."""
+    import re
+
+    from locustdb_spark.operators.similarity import (
+        ann_ivf_topk, ann_knn_join, build_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(600)
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    path = str(tmp_path / "ivf_knn")
+    build_ivf_index(emb, path, centroids=cents, assign="expr")
+
+    queries = emb.filter("vec_id IN (3, 11)")
+    out = ann_knn_join(spark, path, queries, k=5, nprobe=2,
+                       exclude_self=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:800]
+
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.q_id, []).append((r.vec_id, r.cosine_sim))
+    assert set(got) == {3, 11}
+    for qid in (3, 11):
+        qv = [float(x)
+              for x in emb.filter(f"vec_id = {qid}").head().embedding]
+        exp = [(r.vec_id, r.cosine_sim)
+               for r in ann_ivf_topk(emb, qv, k=5, nprobe=2,
+                                     centroids=cents,
+                                     assign="expr").collect()]
+        assert got[qid] == exp, (qid, got[qid], exp)
+
+
+def test_ann_knn_join_excludes_self_and_caps_k(spark, tmp_path):
+    from locustdb_spark.operators.similarity import (
+        ann_knn_join, build_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(200)
+    path = str(tmp_path / "ivf_knn2")
+    build_ivf_index(emb, path, n_clusters=4)
+    queries = emb.filter("vec_id < 3")
+    rows = ann_knn_join(spark, path, queries, k=4, nprobe=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 4
+        assert all(r.vec_id != qid for r in rs)
+        sims = [r.cosine_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        # nprobe == n_clusters and the query is its own nearest
+        # neighbor, so with self excluded every remaining sim < 1
+        assert all(s <= 1.0 for s in sims)
