@@ -1407,6 +1407,78 @@ def x_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders from one
+    quarter counted per priority when at least one of their lines was
+    returned — an EXISTS, compiled to a left-semi join keyed on
+    orderkey (no fact columns move, only the key). The testdata lacks
+    commit/receipt dates, so the line predicate is returnflag='R'."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") == 2))
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def x_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue): three-way
+    fact-to-dimension join (lineitem->orders->customer->nation),
+    revenue in exact integer micro-units (cents x discount basis
+    points summed as int64, engine-portable), top 20 customers.
+    Customer auto-broadcasts; nation is an explicit broadcast."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") == 1)
+    ).select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    micro = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey))
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(micro).alias("revenue_micro"))
+        .orderBy(F.col("revenue_micro").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate the fact
+    table per order, filter on the AGGREGATE (the HAVING the reference
+    dialect rejects, parser.rs:96-97), then join orders+customer for
+    the top orders. l_quantity is integer-valued so its double sum is
+    exact and engine-portable."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    j = (big.join(orders, big.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    return (
+        j.select("c_custkey", "c_name", "o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("price_cents"), "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end versioned-table replay under the oracle gate
     (locustdb_spark/versioned.py): lineitem is committed in two
@@ -2032,6 +2104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q5": x_tpch_q5,
         "x_tpch_q12": x_tpch_q12,
         "x_tpch_q14": x_tpch_q14,
+        "x_tpch_q4": x_tpch_q4,
+        "x_tpch_q10": x_tpch_q10,
+        "x_tpch_q18": x_tpch_q18,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -2639,6 +2714,50 @@ def oracle_sql() -> dict[str, str]:
               ) AS BIGINT) AS promo_bp
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 6
+        """,
+        "x_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE year(o_orderdate) = 1997
+              AND quarter(o_orderdate) = 2
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "x_tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS BIGINT) AS revenue_micro
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND year(o_orderdate) = 1997
+              AND quarter(o_orderdate) = 1
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_micro DESC, c_custkey
+            LIMIT 20
+        """,
+        "x_tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                   total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 20
         """,
         "x_versioned_scan": """
             SELECT count(*) AS cnt,

@@ -1,0 +1,82 @@
+"""Deterministically scale the driver's sf0.1 testdata to sf1 for the
+10x-the-gate validation sweep (VERDICT r3 task 2): ten id-shifted
+replicas of every fact table, referential integrity preserved, the
+dimension tables (region/nation) kept as-is. No randomness — replica r
+adds r * OFFSET[table] to each key column, with offsets above every
+source key, so the result is reproducible bit-for-bit and both engines
+in the oracle harness see identical bytes.
+
+The point of sweeping at sf1 is the bug class only visible at scale:
+accumulation-order float divergence, integer overflow in moment
+aggregates, collect_list caps. Content distributions are inherited
+from the driver's generator (exact document/embedding duplicates
+across replicas are intentional — the dedup family must keep agreeing
+with its oracle when every near-dup clique is 10x deeper).
+
+Usage: python scripts/make_sf1.py [src_dir] [dst_dir]
+       (defaults: /root/testdata/sf0.1 -> /tmp/testdata_sf1)
+
+The output is ~170 MB and intentionally NOT committed; this script is
+the reproducible recipe, and the committed artifacts are the sweep
+results (CORRECTNESS_sf1 + the sf1 bench json).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPLICAS = 10
+
+# per-table key-column shift offsets (chosen above every sf0.1 max key)
+SHIFTS = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
+                 "l_suppkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+
+def scale_table(src: str, dst: str, name: str) -> int:
+    import pyarrow.compute as pc
+
+    table = pq.read_table(os.path.join(src, f"{name}.parquet"))
+    shifts = SHIFTS[name]
+    if not shifts:  # dimension table: copy once
+        pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
+        return table.num_rows
+    reps = []
+    for r in range(REPLICAS):
+        t = table
+        for col, off in shifts.items():
+            idx = t.schema.get_field_index(col)
+            shifted = pc.add(t.column(col), pa.scalar(
+                r * off, type=t.schema.field(col).type))
+            t = t.set_column(idx, t.schema.field(col), shifted)
+        reps.append(t)
+    out = pa.concat_tables(reps)
+    pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+    return out.num_rows
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata_sf1"
+    os.makedirs(dst, exist_ok=True)
+    for name in SHIFTS:
+        n = scale_table(src, dst, name)
+        print(f"{name}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,7 @@ def test_ans_encode_decode_sequence():
         w.write(val, nb)
     r = BitReader(w.getvalue())
     out = spec.decode_batch(r, list(states), len(syms))
-    assert out.tolist() == syms
+    assert list(out) == syms
 
 
 def test_ans_bad_weights_raise():
