@@ -1614,17 +1614,25 @@ def x_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per group, same exact-integer-moments recipe
-    as x_stats: the five sums shuffle as overflow-checked longs; the
-    final scalar expression is an identical IEEE op sequence in any
-    engine, so the result is bit-exact (unlike corr() over doubles,
-    which depends on partition merge order)."""
+    as x_stats but with decimal(38,0) moment sums: per-row products
+    stay in int64 (safe by value range), the SUMS and the closed-form
+    numerators run in 38-digit exact decimals — the sf1 sweep caught
+    sum(y*y) overflowing int64 at 6M rows (DuckDB auto-promotes BIGINT
+    sums to HUGEINT, so only the Spark side needs widening), and
+    decimal moments stay exact to ~10^38, i.e. far past 100 TB. The
+    final scalar expression converts each exact integer to double once
+    — an identical IEEE op sequence in any engine (unlike corr() over
+    doubles, which depends on partition merge order)."""
     li = _read(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
     x, y = F.col("l_linenumber"), F.col("l_suppkey")
     m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
-        F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"),
-        F.sum(x * y).alias("_sxy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
     )
     n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
     cov_num = (n * F.col("_sxy") - sx * sy).cast("double")
@@ -1640,18 +1648,24 @@ def x_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group simple linear regression (slope/intercept of
-    extendedprice on quantity) from exact integer moments — one
-    partial-agg shuffle, bit-exact across engines and partition
-    orders, same recipe as x_stats/x_corr. The OLS closed form over
-    sums is what regr_slope/regr_intercept compute, but those
-    accumulate doubles in merge order and are not reproducible."""
+    extendedprice on quantity) from exact integer moments in
+    decimal(38,0) — one partial-agg shuffle, bit-exact across engines
+    and partition orders, same recipe as x_stats/x_corr (and like
+    x_corr, widened from int64 after the sf1 sweep overflowed the
+    n*sxy closed form; decimals stay exact to ~10^38). The OLS closed
+    form over sums is what regr_slope/regr_intercept compute, but
+    those accumulate doubles in merge order and are not
+    reproducible."""
     li = _read(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
     x = F.col("l_quantity").cast("long")
     y = F.col("l_partkey")
     m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
-        F.sum(x * x).alias("_sxx"), F.sum(x * y).alias("_sxy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
     )
     n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
     num = (n * F.col("_sxy") - sx * sy).cast("double")
@@ -2842,15 +2856,15 @@ def oracle_sql() -> dict[str, str]:
         "x_regression": """
             WITH m AS (
               SELECT l_returnflag,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-                CAST(sum(l_partkey) AS BIGINT) AS sy,
+                CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+                CAST(sum(l_partkey) AS HUGEINT) AS sy,
                 CAST(sum(CAST(l_quantity AS BIGINT) *
-                         CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                         CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
                 CAST(sum(CAST(l_quantity AS BIGINT) * l_partkey)
-                     AS BIGINT) AS sxy
+                     AS HUGEINT) AS sxy
               FROM lineitem GROUP BY 1)
-            SELECT l_returnflag, n,
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
               floor(CAST(n * sxy - sx * sy AS DOUBLE)
                     / CAST(n * sxx - sx * sx AS DOUBLE)
                     * 1000000) / 1000000 AS slope,
@@ -2864,14 +2878,14 @@ def oracle_sql() -> dict[str, str]:
         "x_corr": """
             WITH m AS (
               SELECT l_returnflag,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(l_linenumber) AS BIGINT) AS sx,
-                CAST(sum(l_suppkey) AS BIGINT) AS sy,
-                CAST(sum(l_linenumber * l_linenumber) AS BIGINT) AS sxx,
-                CAST(sum(l_suppkey * l_suppkey) AS BIGINT) AS syy,
-                CAST(sum(l_linenumber * l_suppkey) AS BIGINT) AS sxy
+                CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(l_linenumber) AS HUGEINT) AS sx,
+                CAST(sum(l_suppkey) AS HUGEINT) AS sy,
+                CAST(sum(l_linenumber * l_linenumber) AS HUGEINT) AS sxx,
+                CAST(sum(l_suppkey * l_suppkey) AS HUGEINT) AS syy,
+                CAST(sum(l_linenumber * l_suppkey) AS HUGEINT) AS sxy
               FROM lineitem GROUP BY 1)
-            SELECT l_returnflag, n,
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
               floor(CAST(n*sxy - sx*sy AS DOUBLE)
                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000)

@@ -9,9 +9,17 @@ in the oracle harness see identical bytes.
 The point of sweeping at sf1 is the bug class only visible at scale:
 accumulation-order float divergence, integer overflow in moment
 aggregates, collect_list caps. Content distributions are inherited
-from the driver's generator (exact document/embedding duplicates
-across replicas are intentional — the dedup family must keep agreeing
-with its oracle when every near-dup clique is 10x deeper).
+from the driver's generator, with ONE transformation: document text
+is word-salted per replica (every word suffixed with the replica
+number for replicas >= 1), so replicas are NOT near-dups of each
+other and the near-dup pair graph grows 10x linearly instead of
+~100x quadratically. Without the salt the sweep itself verified the
+100x-deep-clique behavior — the 32M-row dedup_lsh_pairs /
+dedup_jaccard_estimate / dedup_simhash_pairs entries all matched
+their oracles — but the connected-components oracle (a DuckDB
+recursive CTE) needs tens of minutes on a 32M-edge graph, which makes
+the unsalted corpus unusable as a routine gate. The salted corpus
+keeps every within-replica near-dup clique identical to sf0.1's.
 
 Usage: python scripts/make_sf1.py [src_dir] [dst_dir]
        (defaults: /root/testdata/sf0.1 -> /tmp/testdata_sf1)
@@ -63,6 +71,18 @@ def scale_table(src: str, dst: str, name: str) -> int:
             shifted = pc.add(t.column(col), pa.scalar(
                 r * off, type=t.schema.field(col).type))
             t = t.set_column(idx, t.schema.field(col), shifted)
+        if name == "documents" and r > 0:
+            idx = t.schema.get_field_index("text")
+            salted = pa.array(
+                [" ".join(f"{w}{r}" for w in (s or "").split())
+                 for s in t.column("text").to_pylist()],
+                type=t.schema.field("text").type)
+            t = t.set_column(idx, t.schema.field("text"), salted)
+            nidx = t.schema.get_field_index("n_chars")
+            t = t.set_column(
+                nidx, t.schema.field("n_chars"),
+                pc.cast(pc.utf8_length(t.column("text")),
+                        t.schema.field("n_chars").type))
         reps.append(t)
     out = pa.concat_tables(reps)
     pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
