@@ -2236,6 +2236,39 @@ def _duck_minhash_cte(where: str = "") -> str:
     )
 
 
+def _duck_cc_rounds(k: int) -> str:
+    """Unrolled min-label propagation with pointer jumping, k rounds.
+    Each round: hook (take the min of own and neighbors' labels over
+    the star edge set) then jump (label <- label's label). Hook+jump
+    halves any label-chain length per round, so k >= ceil(log2(#docs))
+    guarantees convergence to the per-component minimum — k=24 covers
+    16M documents. Replaces the old recursive CTE, which materialized
+    every (node, reachable-label) pair (sum of |component|^2 rows —
+    hours at sf1); this runs the same per-node state table the Spark
+    side does (operators/dedup.py dedup_clusters), but as plain
+    non-recursive SQL an independent engine executes in seconds."""
+    parts = []
+    prev = "l0"
+    for i in range(1, k + 1):
+        parts.append(f"""
+    h{i} AS MATERIALIZED (
+      SELECT l.id,
+             least(l.label, coalesce(nbr.ml, l.label)) AS label
+      FROM {prev} l LEFT JOIN (
+        SELECT e.dst AS id, min(l2.label) AS ml
+        FROM edges e JOIN {prev} l2 ON l2.id = e.src
+        GROUP BY e.dst) nbr USING (id)
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(p.label, l.label)) AS label
+      FROM h{i} l LEFT JOIN h{i} p ON l.label = p.id
+    )""")
+        prev = f"r{i}"
+    parts.append(f"""
+    cc AS (SELECT id AS node, label FROM {prev})""")
+    return "," + ",".join(parts)
+
+
 _DUCK_LSH_CLUSTER_CTES = """,
     bands AS (
       SELECT doc_id, 0 AS band,
@@ -2244,23 +2277,25 @@ _DUCK_LSH_CLUSTER_CTES = """,
       SELECT doc_id, 1 AS band,
              mh2::VARCHAR || '_' || mh3::VARCHAR AS band_val FROM sig
     ),
-    pairs AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_val = r.band_val
-       AND l.doc_id < r.doc_id
+    star_edges AS MATERIALIZED (
+      -- every band bucket is a clique in the pair graph; connecting
+      -- each member to the bucket's min doc_id preserves connected
+      -- components exactly while shrinking edges from sum(|bucket|^2)
+      -- to #docs x #bands
+      SELECT b.doc_id AS src, m.mn AS dst
+      FROM bands b JOIN (
+        SELECT band, band_val, min(doc_id) AS mn
+        FROM bands GROUP BY band, band_val) m
+        ON b.band = m.band AND b.band_val = m.band_val
+      WHERE b.doc_id <> m.mn
     ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM star_edges
       UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM pairs
+      SELECT dst AS src, src AS dst FROM star_edges
     ),
-    cc(node, label) AS (
-      SELECT doc_id, doc_id FROM d
-      UNION
-      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-    )
-"""
+    l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM d)
+""" + _duck_cc_rounds(24)
 
 
 def _duck_simhash() -> str:
