@@ -294,3 +294,36 @@ def test_f32_decodes_as_f32_dtype():
     out = simple_decompress(blob)
     assert out.dtype == np.float32
     assert struct.pack("<3f", 1.5, -2.25, 3.75) == out.tobytes()
+
+
+# ------------------------------------------------------- property
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=0, max_size=400))
+def test_property_i64_roundtrip(vals):
+    blob = simpler_compress(vals, "i64")
+    out = simple_decompress(blob)
+    assert out.tolist() == vals if vals else len(out) == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(width=64, allow_nan=True, allow_infinity=True),
+                min_size=1, max_size=300))
+def test_property_f64_roundtrip_bit_exact(vals):
+    blob = simpler_compress(vals, "f64")
+    out = simple_decompress(blob)
+    assert np.asarray(vals, dtype=np.float64).tobytes() == out.tobytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=300),
+       st.integers(min_value=0, max_value=3))
+def test_property_u64_delta_roundtrip(vals, order):
+    blob = simpler_compress(vals, "u64", delta_order=order)
+    out = simple_decompress(blob)
+    assert [int(v) for v in out] == vals
