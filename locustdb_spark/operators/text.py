@@ -340,25 +340,40 @@ def fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Winnowing-style fingerprint: the minimum 60-bit hash over all
+    """Winnowing-style fingerprint: the minimum hash over all
     `window`-char shingles of the lowercased text, plus the full-text
     md5. Near-identical docs share the min-shingle fingerprint with
-    high probability; identical docs share content_md5."""
+    high probability; identical docs share content_md5.
+
+    ``hash_fn`` (same contract as dedup.minhash_signatures):
+    - ``"xxhash64"`` (default): Spark's native 64-bit hash per shingle
+      — no hex string round-trip, no base conversion; this is the
+      production path (shingle hashing is the whole cost of this op,
+      and md5+conv is ~5x the work per shingle).
+    - ``"md5"``: 60-bit prefix of the md5 digest via conv(16,10) —
+      bit-reproducible in any engine with md5, which is what the
+      DuckDB value-hash oracle entry uses.
+    Both give the same clustering behavior (docs sharing all shingles
+    share the fingerprint); only the hash values differ."""
     text = F.lower(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text) - (window - 1), F.lit(1))),
         lambda i: text.substr(i, F.lit(window)),
     )
-    min_hash = F.array_min(
-        F.transform(
+    if hash_fn == "xxhash64":
+        hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    elif hash_fn == "md5":
+        hashed = F.transform(
             sh,
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
-    )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return df.select(
         F.col(id_col),
-        min_hash.alias("fingerprint"),
+        F.array_min(hashed).alias("fingerprint"),
         F.md5(F.col(text_col)).alias("content_md5"),
     )
 
@@ -441,6 +456,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     ngram: int = 3,
     max_dup_fraction_pct: int = 20,
+    hash_ngrams: bool = False,
 ) -> DataFrame:
     """Duplicate word-n-gram repetition statistics per document (the
     Gopher / FineWeb "repetition removal" heuristic family, Rae et al.
@@ -452,17 +468,32 @@ def repetition_stats(
     integer cross-multiplication (``n_dup * 100 <= pct * n_ngrams``) —
     no float division, so results are bit-identical in any engine.
 
+    ``hash_ngrams=True`` is the production fast path: instead of
+    materializing each n-gram as a concat_ws string and distinct-ing
+    strings, it distincts the multi-argument xxhash64 of the n tokens
+    (no string allocation at all). Counts match the exact path unless
+    two distinct in-document n-grams collide in 64 bits (~1e-13 for a
+    10k-n-gram document) — use the default exact path where an
+    independent engine must reproduce the numbers bit-for-bit.
+
     Pure projection over the scan (array expressions only): at 100 TB
     this runs in the same map-only pre-filter pass as the other quality
     rules, before anything shuffles.
     """
     toks = _tokens(F.col(text_col))
     n_toks = F.size(toks)
-    grams = F.when(n_toks >= ngram, F.transform(
-        F.sequence(F.lit(0), n_toks - ngram),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]),
-    )).otherwise(F.array().cast("array<string>"))
+    if hash_ngrams:
+        grams = F.when(n_toks >= ngram, F.transform(
+            F.sequence(F.lit(0), n_toks - ngram),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + j + 1) for j in range(ngram)]),
+        )).otherwise(F.array().cast("array<bigint>"))
+    else:
+        grams = F.when(n_toks >= ngram, F.transform(
+            F.sequence(F.lit(0), n_toks - ngram),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]),
+        )).otherwise(F.array().cast("array<string>"))
     n_ngrams = F.size(grams).cast("long")
     n_distinct = F.size(F.array_distinct(grams)).cast("long")
     n_dup = (n_ngrams - n_distinct).alias("n_dup")

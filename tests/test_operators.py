@@ -470,6 +470,57 @@ def test_fingerprint_deterministic(docs):
     assert a.fingerprint == b.fingerprint and a.content_md5 == b.content_md5
 
 
+def test_fingerprint_hash_variants_cluster_equivalent(spark):
+    """The xxhash64 production path and the md5 oracle path must give
+    the SAME partition of documents into fingerprint-equality classes
+    on a collision-free corpus — only the hash values differ."""
+    from locustdb_spark.operators.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (3, "an entirely different document body here"),
+         (4, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),  # case dup
+         (5, "short")],
+        ["doc_id", "text"])
+
+    def classes(hash_fn):
+        rows = fingerprint(docs, hash_fn=hash_fn).collect()
+        by_fp: dict = {}
+        for r in rows:
+            by_fp.setdefault(r.fingerprint, set()).add(r.doc_id)
+        return sorted(frozenset(v) for v in by_fp.values())
+
+    fast, exact = classes("xxhash64"), classes("md5")
+    assert fast == exact
+    # lowercased shingles: 1, 2, 4 share a fingerprint class
+    assert frozenset({1, 2, 4}) in fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_fn"):
+        fingerprint(docs, hash_fn="sha9000").collect()
+
+
+def test_repetition_stats_hash_ngrams_equivalent(spark):
+    """hash_ngrams=True (no string materialization) must reproduce the
+    exact path's counts on a collision-free corpus."""
+    from locustdb_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"),
+         (2, "one two three four five six"),
+         (3, "x"),
+         (4, "spark spark spark spark spark spark spark")],
+        ["doc_id", "text"])
+    exact = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    fast = {r.doc_id: r
+            for r in repetition_stats(docs, hash_ngrams=True).collect()}
+    for d in exact:
+        assert (exact[d].n_ngrams, exact[d].n_distinct,
+                exact[d].n_dup, exact[d].keep) == \
+               (fast[d].n_ngrams, fast[d].n_distinct,
+                fast[d].n_dup, fast[d].keep)
+
+
 def test_multimodal_decode_stub(docs):
     from locustdb_spark.operators.multimodal import (
         decode_image_stub, with_binary_payload)
