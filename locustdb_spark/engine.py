@@ -443,10 +443,15 @@ class LocustDB:
 
     def export_reference_dir(self, path: str,
                              tables: list[str] | None = None,
-                             rows_per_partition: int = 1 << 20) -> None:
+                             rows_per_partition: int = 1 << 20,
+                             pco: bool = False) -> None:
         """Write this engine's tables as a reference-format data
         directory (the inverse migration: meta + partition segments
-        a reference instance can open)."""
+        a reference instance can open). ``pco=False`` (default) keeps
+        the output to conformance-proven codecs (lz4/raw) so a real
+        reference binary is guaranteed to open it; pass ``pco=True``
+        to enable the pco trial once sources/pco.py has been validated
+        against crate-produced golden bytes."""
         from .sources.refdir import write_reference_dir
 
         names = tables if tables is not None else self.table_names()
@@ -455,7 +460,8 @@ class LocustDB:
         frames = {name: (lambda n=name: self.snapshot(n).toPandas())
                   for name in names}
         write_reference_dir(path, frames,
-                            rows_per_partition=rows_per_partition)
+                            rows_per_partition=rows_per_partition,
+                            pco=pco)
 
     def ingest_wal_segment(self, path: str) -> int:
         """Ingest a reference-LocustDB WAL file (packed-capnp

@@ -483,12 +483,19 @@ def mp4_encode(
         chunk_offsets.append(pos)
         pos += sum(len(s) for s in samples[i:i + samples_per_chunk])
 
-    # stsc runs: uniform chunks, plus a short final chunk if needed
+    # stsc runs: uniform chunks, plus a short final chunk if needed.
+    # When the FIRST chunk is also the last (single short chunk), emit
+    # only that entry — two entries sharing first_chunk=1 would
+    # violate ISO 14496-12's strictly-increasing first_chunk, and an
+    # external parser could take the stale per_chunk and over-read.
     n_chunks = len(chunk_offsets)
-    stsc_entries = [(1, samples_per_chunk, 1)]
     last = n - samples_per_chunk * (n_chunks - 1)
-    if last != samples_per_chunk:
-        stsc_entries.append((n_chunks, last, 1))
+    if n_chunks == 1:
+        stsc_entries = [(1, last, 1)]
+    else:
+        stsc_entries = [(1, samples_per_chunk, 1)]
+        if last != samples_per_chunk:
+            stsc_entries.append((n_chunks, last, 1))
 
     entry = (b"\x00" * 6 + struct.pack(">H", 1)       # data_ref_idx
              + b"\x00" * 16                            # predefined

@@ -558,6 +558,26 @@ def _materialize(col: RefColumn):
     values = stack[0]
     if isinstance(values, tuple) and values[0] == "nullsec":
         return ("allnull", values[1]), None
+    # Pco sanity cross-check (the format has no checksum, and the
+    # decoder is an offline spec reconstruction — a wrong layout
+    # decision could map symbols to the wrong bins while every
+    # structural invariant still passes). The column's persisted range
+    # covers every STORED value incl. null fills (column_buffer.rs
+    # IntColBuffer::push folds each pushed element into min/max before
+    # finalize), and every codec op chain ends at the stored values,
+    # so any decoded integer outside [min, max] proves a mis-decode.
+    if (col.range is not None
+            and any(op[0] == "pco" for op in col.codec)
+            and isinstance(values, np.ndarray)
+            and values.dtype.kind in "iu" and len(values)):
+        lo, hi = int(values.min()), int(values.max())
+        if lo < col.range[0] or hi > col.range[1]:
+            raise PcoUnsupportedError(
+                f"column {col.name!r}: pco-decoded values span "
+                f"[{lo}, {hi}], outside the column's persisted range "
+                f"{col.range} — the payload decoded structurally but "
+                "the values are wrong (likely a pcodec layout "
+                "mismatch); re-run with on_pco='null' to degrade")
     return values, mask
 
 
@@ -904,7 +924,7 @@ def _bitvec(mask: np.ndarray) -> np.ndarray:
 
 
 def build_column(name: str, values, try_lz4: bool = True,
-                 try_pco: bool = True) -> RefColumn:
+                 try_pco: bool = False) -> RefColumn:
     """Encode one column the way the reference's flush does for the
     common shapes: i64/f64 sections, packed strings, optional present
     bitvec (PushDataSection+Nullable), and the trial compression of
@@ -912,7 +932,16 @@ def build_column(name: str, values, try_lz4: bool = True,
     ratio beats pco's and 0.9, else pco wins below 0.9. Pco payload
     types mirror column.rs pco_encode:316-380 — u8 widens to pco-u32,
     f64 narrows to pco-f32 when every value survives the f32 round
-    trip (NaNs don't, matching the reference's == test)."""
+    trip (NaNs don't, matching the reference's == test).
+
+    ``try_pco`` defaults to OFF on this writer path: the pco encoder
+    (sources/pco.py) is a spec reconstruction whose bytes have not
+    been conformance-tested against the real pcodec crate, and a real
+    reference binary pco-decodes with .unwrap() (column.rs) — a wrong
+    byte would panic it with no degrade path. lz4 IS
+    conformance-proven, so compat-mode output (lz4-only) is guaranteed
+    readable by the real engine. Opt in with try_pco=True once crate
+    golden fixtures validate the encoder (see docs/PCO_NOTES)."""
     import pandas as pd
 
     s = pd.Series(values)
@@ -1124,12 +1153,21 @@ def serialize_partition_segment(cols: list[RefColumn]) -> bytes:
 
 
 def write_reference_dir(root: str, tables: dict[str, "object"],
-                        rows_per_partition: int = 1 << 20) -> None:
+                        rows_per_partition: int = 1 << 20,
+                        pco: bool = False) -> None:
     """Write pandas DataFrames as a reference data directory (meta +
     partition segments, empty wal/). The output opens in both this
     reader and a reference instance. A table value may be a callable
     returning the frame (lazy supplier — one table in memory at a
-    time)."""
+    time).
+
+    ``pco=False`` (default, compat mode) restricts the per-section
+    trial compression to lz4, whose bytes are conformance-proven
+    against the reference — exported directories are guaranteed
+    readable by the real engine even if the offline pco spec
+    reconstruction has a wrong layout decision. ``pco=True`` enables
+    the pco trial (better ratios on smooth numeric data; only use
+    once crate fixtures have validated sources/pco.py)."""
     os.makedirs(os.path.join(root, "wal"), exist_ok=True)
     meta = RefMeta(next_wal_id=0)
     pid = 0
@@ -1142,7 +1180,7 @@ def write_reference_dir(root: str, tables: dict[str, "object"],
         n = len(df)
         for start in range(0, max(n, 1), rows_per_partition):
             chunk = df.iloc[start:start + rows_per_partition]
-            cols = [build_column(name, chunk[name])
+            cols = [build_column(name, chunk[name], try_pco=pco)
                     for name in sorted(chunk.columns)]
             blob = wrap_blob(serialize_partition_segment(cols))
             key = "all"

@@ -108,6 +108,25 @@ def test_mux_demux_identity_and_chunking():
     assert info["tracks"][0]["codec"] == "jpeg"
 
 
+def test_single_short_chunk_stsc_is_well_formed():
+    """One sample with samples_per_chunk=2: the sole chunk is short,
+    and the stsc must hold exactly one entry (ISO 14496-12 requires
+    strictly increasing first_chunk — a duplicate first_chunk=1 pair
+    would make an external parser over-read the sample table)."""
+    import struct
+
+    from locustdb_spark.operators.codecs import (
+        mp4_encode, mp4_extract_samples)
+
+    blob = mp4_encode([b"hello"], samples_per_chunk=2)
+    i = blob.find(b"stsc")
+    cnt = struct.unpack_from(">I", blob, i + 8)[0]
+    entries = [struct.unpack_from(">III", blob, i + 12 + 12 * j)
+               for j in range(cnt)]
+    assert entries == [(1, 1, 1)]
+    assert [g[1] for g in mp4_extract_samples(blob)] == [b"hello"]
+
+
 def test_keyframe_only_extraction_uses_stss():
     from locustdb_spark.operators.codecs import (
         mp4_encode, mp4_extract_samples)

@@ -290,6 +290,63 @@ def test_codec_pco_length_mismatch_raises():
         materialize_column(col, on_pco="error")
 
 
+def test_codec_pco_range_cross_check():
+    """A pco payload whose decoded integers land outside the column's
+    persisted range is rejected (the format has no checksum; the range
+    is the only independent witness a mis-decode can trip), and
+    on_pco='null' degrades it like any other pco failure. In-range
+    payloads and lz4 columns are untouched."""
+    from locustdb_spark.sources.pco import simpler_compress
+
+    vals = [100, 150, 90_000, 120]  # 90_000 breaches the range below
+    blob = simpler_compress(vals, "i64")
+
+    def col(rng):
+        return RefColumn(
+            "c", 4, rng, [("pco", "i64", 4, False)],
+            [("pco", {"decoded_bytes": 32, "bytes_per_element": 8,
+                      "is_fp32": False, "data": blob})])
+
+    with pytest.raises(PcoUnsupportedError, match="persisted range"):
+        materialize_column(col((90, 1000)), on_pco="error")
+    degraded, mask = materialize_column(col((90, 1000)), on_pco="null")
+    assert degraded == ("allnull", 4) and mask is None
+    # honest range: passes untouched
+    ok, _ = materialize_column(col((90, 90_000)), on_pco="error")
+    assert ok.tolist() == vals
+    # no range metadata: no basis to cross-check
+    ok2, _ = materialize_column(col(None), on_pco="error")
+    assert ok2.tolist() == vals
+
+
+def test_write_reference_dir_compat_mode_has_no_pco(tmp_path):
+    """Default (pco=False) export must never emit a pco section — the
+    encoder is an unverified spec reconstruction and the real engine
+    pco-decodes with .unwrap(); compat output sticks to the
+    conformance-proven codecs and still round-trips exactly."""
+    import glob
+    import os
+
+    root = str(tmp_path / "compatdir")
+    df = pd.DataFrame({
+        # smooth sequences: exactly the shape the pco trial would win
+        "ts": [1_600_000_000 + 60 * i for i in range(3000)],
+        "reading": np.round(np.linspace(0.0, 30.0, 3000), 3),
+    })
+    write_reference_dir(root, {"sensor": df}, rows_per_partition=1000)
+    for seg in glob.glob(os.path.join(root, "tables", "sensor", "*")):
+        with open(seg, "rb") as fh:
+            cols = parse_partition_segment(unwrap_blob(fh.read()))
+        for c in cols:
+            assert all(s[0] != "pco" for s in c.sections), c.name
+            assert all(op[0] != "pco" for op in c.codec), c.name
+    rd = ReferenceDirReader(root, on_pco="error")
+    out = rd.read_table("sensor").to_pandas().sort_values("ts") \
+        .reset_index(drop=True)
+    assert out["ts"].tolist() == df["ts"].tolist()
+    assert out["reading"].tolist() == df["reading"].tolist()
+
+
 def test_pco_bearing_directory_restores_without_on_pco_firing(tmp_path):
     """The round-4 gate: a directory whose numeric columns ARE
     Pco-compressed (build_column's trial picks pco for smooth numeric
@@ -303,7 +360,8 @@ def test_pco_bearing_directory_restores_without_on_pco_firing(tmp_path):
         "gaps": pd.Series([float(i) if i % 9 else None
                            for i in range(3000)]),
     })
-    write_reference_dir(root, {"sensor": df}, rows_per_partition=1000)
+    write_reference_dir(root, {"sensor": df}, rows_per_partition=1000,
+                        pco=True)
 
     rd = ReferenceDirReader(root, on_pco="error")
     # the fixture must actually exercise the pco path: re-parse one
