@@ -1493,6 +1493,109 @@ def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a scalar
+    CORRELATED subquery — ``l_quantity < 0.2 * (SELECT avg(l_quantity)
+    ... WHERE same part)`` — decorrelated into a per-part aggregate
+    joined back to the fact subset. The part filter broadcasts into
+    lineitem FIRST, so the per-part average is computed over only the
+    ~1% of fact rows that can matter (one partial-agg shuffle on
+    l_partkey); the tiny (partkey, threshold) table then broadcasts
+    back onto the same subset, so the fact rows shuffle once total.
+    Revenue uses the exact integer-cents pattern; the avg threshold is
+    a double computed from integer-valued quantities (exact at any
+    partitioning, so the strict < is engine-portable)."""
+    part_sel = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    li_sel = li.join(F.broadcast(part_sel),
+                     li.l_partkey == part_sel.p_partkey).drop("p_partkey")
+    thresh = (li_sel.groupBy("l_partkey")
+              .agg((F.avg("l_quantity") * 0.2).alias("qty_thresh"))
+              .withColumnRenamed("l_partkey", "t_partkey"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    j = li_sel.join(F.broadcast(thresh),
+                    F.col("l_partkey") == F.col("t_partkey"))
+    return (
+        j.filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(cents).cast("double") / 7.0 / 100, 2)
+             .alias("avg_yearly"))
+    )
+
+
+def x_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS / NOT EXISTS — lines of finished orders
+    flagged 'R' where ANOTHER supplier shipped in the same order
+    (EXISTS -> left-semi on orderkey with a suppkey inequality) but NO
+    other supplier also flagged 'R' (NOT EXISTS -> left-anti on the
+    same key shape). The testdata lacks commit/receipt dates, so 'late'
+    is l_returnflag='R' (same decorrelation, reference parity per
+    SURVEY's dialect note). Only (orderkey, suppkey) pairs move through
+    the two semi/anti shuffles — no fact payload columns — and the
+    supplier dimension broadcasts for the final name lookup."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey")
+          .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+          .drop("o_orderkey"))
+    l2 = li.select(F.col("l_orderkey").alias("ok2"),
+                   F.col("l_suppkey").alias("sk2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("ok3"),
+                  F.col("l_suppkey").alias("sk3")))
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == l2.ok2)
+                & (l1.l_suppkey != l2.sk2), "left_semi")
+        .join(l3, (l1.l_orderkey == l3.ok3)
+              & (l1.l_suppkey != l3.sk3), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(sup),
+                     waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    scalar subquery (average positive balance over a nation band,
+    computed once and broadcast as a 1-row literal join) plus a NOT
+    EXISTS anti-join against recent orders (year >= 2000 stands in for
+    the spec's 7-year window; the testdata has no c_phone, so the
+    cntrycode group key is c_nationkey). Balances are exact integer
+    cents on BOTH sides of the threshold compare, so the > is
+    engine-portable. The anti-join ships only o_custkey; customers
+    never reshuffle."""
+    cust = _read(spark, sf_dir, "customer")
+    pool = cust.filter(
+        F.col("c_nationkey").between(5, 14) & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_nationkey",
+             F.round(F.col("c_acctbal") * 100).cast("long")
+             .alias("bal_cents"))
+    avgbal = pool.agg(F.avg("bal_cents").alias("avg_cents"))
+    recent = _read(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") >= 2000).select("o_custkey")
+    return (
+        pool.join(F.broadcast(avgbal))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum("bal_cents").alias("totacctbal_cents"))
+        .orderBy("c_nationkey")
+    )
+
+
 def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end versioned-table replay under the oracle gate
     (locustdb_spark/versioned.py): lineitem is committed in two
@@ -2135,6 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q4": x_tpch_q4,
         "x_tpch_q10": x_tpch_q10,
         "x_tpch_q18": x_tpch_q18,
+        "x_tpch_q17": x_tpch_q17,
+        "x_tpch_q21": x_tpch_q21,
+        "x_tpch_q22": x_tpch_q22,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -2832,6 +2938,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey
             LIMIT 20
+        """,
+        "x_tpch_q17": """
+            WITH pa AS (
+              SELECT l_partkey AS t_partkey,
+                     0.2 * avg(l_quantity) AS qty_thresh
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23' AND p_size <= 10
+              GROUP BY l_partkey
+            )
+            SELECT count(*) AS n_lines,
+                   round(CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                   ) AS DOUBLE) / 7.0 / 100, 2) AS avg_yearly
+            FROM lineitem
+            JOIN pa ON l_partkey = t_partkey
+            WHERE l_quantity < qty_thresh
+        """,
+        "x_tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "x_tpch_q22": """
+            WITH pool AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer
+              WHERE c_nationkey BETWEEN 5 AND 14 AND c_acctbal > 0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+            FROM pool
+            WHERE bal_cents > (SELECT avg(bal_cents) FROM pool)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND year(o_orderdate) >= 2000)
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "x_versioned_scan": """
             SELECT count(*) AS cnt,
