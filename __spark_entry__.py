@@ -1108,6 +1108,39 @@ def p_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def p_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift report of a persisted IVF index
+    (similarity.ivf_drift) under the value-hash oracle: per-cluster
+    count and mean cosine distance to the assigned FROZEN centroid
+    (first 16 vectors, sequential-order expression assignment). The
+    mean uses the exact integer-moment pattern (int64 sum of
+    1e-8-unit distances, divided once), so it is reproducible in
+    DuckDB bit-for-bit. This is the retrain signal an incrementally
+    appended index (similarity.append_ivf_index) is monitored by."""
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, ivf_drift)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+    path = tempfile.mkdtemp(prefix="ivf_drift_oracle_")
+    try:
+        build_ivf_index(emb, path, centroids=cents, assign="expr")
+        res = ivf_drift(spark, path).select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n", "mean_dist")
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the multi-probe LSH ANN against exact brute-force
     cosine — the evaluation loop every ANN deployment needs, itself
@@ -2286,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": p_ann_lsh,
         "sim_ann_ivf_frozen": p_ann_ivf_frozen,
         "sim_ann_knn_join": p_ann_knn_join,
+        "sim_ivf_drift": p_ivf_drift,
         "x_ann_recall": x_ann_recall,
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
@@ -3874,6 +3908,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cosine_sim FROM sims
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "sim_ivf_drift": """
+            WITH c AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), sims_vc AS (
+              SELECT e.vec_id, c.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, c
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster,
+                     (array_agg(cos ORDER BY cos DESC, cid))[1]
+                         AS best_cos
+              FROM sims_vc GROUP BY vec_id
+            )
+            SELECT cluster, count(*) AS n,
+                   round(CAST(sum(CAST(round((1 - best_cos) * 1e8)
+                                       AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1e8, 6) AS mean_dist
+            FROM assign GROUP BY cluster ORDER BY cluster
         """,
         "sim_ann_knn_join": """
             WITH c AS (

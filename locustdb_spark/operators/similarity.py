@@ -494,6 +494,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "numpy",
+    stats: bool = False,
 ) -> list[list[float]]:
     """Materialize the IVF index as hive-partitioned parquet
     (`path/cluster=K/...`) plus the centroid table
@@ -502,9 +503,13 @@ def build_ivf_index(
     directories — Spark's partition pruning turns nprobe/n_clusters
     into a literal fraction of bytes scanned, which is what makes IVF
     an index rather than a filter. Re-assignment after retraining is
-    one scan + write. Returns the centroids used."""
-    import json
+    one scan + write. Returns the centroids used.
 
+    stats=True additionally records per-cluster (n, mean cosine
+    distance to centroid) in `path/_stats.json` — the baseline
+    `ivf_drift`/`ivf_retrain_needed` compare against as appended
+    batches age the frozen quantizer. Costs one extra read of the
+    just-written index at build time."""
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_clusters, vec_col=vec_col, id_col=id_col)
@@ -513,29 +518,41 @@ def build_ivf_index(
     (assigned.write.mode("overwrite")
      .partitionBy("cluster").parquet(path))
     # centroids ride next to the data (tiny; one driver-side file)
-    sess = df.sparkSession
-    sc = sess.sparkContext
-    payload = json.dumps(centroids)
-    # write through the Hadoop FS so the path scheme matches the data
-    jvm = sc._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path + "/_centroids.json")
-    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
+    spark = df.sparkSession
+    _write_index_json(spark, path + "/_centroids.json", centroids)
+    if stats:
+        base = _drift_stats(
+            spark.read.parquet(path), centroids, vec_col)
+        _write_index_json(
+            spark, path + "/_stats.json",
+            [r.asDict() for r in base.collect()])
     return centroids
 
 
-def _read_ivf_centroids(spark, path: str) -> list[list[float]]:
-    """Load `_centroids.json` through the Hadoop FS, so any scheme the
-    index was written to works."""
+def _write_index_json(spark, file_path: str, obj) -> None:
+    """Write a small JSON sidecar through the Hadoop FS so the path
+    scheme matches the index data (local, hdfs://, s3a://...)."""
+    import json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_index_json(spark, file_path: str):
     import json
 
     jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path + "/_centroids.json")
+    p = jvm.org.apache.hadoop.fs.Path(file_path)
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
     stream = fs.open(p)
     try:
         raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(
@@ -543,6 +560,179 @@ def _read_ivf_centroids(spark, path: str) -> list[list[float]]:
     finally:
         stream.close()
     return json.loads(raw.decode("utf-8"))
+
+
+def _read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Load `_centroids.json` through the Hadoop FS, so any scheme the
+    index was written to works."""
+    cents = _read_index_json(spark, path + "/_centroids.json")
+    if cents is None:
+        raise FileNotFoundError(
+            f"{path}/_centroids.json not found — not a build_ivf_index "
+            "layout")
+    return cents
+
+
+def append_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "numpy",
+    upsert: bool = False,
+) -> None:
+    """Incrementally maintain a `build_ivf_index` layout: assign the
+    batch with the index's FROZEN centroids (read from
+    `_centroids.json`) and add it to the cluster partitions. A 100 TB
+    corpus appends continuously; rebuilding the whole index per batch
+    is a full-corpus shuffle+write, while this path touches only the
+    batch (append) or the batch's clusters (upsert).
+
+    append (default): new ids only — one assignment scan of the batch
+    and a partitioned append; existing partitions gain files, nothing
+    is read back. Callers must guarantee id uniqueness (append never
+    checks — checking would scan the corpus).
+
+    upsert=True: ids may replace existing rows. Affected partitions
+    (clusters holding old versions of the batch ids, plus clusters the
+    batch assigns into) are rewritten through a staging directory and
+    swapped in per-partition: old rows minus batch ids, union the
+    assigned batch. Only affected clusters are read or written — cost
+    is proportional to the touched partitions, not the corpus. The
+    swap is atomic per partition (HDFS rename), not across partitions;
+    a transactional multi-partition swap is what `versioned.py` is
+    for. The batch id set is broadcast, so upsert batches should be
+    bounded (the incremental regime); bulk rewrites should rebuild.
+
+    Drift: appended vectors are quantized by STALE centroids — monitor
+    `ivf_drift` and retrain (full `build_ivf_index`) when the mean
+    distance to assigned centroids rises materially over the
+    `_stats.json` baseline.
+    """
+    spark = df.sparkSession
+    centroids = _read_ivf_centroids(spark, path)
+    assigner = ivf_assign_expr if assign == "expr" else ivf_assign
+    assigned = assigner(df, centroids, vec_col, id_col)
+    if not upsert:
+        (assigned.write.mode("append")
+         .partitionBy("cluster").parquet(path))
+        return
+    idx = spark.read.parquet(path)
+    new_ids = df.select(id_col).distinct()
+    old_clusters = {
+        int(r[0]) for r in
+        idx.join(F.broadcast(new_ids), id_col, "left_semi")
+        .select("cluster").distinct().collect()
+    }
+    new_clusters = {
+        int(r[0]) for r in
+        assigned.select("cluster").distinct().collect()
+    }
+    affected = sorted(old_clusters | new_clusters)
+    keep = (idx.filter(F.col("cluster").isin(affected))
+            .join(F.broadcast(new_ids), id_col, "left_anti"))
+    replacement = keep.unionByName(
+        assigned.select(*keep.columns))
+    # Stage the rewritten partitions in a sibling directory, then swap
+    # each cluster dir in with a rename: never overwrite a path that
+    # the replacement plan is still reading from.
+    stage = path.rstrip("/") + "__upsert_stage"
+    (replacement.write.mode("overwrite")
+     .partitionBy("cluster").parquet(stage))
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    try:
+        for k in affected:
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path}/cluster={k}")
+            src = jvm.org.apache.hadoop.fs.Path(f"{stage}/cluster={k}")
+            fs.delete(dst, True)
+            if fs.exists(src):  # absent = the upsert emptied cluster k
+                fs.rename(src, dst)
+    finally:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+
+
+def _drift_stats(
+    idx: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster (cluster, n, mean_dist): mean cosine DISTANCE
+    (1 - cos) of each indexed vector to its assigned centroid. The
+    mean uses the exact integer-moment pattern (sum of 1e-8-unit
+    rounded distances as int64, divided once), so it is bit-identical
+    at any partitioning — and therefore oracle-checkable. Pure
+    expression work over a scan: one partial-agg shuffle of
+    (cluster, sum, count) triples, no UDF, vectors never move."""
+    vec = F.col(vec_col).cast("array<double>")
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    assigned_c = F.element_at(cent_arr, F.col("cluster") + 1)
+    dist_micro = F.round((1.0 - cosine(vec, assigned_c)) * 1e8) \
+        .cast("long")
+    return (
+        idx.select(F.col("cluster").cast("int").alias("cluster"),
+                   dist_micro.alias("_dm"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("_dm").cast("double")
+                     / F.count(F.lit(1)) / 1e8, 6).alias("mean_dist"))
+    )
+
+
+def ivf_drift(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drift report for a persisted IVF index: per-cluster count and
+    mean cosine distance to the assigned (frozen) centroid, joined
+    against the `_stats.json` baseline captured at build time (columns
+    `baseline_n`/`baseline_mean_dist` are NULL when the index was
+    built without stats=True or the cluster is new). Appended batches
+    are quantized by stale centroids, so a mean-distance rise over
+    baseline is THE retrain signal for an incrementally-maintained
+    index. One scan of the index, one small-agg shuffle."""
+    centroids = _read_ivf_centroids(spark, path)
+    cur = _drift_stats(spark.read.parquet(path), centroids, vec_col)
+    base = _read_index_json(spark, path + "/_stats.json")
+    if base is None:
+        return (cur.withColumn("baseline_n",
+                               F.lit(None).cast("long"))
+                .withColumn("baseline_mean_dist",
+                            F.lit(None).cast("double")))
+    bdf = spark.createDataFrame(
+        [(int(r["cluster"]), int(r["n"]), float(r["mean_dist"]))
+         for r in base],
+        "cluster int, baseline_n long, baseline_mean_dist double")
+    return cur.join(F.broadcast(bdf), "cluster", "left")
+
+
+def ivf_retrain_needed(
+    spark,
+    path: str,
+    threshold: float = 1.2,
+    vec_col: str = "embedding",
+) -> bool:
+    """True when the corpus-wide mean distance to assigned centroids
+    exceeds `threshold` x the build-time baseline — the cheap check a
+    maintenance job runs after each append batch. Requires an index
+    built with stats=True (raises otherwise: a retrain signal with no
+    baseline is a coin flip)."""
+    rep = ivf_drift(spark, path, vec_col).collect()
+    if any(r.baseline_mean_dist is None for r in rep):
+        raise ValueError(
+            f"{path} has no complete _stats.json baseline — rebuild "
+            "with build_ivf_index(..., stats=True)")
+    cur = sum(r.n * r.mean_dist for r in rep) / sum(r.n for r in rep)
+    base = (sum(r.baseline_n * r.baseline_mean_dist for r in rep)
+            / sum(r.baseline_n for r in rep))
+    if base <= 0:
+        return cur > 0
+    return cur / base > threshold
 
 
 def probe_ivf_index(

@@ -1886,3 +1886,161 @@ def test_ann_knn_join_excludes_self_and_caps_k(spark, tmp_path):
         # nprobe == n_clusters and the query is its own nearest
         # neighbor, so with self excluded every remaining sim < 1
         assert all(s <= 1.0 for s in sims)
+
+
+# ---------------------------------------------------------------------
+# IVF index maintenance: incremental append / upsert / drift
+# ---------------------------------------------------------------------
+
+def _frozen_cents(emb, n=8):
+    return [[float(x) for x in r.embedding]
+            for r in emb.filter(f"vec_id < {n}").orderBy("vec_id")
+            .collect()]
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, tmp_path):
+    """Build on half the corpus, append the other half with the frozen
+    centroids: the maintained index must hold exactly the rows a full
+    rebuild (same centroids) holds, and probes must answer
+    identically. This is the 'append path loses and duplicates
+    nothing' invariant."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, probe_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(600)
+    cents = _frozen_cents(emb)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), inc, centroids=cents,
+                    assign="expr")
+    append_ivf_index(emb.filter("vec_id % 2 = 1"), inc, assign="expr")
+    build_ivf_index(emb, full, centroids=cents, assign="expr")
+
+    a = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(inc).select("vec_id", "cluster")
+               .collect())
+    b = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(full).select("vec_id", "cluster")
+               .collect())
+    assert a == b and len(a) == 500
+
+    q = [float(x) for x in emb.filter("vec_id = 3").head().embedding]
+    got = probe_ivf_index(spark, inc, q, k=5, nprobe=2).collect()
+    exp = probe_ivf_index(spark, full, q, k=5, nprobe=2).collect()
+    assert got == exp
+
+
+def test_upsert_ivf_index_replaces_and_relocates(spark, tmp_path):
+    """Upsert replaces existing ids (no duplicates) and relocates rows
+    whose new vector assigns to a different cluster; the result equals
+    a full rebuild over the post-upsert corpus with the same frozen
+    centroids."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(400)
+    cents = _frozen_cents(emb)
+    path = str(tmp_path / "ivf_up")
+    build_ivf_index(emb, path, centroids=cents, assign="expr")
+
+    # replace ids 0..49 with the embedding of (id+200) — many will
+    # land in a different cluster than before
+    moved = (emb.filter("vec_id >= 200 AND vec_id < 250")
+             .withColumn("vec_id", F.col("vec_id") - 200))
+    append_ivf_index(moved, path, assign="expr", upsert=True)
+
+    post = emb.filter("vec_id >= 50").unionByName(moved)
+    rebuilt = str(tmp_path / "ivf_up_rebuild")
+    build_ivf_index(post, rebuilt, centroids=cents, assign="expr")
+
+    a = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(path).select("vec_id", "cluster")
+               .collect())
+    b = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(rebuilt).select("vec_id", "cluster")
+               .collect())
+    assert a == b and len(a) == 400
+    ids = [x[0] for x in a]
+    assert len(ids) == len(set(ids))  # no duplicate ids survive
+
+
+def test_upsert_ivf_index_empties_a_cluster(spark, tmp_path):
+    """When an upsert moves EVERY row out of a cluster, the stale
+    partition directory must disappear (a dynamic-overwrite-style
+    write would silently leave the old files)."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index)
+
+    # two orthogonal centroids; all corpus rows start in cluster 0
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [1.0, 0.01 * i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_empty")
+    build_ivf_index(df, path, centroids=cents, assign="expr")
+    assert (tmp_path / "ivf_empty" / "cluster=0").exists()
+
+    flipped = spark.createDataFrame(
+        [(i, [0.01 * i, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    append_ivf_index(flipped, path, assign="expr", upsert=True)
+
+    got = spark.read.parquet(path).select("vec_id", "cluster").collect()
+    assert sorted(r.vec_id for r in got) == list(range(6))
+    assert {r.cluster for r in got} == {1}
+    assert not (tmp_path / "ivf_empty" / "cluster=0").exists()
+    assert not (tmp_path / "ivf_empty__upsert_stage").exists()
+
+
+def test_ivf_drift_baseline_and_retrain_signal(spark, tmp_path):
+    """stats=True captures a per-cluster baseline at build; appending
+    vectors the frozen quantizer fits poorly raises mean_dist above
+    baseline and trips ivf_retrain_needed — the recall-drift signal an
+    incrementally-maintained index must expose."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, ivf_drift,
+        ivf_retrain_needed)
+
+    # two orthogonal centroids, corpus hugging them (near-zero
+    # baseline distance) — a drifted batch lands between the axes
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    near = [(i, [1.0, 0.001 * (i % 5)]) for i in range(50)] + \
+           [(100 + i, [0.001 * (i % 5), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(
+        near, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_drift")
+    build_ivf_index(df, path, centroids=cents, assign="expr",
+                    stats=True)
+
+    rep0 = {r.cluster: r for r in ivf_drift(spark, path).collect()}
+    for r in rep0.values():
+        assert r.baseline_n == r.n
+        assert r.baseline_mean_dist == pytest.approx(r.mean_dist)
+    assert not ivf_retrain_needed(spark, path, threshold=1.05)
+
+    # drifted batch: diagonal vectors are cos 0.707 from BOTH known
+    # centroids — the frozen quantizer fits them badly
+    bad = spark.createDataFrame(
+        [(10000 + i, [1.0, 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    append_ivf_index(bad, path, assign="expr")
+    rep1 = ivf_drift(spark, path).collect()
+    cur = sum(r.n * r.mean_dist for r in rep1) / sum(r.n for r in rep1)
+    base = (sum(r.baseline_n * r.baseline_mean_dist for r in rep1)
+            / sum(r.baseline_n for r in rep1))
+    assert cur > base
+    assert ivf_retrain_needed(spark, path, threshold=1.05)
+
+
+def test_ivf_retrain_needed_requires_baseline(spark, tmp_path):
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, ivf_retrain_needed)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(100)
+    path = str(tmp_path / "ivf_nobase")
+    build_ivf_index(emb, path, centroids=_frozen_cents(emb),
+                    assign="expr")
+    with pytest.raises(ValueError, match="_stats.json"):
+        ivf_retrain_needed(spark, path)
