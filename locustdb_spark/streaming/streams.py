@@ -297,6 +297,62 @@ def stream_ingest_with_rollup(
     return writer.start()
 
 
+def stream_append_ivf_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    schema: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    assign: str = "numpy",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Continuous ANN-index maintenance: micro-batches of embedding
+    rows (JSON files in `source_dir`) are assigned with the persisted
+    index's FROZEN centroids and appended to its cluster partitions
+    (operators/similarity.append_ivf_index) — the streaming leg of the
+    build -> append -> drift -> retrain lifecycle. A 100 TB corpus's
+    embeddings arrive continuously; this keeps the IVF index queryable
+    and fresh at O(micro-batch) cost per trigger, with `ivf_drift` /
+    `ivf_retrain_needed` as the companion monitoring job.
+
+    Idempotence: each folded micro-batch id is recorded in
+    `index_path/_stream_txns.json` AFTER its append and replays are
+    skipped, so a restart from the checkpoint cannot double-append a
+    batch whose ledger entry committed. A crash in the narrow window
+    between append-complete and ledger-write can still duplicate that
+    one batch on replay (the parquet-append sink is not transactional)
+    — pipelines needing strict exactly-once should ingest through
+    `stream_ingest_versioned` (txn_id manifests) and index from there.
+    Returns the StreamingQuery."""
+    from ..operators.similarity import (
+        _read_index_json, _write_index_json, append_ivf_index)
+
+    ledger_path = index_path.rstrip("/") + "/_stream_txns.json"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = _read_index_json(spark, ledger_path) or []
+        if batch_id in done:
+            return
+        append_ivf_index(batch_df, index_path, vec_col=vec_col,
+                         id_col=id_col, assign=assign)
+        _write_index_json(spark, ledger_path, done + [batch_id])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .json(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------
 # streaming near-dup dedup (minhash-band state)
 # ---------------------------------------------------------------------

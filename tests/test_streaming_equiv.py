@@ -14,6 +14,7 @@ union of all batches:
   windowed_counts (stream run)               == windowed_counts (batch run)
   stream_stream_join                         == static join, same condition
   stream_dedup                               == keep-one-per-id distinct
+  stream_append_ivf_index                    == batch build, same centroids
 
 This is the oracle-style check the streaming family lacked: pytest
 previously pinned each op's behavior in isolation; here the CLAIMED
@@ -360,3 +361,53 @@ def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
                 seen.add(r["event_id"])
                 exp.append((r["event_id"], r["v"]))
     assert got == sorted(exp) and len(got) == 4
+
+
+def test_stream_append_ivf_index_equals_batch_build(spark, tmp_path):
+    """Streaming ANN-index maintenance == batch build with the same
+    frozen centroids over the union; the probe answers match, and a
+    replayed micro-batch id is a no-op (ledger idempotence)."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, probe_ivf_index)
+    from locustdb_spark.streaming.streams import stream_append_ivf_index
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [1.0, 0.02 * i]) for i in range(20)] + \
+           [(100 + i, [0.02 * i, 1.0]) for i in range(20)]
+    seed = spark.createDataFrame(
+        rows[:10], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(seed, idx, centroids=cents, assign="expr")
+
+    batches = [[{"vec_id": i, "embedding": v} for i, v in rows[10:25]],
+               [{"vec_id": i, "embedding": v} for i, v in rows[25:]]]
+    src = str(tmp_path / "emb_src")
+    write_script(src, batches)
+    q = stream_append_ivf_index(
+        spark, src, idx, "vec_id long, embedding array<double>",
+        str(tmp_path / "ivf_stream_ckpt"), assign="expr")
+    q.awaitTermination(300)
+
+    full = str(tmp_path / "ivf_stream_full")
+    build_ivf_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        full, centroids=cents, assign="expr")
+    a = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(idx).select("vec_id", "cluster")
+               .collect())
+    b = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(full).select("vec_id", "cluster")
+               .collect())
+    assert a == b and len(a) == 40
+    got = probe_ivf_index(spark, idx, [1.0, 0.05], k=3, nprobe=1).collect()
+    exp = probe_ivf_index(spark, full, [1.0, 0.05], k=3, nprobe=1).collect()
+    assert got == exp
+
+    # replaying a committed batch id must not double-append: drive the
+    # same source through a FRESH checkpoint — batch ids repeat, the
+    # ledger skips them
+    q2 = stream_append_ivf_index(
+        spark, src, idx, "vec_id long, embedding array<double>",
+        str(tmp_path / "ivf_stream_ckpt2"), assign="expr")
+    q2.awaitTermination(300)
+    assert spark.read.parquet(idx).count() == 40
