@@ -1526,6 +1526,145 @@ def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flows between a
+    nation PAIR — the join graph touches both the customer and the
+    supplier dimension of the same fact row, with a symmetric
+    disjunction on the pair. Both nation-keyed dims broadcast; the
+    fact shuffles once (orders join); the pair filter is evaluated
+    post-join JVM-side. Group keys are the two nation names + ship
+    year."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").between(1996, 1997))
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("cnat"))
+    sup = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("snat"))
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    pair = (((F.col("cnat") == 1) & (F.col("snat") == 2))
+            | ((F.col("cnat") == 2) & (F.col("snat") == 1)))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .filter(pair)
+         .join(F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+               F.col("snat") == F.col("n_nationkey")).drop("n_nationkey")
+         .join(F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+               F.col("cnat") == F.col("n_nationkey")))
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(cents * disc_bp).alias("revenue_micro"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def x_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the
+    sum(CASE)/sum(total) ratio per year — two-level conditional
+    aggregation over a 5-table star. Part (type filter) and the two
+    nation-keyed dims broadcast; the share is computed from two exact
+    integer micro-unit sums and divided once into basis points, so the
+    ratio is engine-portable."""
+    part = _read(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)).select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    # customers in the ASIA-analog region (via nation -> region)
+    nat = (_read(spark, sf_dir, "nation")
+           .join(F.broadcast(_read(spark, sf_dir, "region")
+                             .filter(F.col("r_name") == "ASIA")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey"))
+    cust = (_read(spark, sf_dir, "customer")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    sup = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("snat"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    vol = cents * disc_bp
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey))
+    nation_vol = F.sum(F.when(F.col("snat") == 5, vol).otherwise(0))
+    total_vol = F.sum(vol)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(nation_vol.alias("nation_micro"),
+             total_vol.alias("total_micro"),
+             F.round(nation_vol.cast("double") * 10000 / total_vol)
+             .cast("long").alias("mkt_share_bp"))
+        .orderBy("o_year")
+    )
+
+
+def x_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a revenue VIEW aggregated from
+    the fact table, then `revenue = (SELECT max(revenue) FROM view)` —
+    the argmax-via-scalar-subquery pattern. The view is one partial-agg
+    shuffle on l_suppkey; its 1-row max broadcasts back onto it (no
+    second scan of the fact table), and the supplier dimension
+    broadcasts for the name lookup. Revenue is exact integer
+    micro-units, so max-equality is engine-portable."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1996) & (F.quarter("l_shipdate") == 1))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(cents * disc_bp).alias("total_revenue_micro")))
+    top = rev.agg(F.max("total_revenue_micro").alias("_max_rev"))
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue_micro") == F.col("_max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_micro")
+        .orderBy("s_suppkey")
+    )
+
+
+def x_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd conjunct groups spanning BOTH join sides (part
+    brand/size x lineitem quantity). The part side broadcasts; the
+    cross-side disjunction evaluates post-join, while the
+    single-side implied predicates (brand IN, size range, quantity
+    range) still push into the scans — the shape that exercises an
+    optimizer's OR handling."""
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    cond = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents * disc_bp).alias("revenue_micro"),
+    )
+
+
 def x_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): a scalar
     CORRELATED subquery — ``l_quantity < 0.2 * (SELECT avg(l_quantity)
@@ -2274,6 +2413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q17": x_tpch_q17,
         "x_tpch_q21": x_tpch_q21,
         "x_tpch_q22": x_tpch_q22,
+        "x_tpch_q7": x_tpch_q7,
+        "x_tpch_q8": x_tpch_q8,
+        "x_tpch_q15": x_tpch_q15,
+        "x_tpch_q19": x_tpch_q19,
         "x_drift_chi2": x_drift_chi2,
         "x_corr": x_corr,
         "x_regression": x_regression,
@@ -2972,6 +3115,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey
             LIMIT 20
+        """,
+        "x_tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS BIGINT) AS revenue_micro,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+              AND ((c_nationkey = 1 AND s_nationkey = 2)
+                   OR (c_nationkey = 2 AND s_nationkey = 1))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "x_tpch_q8": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN s_nationkey = 5 THEN
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_micro,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS BIGINT) AS total_micro,
+                   CAST(round(
+                     CAST(sum(CASE WHEN s_nationkey = 5 THEN
+                       CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) * 10000 /
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         CAST(round((1 - l_discount) * 100) AS BIGINT))
+                   ) AS BIGINT) AS mkt_share_bp
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND year(o_orderdate) BETWEEN 1996 AND 1997
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "x_tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     ) AS BIGINT) AS total_revenue_micro
+              FROM lineitem
+              WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_micro
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_micro = (SELECT max(total_revenue_micro)
+                                         FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "x_tpch_q19": """
+            SELECT count(*) AS n_lines,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS BIGINT) AS revenue_micro
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "x_tpch_q17": """
             WITH pa AS (
