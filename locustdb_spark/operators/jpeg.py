@@ -1,20 +1,28 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81 / JFIF, public spec).
+"""Pure-Python JPEG codec (ITU-T T.81 / JFIF, public spec).
 
-Decoder: baseline sequential DCT, 8-bit, Huffman-coded — the format
-~all JFIF files in a web corpus use. Handles grayscale and YCbCr with
-4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers, and byte
-stuffing. The Huffman/bitstream walk is per-symbol Python (fine for
-the thumbnail/metadata pass multimodal feature extraction does); the
-IDCT runs as one batched numpy einsum over every block of a
-component, so pixel math is vectorized.
+Decoder: sequential baseline (SOF0) AND progressive (SOF2), 8-bit,
+Huffman-coded — together the formats ~all JFIF files in a web corpus
+use. Handles grayscale and YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling, restart markers, byte stuffing, non-interleaved
+(one-component-per-scan) sequential files, and the full progressive
+feature set: spectral selection bands, successive approximation (DC
+and AC first + refinement passes, T.81 G.2), and EOB runs. All scan
+types fill one per-component coefficient store; dequantization, the
+batched-einsum IDCT, and upsampling run once at the end, so the
+pixel math stays vectorized while the entropy walk is per-symbol
+Python (fine for the thumbnail/metadata pass multimodal feature
+extraction does).
 
-Encoder: 4:4:4 / grayscale with the Annex K quantization tables
-(quality-scaled, IJG curve) and Annex K typical Huffman tables —
-enough to round-trip the decoder in tests and to emit files any
-standard decoder opens.
+Encoders: baseline 4:4:4 / grayscale (`jpeg_encode`) and progressive
+(`jpeg_encode_progressive`, spectral-selection + successive-
+approximation scan script) with the Annex K quantization tables
+(quality-scaled, IJG curve) and Annex K typical Huffman tables.
+Both entropy layers are lossless over the same quantized
+coefficients, so progressive and baseline encodes of one image must
+decode bit-identically — which is exactly what the tests pin.
 
-Progressive, arithmetic-coded, 12-bit, and hierarchical modes are out
-of scope and raise ValueError with the mode named.
+Arithmetic-coded, 12-bit, lossless, and hierarchical modes are out of
+scope and raise ValueError with the mode named.
 """
 
 from __future__ import annotations
@@ -196,6 +204,20 @@ class _BitReader:
         self.pos += 2
         self.marker = None
 
+    def tail_pos(self) -> int:
+        """Byte offset of the next real marker after the entropy data
+        this reader just consumed (pad bits skipped, stuffed 0xFF00
+        ignored). _fill never advances past a marker, so if one was
+        hit it is still at self.pos; otherwise scan forward."""
+        if self.marker is not None:
+            return self.pos
+        d, p = self.data, self.pos
+        while p < len(d) - 1:
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                return p
+            p += 2 if d[p] == 0xFF else 1
+        return len(d)
+
 
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
@@ -206,16 +228,201 @@ def _extend(v: int, t: int) -> int:
 # decoder
 # ---------------------------------------------------------------------------
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _decode_block_baseline(reader, block, dc_tab, ac_tab, pred, cid):
+    """Sequential-DCT block: DC diff + full AC band (T.81 F.2)."""
+    t = reader.decode_symbol(dc_tab)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    block[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        block[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
+def _decode_block_progressive(reader, block, dc_tab, ac_tab, ss, se,
+                              ah, al, pred, cid, state):
+    """One block's worth of one progressive scan (T.81 G.2): DC
+    first/refinement, AC first with EOB runs, AC refinement with
+    correction bits."""
+    if ss == 0:
+        if ah == 0:  # DC first: baseline DC diff, point-transformed
+            t = reader.decode_symbol(dc_tab)
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            pred[cid] += diff
+            block[0] = pred[cid] << al
+        else:  # DC refinement: one raw bit per block
+            if reader.read_bit():
+                block[0] |= 1 << al
+        return
+    if ah == 0:  # AC first scan over the band [ss, se]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + \
+                    (reader.read_bits(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            block[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3 decode side): newly-significant
+    # coefficients carry a sign bit; already-significant ones passed
+    # over collect correction bits
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) + \
+                        (reader.read_bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude in AC refinement scan")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                block[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(reader, scan, ss, se, ah, al, progressive,
+                 restart_interval, huff_dc, huff_ac, coef, by_id,
+                 hmax, vmax, mcux, mcuy, width, height):
+    """Decode one SOS's entropy segment into the coefficient store.
+
+    Interleaved scans (>1 component) walk the padded MCU grid;
+    single-component scans are non-interleaved per T.81 A.2 (the MCU
+    is one block and only the component's own ceil-divided grid is
+    coded). Restart markers reset DC predictors and the EOB run."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component")
+        if ss > se or se > 63:
+            raise ValueError("invalid spectral band")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("sequential scan with progressive parameters")
+
+    pred = {cid: 0 for cid, _, _ in scan}
+    state = {"eobrun": 0}
+    need_dc, need_ac = ss == 0, (se > 0 or not progressive)
+
+    def tables(td, ta):
+        if need_dc and td not in huff_dc:
+            raise ValueError(f"missing DC Huffman table {td}")
+        if need_ac and ta not in huff_ac:
+            raise ValueError(f"missing AC Huffman table {ta}")
+        return huff_dc.get(td), huff_ac.get(ta)
+
+    def block_fn(block, dc_tab, ac_tab, cid):
+        if progressive:
+            _decode_block_progressive(reader, block, dc_tab, ac_tab,
+                                      ss, se, ah, al, pred, cid, state)
+        else:
+            _decode_block_baseline(reader, block, dc_tab, ac_tab,
+                                   pred, cid)
+
+    unit = 0
+
+    def check_restart():
+        nonlocal unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart()
+            for c in pred:
+                pred[c] = 0
+            state["eobrun"] = 0
+        unit += 1
+
+    if len(scan) > 1:  # interleaved: full padded MCU grid
+        tabs = {cid: tables(td, ta) for cid, td, ta in scan}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart()
+                for cid, _td, _ta in scan:
+                    _, h, v, _tq = by_id[cid]
+                    dc_tab, ac_tab = tabs[cid]
+                    for bv in range(v):
+                        for bh in range(h):
+                            block_fn(coef[cid][my * v + bv,
+                                               mx * h + bh],
+                                     dc_tab, ac_tab, cid)
+    else:  # non-interleaved: the component's own block grid
+        cid, td, ta = scan[0]
+        _, h, v, _tq = by_id[cid]
+        dc_tab, ac_tab = tables(td, ta)
+        cbw = _ceil_div(_ceil_div(width * h, hmax), 8)
+        cbh = _ceil_div(_ceil_div(height * v, vmax), 8)
+        for by in range(cbh):
+            for bx in range(cbw):
+                check_restart()
+                block_fn(coef[cid][by, bx], dc_tab, ac_tab, cid)
+
+
 def jpeg_decode(data: bytes,
                 max_pixels: int = 64 << 20) -> tuple[int, int, int,
                                                      np.ndarray]:
-    """Decode a baseline JFIF. Returns (width, height, channels,
-    uint8 array (height, width, channels)); channels is 1 (gray) or
-    3 (RGB). `max_pixels` bounds work/memory against decompression
-    bombs (a corrupt SOF claiming 65535x65535 must fail fast, not
-    spin the executor)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF. Returns
+    (width, height, channels, uint8 array (height, width, channels));
+    channels is 1 (gray) or 3 (RGB). `max_pixels` bounds work/memory
+    against decompression bombs (a corrupt SOF claiming 65535x65535
+    must fail fast, not spin the executor). Every scan fills one
+    per-component coefficient store; dequantization + IDCT run once
+    after the last scan, so truncated progressive files decode to
+    their coarse approximation rather than failing."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    buf = data + b"\xff\xd9"  # sentinel for entropy readers
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
@@ -223,7 +430,11 @@ def jpeg_decode(data: bytes,
     comps = []  # (id, h, v, tq)
     width = height = None
     restart_interval = 0
-    scan = None
+    progressive = False
+    coef: dict[int, np.ndarray] | None = None
+    by_id: dict[int, tuple] = {}
+    hmax = vmax = mcux = mcuy = 0
+    nscans = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -250,14 +461,38 @@ def jpeg_decode(data: bytes,
                 table[_ZZ] = np.frombuffer(body[i:i + 64], np.uint8)
                 qt[tq] = table.reshape(8, 8)
                 i += 64
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             _prec, height, width, ncomp = struct.unpack_from(
                 ">BHHB", body, 0)
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(
                     ">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            if len(comps) == 1:
+                # T.81 A.2: a single-component image is always decoded
+                # non-interleaved — the declared sampling factors do
+                # not apply (grayscale files often keep the source's
+                # 2x2 luma sampling in SOF)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            if width * height > max_pixels:
+                raise ValueError(
+                    f"image {width}x{height} exceeds "
+                    f"max_pixels={max_pixels}")
+            if not comps or any(c[1] < 1 or c[2] < 1 or c[1] > 4
+                                or c[2] > 4 for c in comps):
+                raise ValueError("invalid component sampling factors")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = _ceil_div(width, 8 * hmax)
+            mcuy = _ceil_div(height, 8 * vmax)
+            by_id = {c[0]: c for c in comps}
+            # zigzag-order coefficient store over the padded MCU grid
+            coef = {c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64),
+                                   np.int64) for c in comps}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0})")
@@ -273,99 +508,44 @@ def jpeg_decode(data: bytes,
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if coef is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                if cid not in by_id:
+                    raise ValueError(f"scan references unknown "
+                                     f"component {cid}")
                 scan.append((cid, tdta >> 4, tdta & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             pos += seglen
-            break
+            reader = _BitReader(buf, pos)
+            _decode_scan(reader, scan, ss, se, ah, al, progressive,
+                         restart_interval, huff_dc, huff_ac, coef,
+                         by_id, hmax, vmax, mcux, mcuy, width, height)
+            nscans += 1
+            pos = reader.tail_pos()
+            continue
         pos += seglen
-    if width is None or scan is None:
-        raise ValueError("missing SOF0/SOS")
-    if len(scan) != len(comps):
-        # spec-valid but rare: one scan per component
-        # (non-interleaved); decoding it as interleaved would return
-        # plausible-shaped garbage — refuse instead
-        raise ValueError(
-            f"non-interleaved multi-scan JPEG unsupported "
-            f"({len(scan)} of {len(comps)} components in first scan)")
-    if len(comps) == 1:
-        # T.81 A.2: a single-component scan is non-interleaved — the
-        # MCU is one 8x8 block and the declared sampling factors do
-        # not apply (grayscale files often keep the source's 2x2
-        # luma sampling in SOF)
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-    if width * height > max_pixels:
-        raise ValueError(
-            f"image {width}x{height} exceeds max_pixels={max_pixels}")
-    if not comps or any(c[1] < 1 or c[2] < 1 or c[1] > 4 or c[2] > 4
-                        for c in comps):
-        raise ValueError("invalid component sampling factors")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    reader = _BitReader(data + b"\xff\xd9", pos)
-
-    by_id = {c[0]: c for c in comps}
-    blocks: dict[int, list] = {c[0]: [] for c in comps}
-    pred: dict[int, int] = {c[0]: 0 for c in comps}
-    mcu_count = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                for cid in pred:
-                    pred[cid] = 0
-            mcu_count += 1
-            for cid, td, ta in scan:
-                _, h, v, _tq = by_id[cid]
-                for _ in range(h * v):
-                    zz = np.zeros(64)
-                    t = reader.decode_symbol(huff_dc[td])
-                    diff = _extend(reader.read_bits(t), t) if t else 0
-                    pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(huff_ac[ta])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    blocks[cid].append(zz)
+    if width is None or nscans == 0:
+        raise ValueError("missing SOF/SOS")
 
     planes: dict[int, np.ndarray] = {}
     for cid, h, v, tq in comps:
-        bl = np.stack(blocks[cid]) if blocks[cid] else \
-            np.zeros((0, 64))
-        coeff = np.zeros((len(bl), 64))
-        coeff[:, _ZZ] = bl
-        coeff = coeff.reshape(-1, 8, 8) * qt[tq][None, :, :]
-        pix = _idct_blocks(coeff) + 128.0
-        # reassemble: blocks are emitted MCU by MCU, h*v per MCU
-        cw, ch = mcux * h * 8, mcuy * v * 8
-        plane = np.zeros((ch, cw))
-        i = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for bv in range(v):
-                    for bh in range(h):
-                        y0 = (my * v + bv) * 8
-                        x0 = (mx * h + bh) * 8
-                        plane[y0:y0 + 8, x0:x0 + 8] = pix[i]
-                        i += 1
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        arr = coef[cid]
+        rows, cols = arr.shape[:2]
+        dez = np.zeros((rows * cols, 64))
+        dez[:, _ZZ] = arr.reshape(-1, 64)
+        pix = _idct_blocks(
+            dez.reshape(-1, 8, 8) * qt[tq][None, :, :]) + 128.0
+        plane = (pix.reshape(rows, cols, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
         # upsample to full resolution
         if h != hmax or v != vmax:
             plane = np.repeat(np.repeat(plane, vmax // v, axis=0),
@@ -387,7 +567,6 @@ def jpeg_decode(data: bytes,
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255) \
         .round().astype(np.uint8)
     return width, height, 3, rgb
-
 
 # ---------------------------------------------------------------------------
 # encoder (4:4:4 / grayscale; Annex K tables)
@@ -534,5 +713,241 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
                 bw.write(ln, c2)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+def _flush_eobrun(bw, ac_enc, st) -> None:
+    """Emit a pending EOBn symbol (run length in the symbol's high
+    nibble exponent + extension bits) followed by the correction bits
+    buffered behind the run (refinement scans only).
+
+    This encoder only ever accumulates runs of 1 (EOB1 == symbol
+    0x00): the EOBn>1 symbols 0x10..0xE0 do not exist in the Annex K
+    baseline Huffman tables — real progressive encoders ship custom
+    per-scan DHTs to use them. The generic emission below stays
+    correct for any future custom-table path; the decoder handles
+    EOBn up to 14 regardless (pinned by a hand-built stream test)."""
+    n = st["eobrun"]
+    if n > 0:
+        nb = n.bit_length() - 1
+        ln, c = ac_enc[nb << 4]
+        bw.write(ln, c)
+        if nb:
+            bw.write(nb, n - (1 << nb))
+        st["eobrun"] = 0
+    for b in st["pend"]:
+        bw.write(1, b)
+    st["pend"] = []
+
+
+def _emit_ac_first_block(bw, ac_enc, zz, ss, se, al, st) -> None:
+    """AC first scan for one block: band [ss, se] point-transformed by
+    Al (truncation toward zero), zero runs + EOB-run folding."""
+    band = [(abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1)
+            for k in range(ss, se + 1)]
+    last_nz = -1
+    for i, v in enumerate(band):
+        if v != 0:
+            last_nz = i
+    if last_nz < 0:
+        st["eobrun"] += 1
+        _flush_eobrun(bw, ac_enc, st)  # EOB1: Annex K tables lack EOBn>1
+        return
+    _flush_eobrun(bw, ac_enc, st)
+    r = 0
+    for i in range(last_nz + 1):
+        v = band[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            ln, c = ac_enc[0xF0]
+            bw.write(ln, c)
+            r -= 16
+        t, code = _encode_magnitude(v)
+        ln, c = ac_enc[(r << 4) | t]
+        bw.write(ln, c)
+        bw.write(t, code)
+        r = 0
+    if last_nz < len(band) - 1:
+        st["eobrun"] += 1
+        _flush_eobrun(bw, ac_enc, st)  # EOB1: Annex K tables lack EOBn>1
+
+
+def _emit_ac_refine_block(bw, ac_enc, zz, ss, se, al, st) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3 encode side):
+    newly-significant coefficients (|v| >> Al == 1) emit run+sign;
+    already-significant ones buffer one correction bit each, emitted
+    after the next symbol (or behind the EOB run)."""
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    tvals = [abs(v) >> al for v in band]
+    eobi = -1
+    for i, t in enumerate(tvals):
+        if t == 1:
+            eobi = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(tvals):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eobi:
+            _flush_eobrun(bw, ac_enc, st)
+            ln, c = ac_enc[0xF0]
+            bw.write(ln, c)
+            r -= 16
+            for b in br:
+                bw.write(1, b)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _flush_eobrun(bw, ac_enc, st)
+        ln, c = ac_enc[(r << 4) | 1]
+        bw.write(ln, c)
+        bw.write(1, 1 if band[i] > 0 else 0)
+        for b in br:
+            bw.write(1, b)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["pend"].extend(br)
+        _flush_eobrun(bw, ac_enc, st)  # EOB1: Annex K tables lack EOBn>1
+
+
+def jpeg_encode_progressive(pixels: np.ndarray,
+                            quality: int = 90) -> bytes:
+    """Encode (h, w, 1|3) uint8 pixels as a progressive JFIF (SOF2,
+    4:4:4) with a jpegtran-style scan script: DC first at Al=1, AC
+    bands first at Al=2/1, then AC and DC refinement passes down to
+    full precision. The quantized coefficients are identical to
+    `jpeg_encode`'s at the same quality — the progressive entropy
+    layer is lossless over them — so decoding this file must produce
+    bit-identical pixels to decoding the baseline encode (pinned in
+    tests)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    if ch == 3:
+        rf, gf, bf = (pixels[:, :, i].astype(np.float64)
+                      for i in range(3))
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [y, cb, cr]
+    elif ch == 1:
+        planes = [pixels[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError("1- or 3-channel input only")
+
+    qluma = _quality_scale(_K_LUMA, quality)
+    qchroma = _quality_scale(_K_CHROMA, quality)
+    qts = [qluma.reshape(8, 8)] + \
+        ([qchroma.reshape(8, 8)] * 2 if ch == 3 else [])
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    for tq, tab in ((0, qluma), (1, qchroma))[:1 if ch == 1 else 2]:
+        zzvals = tab.reshape(64)[_ZZ]
+        body = bytes([tq]) + bytes(int(v) for v in zzvals)
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    tables = [(0, 0, _K_DC_LUMA), (1, 0, _K_AC_LUMA)]
+    if ch == 3:
+        tables += [(0, 1, _K_DC_CHROMA), (1, 1, _K_AC_CHROMA)]
+    for tc, th, (bits, vals) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    enc_dc = [_build_encode_table(*_K_DC_LUMA)] + \
+        [_build_encode_table(*_K_DC_CHROMA)] * (2 if ch == 3 else 0)
+    enc_ac = [_build_encode_table(*_K_AC_LUMA)] + \
+        [_build_encode_table(*_K_AC_CHROMA)] * (2 if ch == 3 else 0)
+
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    qblocks = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+                    mode="edge")
+        bl = (pp.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8)) - 128.0
+        coeff = _dct_blocks(bl) / qts[ci][None, :, :]
+        qblocks.append(
+            np.round(coeff).astype(np.int64).reshape(-1, 64)[:, _ZZ])
+    nblocks = mcux * mcuy
+
+    # scan script: (component list, Ss, Se, Ah, Al)
+    if ncomp == 3:
+        script = [
+            (list(range(3)), 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            (list(range(3)), 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    for comps_in_scan, ss, se, ah, al in script:
+        sos = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        st = {"eobrun": 0, "pend": []}
+        if ss == 0:  # DC scan (interleaved over comps_in_scan)
+            if ah == 0:
+                pred = {ci: 0 for ci in comps_in_scan}
+                for b in range(nblocks):
+                    for ci in comps_in_scan:
+                        dc = int(qblocks[ci][b][0]) >> al
+                        t, code = _encode_magnitude(dc - pred[ci])
+                        pred[ci] = dc
+                        ln, c2 = enc_dc[ci][t]
+                        bw.write(ln, c2)
+                        if t:
+                            bw.write(t, code)
+            else:
+                for b in range(nblocks):
+                    for ci in comps_in_scan:
+                        bw.write(1, (int(qblocks[ci][b][0]) >> al) & 1)
+        else:  # AC scan: single component, non-interleaved
+            (ci,) = comps_in_scan
+            for b in range(nblocks):
+                if ah == 0:
+                    _emit_ac_first_block(bw, enc_ac[ci], qblocks[ci][b],
+                                         ss, se, al, st)
+                else:
+                    _emit_ac_refine_block(bw, enc_ac[ci], qblocks[ci][b],
+                                          ss, se, al, st)
+            _flush_eobrun(bw, enc_ac[ci], st)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

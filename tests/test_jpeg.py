@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 from locustdb_spark.operators.jpeg import (
-    _K_AC_LUMA, _K_DC_LUMA, jpeg_decode, jpeg_encode)
+    _K_AC_LUMA, _K_DC_LUMA, jpeg_decode, jpeg_encode,
+    jpeg_encode_progressive)
 
 
 def _golden_dc_only() -> bytes:
@@ -116,12 +117,145 @@ def test_encoder_emits_stuffed_bytes_and_valid_markers():
             i += 1
 
 
-def test_progressive_rejected():
-    bad = bytearray(_golden_dc_only())
-    idx = bad.index(b"\xff\xc0")
-    bad[idx + 1] = 0xC2  # SOF2 progressive
-    with pytest.raises(ValueError, match="SOF2"):
-        jpeg_decode(bytes(bad))
+def _golden_progressive_sa() -> bytes:
+    """8x8 grayscale, quant all ones, DC=40, zero AC — encoded as FOUR
+    progressive scans exercising successive approximation, each scan's
+    bits hand-derived from the Annex K canonical codes:
+
+    1. DC first, Al=1: sends 40>>1 = 20 -> DC sym 5 (len-3 code 110)
+       + 5 magnitude bits 10100 = exactly 0xD4.
+    2. DC refinement, Ah=1 Al=0: one raw bit (40 & 1) = 0, padded
+       with seven 1s = 0x7F.
+    3. AC first, band 1-63, Al=1: all zero -> EOB1 (AC sym 0x00,
+       len-4 code 1010), padded = 0xAF.
+    4. AC refinement, band 1-63, Ah=1 Al=0: EOB1 again = 0xAF (the
+       decoder must treat eobrun=1 as 'this block, nothing to
+       refine').
+
+    Expected pixels: flat 40/8 + 128 = 133 — identical to the
+    baseline golden, proving the four-scan reassembly is lossless."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0, _K_DC_LUMA), (1, _K_AC_LUMA)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    for sos_tail, entropy in (
+        (bytes([0, 0, 0x01]), bytes([0xD4])),   # DC first Al=1
+        (bytes([0, 0, 0x10]), bytes([0x7F])),   # DC refine
+        (bytes([1, 63, 0x01]), bytes([0xAF])),  # AC first Al=1
+        (bytes([1, 63, 0x10]), bytes([0xAF])),  # AC refine
+    ):
+        sos = bytes([1, 1, 0x00]) + sos_tail
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_golden_progressive_successive_approximation():
+    w, h, c, px = jpeg_decode(_golden_progressive_sa())
+    assert (w, h, c) == (8, 8, 1)
+    assert np.all(px == 133), np.unique(px)
+
+
+def test_progressive_truncated_decodes_coarse():
+    """A progressive file cut after the DC scans must still decode
+    (to the DC approximation), not raise — that is the point of the
+    format."""
+    blob = _golden_progressive_sa()
+    # keep SOI..end of second scan (0x7F byte), then EOI
+    cut = blob.index(bytes([0x7F])) + 1
+    w, h, c, px = jpeg_decode(blob[:cut] + b"\xff\xd9")
+    assert (w, h, c) == (8, 8, 1)
+    assert np.all(px == 133)  # AC was zero anyway; DC fully refined
+
+
+def test_progressive_equals_baseline_exactly():
+    """The progressive entropy layer is lossless over the same
+    quantized coefficients: progressive and baseline encodes of one
+    image must decode BIT-IDENTICALLY (not just within RMSE). This
+    cross-checks spectral selection, successive approximation (DC+AC
+    first/refine), EOB runs, and the multi-scan coefficient store
+    against the independently-tested baseline path."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (40, 56, 3)).astype(np.uint8), 90),
+        (rng.integers(0, 256, (41, 53, 1)).astype(np.uint8), 75),
+        (rng.integers(0, 256, (17, 9, 3)).astype(np.uint8), 100),
+        (rng.integers(0, 256, (64, 64, 1)).astype(np.uint8), 30),
+    ]
+    yy, xx = np.mgrid[0:48, 0:48]
+    cases.append((np.stack([xx * 4, yy * 4, (xx + yy) * 2], -1)
+                  .astype(np.uint8), 85))  # smooth: EOB-heavy scans
+    cases.append((np.full((16, 16, 1), 77, np.uint8), 90))  # flat
+    for img, q in cases:
+        a = jpeg_decode(jpeg_encode(img, quality=q))
+        b = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+        assert a[:3] == b[:3]
+        assert np.array_equal(a[3], b[3]), (img.shape, q)
+
+
+def test_progressive_eobrun_gt1_and_zrl_decode():
+    """EOBn>1 symbols (absent from the Annex K tables, so our encoder
+    never emits them) and ZRL-within-band must decode: hand-build a
+    16x8 progressive stream with a custom AC Huffman table containing
+    EOB2 (0x10), ZRL (0xF0), 0x32 and 0x00, place one AC coefficient
+    at zigzag index 20 of block 1, and cover both blocks' remainders
+    with a single EOB2."""
+    from locustdb_spark.operators.jpeg import (
+        _ZZ, _BitWriter, _build_encode_table, _idct_blocks)
+
+    # custom AC table: syms 0x00,0x10,0xF0,0x32 at lengths 2,2,2,3
+    ac_bits = [0, 3, 1] + [0] * 13
+    ac_vals = [0x00, 0x10, 0xF0, 0x32]
+    enc = _build_encode_table(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    body = bytes([0x00]) + bytes(_K_DC_LUMA[0]) + bytes(_K_DC_LUMA[1])
+    out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    body = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    # scan 1: DC first Al=0, both blocks DC=40 (diff 40 then 0)
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    bw = _BitWriter()
+    bw.write(4, 0b1110)        # DC sym 6
+    bw.write(6, 0b101000)      # +40
+    bw.write(2, 0b00)          # DC sym 0 (diff 0)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: AC first band 1-63 Al=0: block1 = ZRL + 3-run sym 0x32
+    # value +2 at k=20, then EOB2 covering block1's tail and block2
+    sos = bytes([1, 1, 0x00, 1, 63, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    bw = _BitWriter()
+    ln, c = enc[0xF0]; bw.write(ln, c)        # skip 16 -> k=17
+    ln, c = enc[0x32]; bw.write(ln, c)        # run 3 -> k=20, s=2
+    bw.write(2, 0b10)                          # magnitude +2
+    ln, c = enc[0x10]; bw.write(ln, c)        # EOB2
+    bw.write(1, 0)                             # extension: 2+0
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+
+    w, h, c, px = jpeg_decode(bytes(out))
+    assert (w, h, c) == (16, 8, 1)
+    # expected: block2 flat 133; block1 = IDCT of DC=40 + coef 2 at
+    # zigzag 20, computed with the module's own (golden-pinned) IDCT
+    coefs = np.zeros(64)
+    coefs[_ZZ[0]] = 40
+    coefs[_ZZ[20]] = 2
+    exp1 = np.clip(_idct_blocks(coefs.reshape(1, 8, 8))[0] + 128,
+                   0, 255).round().astype(np.uint8)
+    assert np.array_equal(px[:, 8:, 0], np.full((8, 8), 133))
+    assert np.array_equal(px[:, :8, 0], exp1)
 
 
 def test_multimodal_dispatch_includes_jpeg(spark):
