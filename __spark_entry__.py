@@ -1231,8 +1231,10 @@ def p_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import fingerprint
 
     # md5 variant: the only hash the DuckDB oracle can reproduce
-    # bit-for-bit. Production default is hash_fn="xxhash64" (~5x less
-    # work per shingle); tests pin the two variants cluster-equivalent.
+    # bit-for-bit. Production default is hash_fn="rolling" (an
+    # Arrow-batched numpy kernel, ~10x faster — HOF expression lambdas
+    # evaluate interpreted); tests pin the variants cluster-equivalent
+    # on exact-duplicate corpora.
     return fingerprint(_read(spark, sf_dir, "documents"), hash_fn="md5")
 
 

