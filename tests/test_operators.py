@@ -2061,3 +2061,17 @@ def test_ivf_retrain_needed_requires_baseline(spark, tmp_path):
                     assign="expr")
     with pytest.raises(ValueError, match="_stats.json"):
         ivf_retrain_needed(spark, path)
+
+
+def test_embedding_near_dup_arrow_equals_expr(emb):
+    """The per-bucket numpy kernel accumulates dots/norms dimension-
+    sequentially, so its pair similarities must be BIT-equal to the
+    interpreted expression fold on the real corpus — same pairs, same
+    rounded values."""
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    a = sorted(map(tuple, embedding_near_dup(
+        emb, threshold=0.1, num_planes=4).collect()))
+    b = sorted(map(tuple, embedding_near_dup(
+        emb, threshold=0.1, num_planes=4, impl="arrow").collect()))
+    assert a == b and len(a) > 0
