@@ -68,6 +68,40 @@ def dialect_queries() -> dict[str, str]:
     }
 
 
+def host_calibration(spark) -> dict:
+    """Fixed-workload probes of the bench host's capacity, emitted
+    alongside the timings: the shared VM drifts 1.3-2x WITHIN a
+    session (docs/BENCH_NOTES.md), which exceeds any real
+    round-over-round plan delta at these 15-300 ms query times.
+    Deterministic workloads, so the values are comparable across
+    rounds — divide two rounds' calibrations to normalize their query
+    times before attributing a delta to a plan change."""
+    import numpy as np
+
+    m = (np.arange(512 * 512, dtype=np.float64) % 97).reshape(512, 512)
+    best = min(
+        (lambda t0: (m @ m, time.perf_counter() - t0)[1])(
+            time.perf_counter())
+        for _ in range(5))
+    gflops = 2 * 512 ** 3 / best / 1e9
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    py_loop_s = time.perf_counter() - t0
+    noop = spark.range(1)
+    noop.count()  # warm the path
+    noop_best = min(
+        (lambda t0: (noop.count(), time.perf_counter() - t0)[1])(
+            time.perf_counter())
+        for _ in range(10))
+    return {
+        "numpy_matmul_gflops": round(gflops, 2),
+        "python_loop_s": round(py_loop_s, 4),
+        "spark_noop_job_ms": round(noop_best * 1000, 2),
+    }
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -202,6 +236,10 @@ def main() -> None:
         # fixed per-query parse+analyze+first-run cost, reported
         # separately (amortizes at scale; not part of the headline)
         "plan_and_warmup_sec": round(sum(plan_times.values()), 4),
+        # fixed-workload host probes (see host_calibration docstring):
+        # normalize two rounds' query times by the ratio of their
+        # calibrations before reading a delta as a plan change
+        "host_calibration": host_calibration(spark),
     }))
 
 
