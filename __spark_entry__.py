@@ -1141,6 +1141,43 @@ def p_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def p_ivf_append_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index MAINTENANCE invariant under the value-hash
+    oracle: an index built on the even half of the corpus and
+    incrementally appended with the odd half
+    (similarity.append_ivf_index, frozen centroids) must be
+    indistinguishable from one built on everything at once — so its
+    drift report must equal DuckDB's frozen-centroid assignment +
+    mean-distance computation over the FULL corpus. Same oracle SQL
+    as sim_ivf_drift; what differs is that the Spark side exercises
+    the append path end to end."""
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, ivf_drift)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+    path = tempfile.mkdtemp(prefix="ivf_append_oracle_")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path,
+                        centroids=cents, assign="expr")
+        append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path,
+                         assign="expr")
+        res = ivf_drift(spark, path).select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n", "mean_dist")
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the multi-probe LSH ANN against exact brute-force
     cosine — the evaluation loop every ANN deployment needs, itself
@@ -2465,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_frozen": p_ann_ivf_frozen,
         "sim_ann_knn_join": p_ann_knn_join,
         "sim_ivf_drift": p_ivf_drift,
+        "sim_ivf_append_drift": p_ivf_append_drift,
         "x_ann_recall": x_ann_recall,
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
@@ -4135,6 +4173,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """,
         "sim_ivf_drift": """
+            WITH c AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), sims_vc AS (
+              SELECT e.vec_id, c.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, c
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster,
+                     (array_agg(cos ORDER BY cos DESC, cid))[1]
+                         AS best_cos
+              FROM sims_vc GROUP BY vec_id
+            )
+            SELECT cluster, count(*) AS n,
+                   round(CAST(sum(CAST(round((1 - best_cos) * 1e8)
+                                       AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1e8, 6) AS mean_dist
+            FROM assign GROUP BY cluster ORDER BY cluster
+        """,
+        "sim_ivf_append_drift": """
+            -- identical to sim_ivf_drift: an appended index must be
+            -- indistinguishable from a full build (frozen centroids)
             WITH c AS (
               SELECT vec_id AS cid,
                      list_transform(embedding, x -> CAST(x AS DOUBLE))
