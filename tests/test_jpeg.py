@@ -351,3 +351,28 @@ def test_grayscale_with_subsampled_sof_decodes_per_spec():
     w, h, c, px = jpeg_decode(bytes(blob))
     assert (w, h, c) == (8, 8, 1)
     assert abs(int(px.mean()) - 90) <= 2
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(5, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_progressive_equals_baseline(w, h, ch, quality, seed):
+    """For ANY image size/content/quality, the progressive and
+    baseline encodes decode bit-identically — the two entropy layers
+    are lossless over the same quantized coefficients, so a single
+    differing pixel means a refinement/EOB/band bug."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    a = jpeg_decode(jpeg_encode(img, quality=quality))
+    b = jpeg_decode(jpeg_encode_progressive(img, quality=quality))
+    assert a[:3] == b[:3]
+    assert np.array_equal(a[3], b[3]), (w, h, ch, quality, seed)
