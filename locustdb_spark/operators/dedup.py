@@ -21,6 +21,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -513,6 +514,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.0,
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs.
 
@@ -521,14 +523,43 @@ def ngram_jaccard_pairs(
     n-grams) is evaluated map-side after the join. At scale the
     candidate table is orders of magnitude smaller than the corpus, so
     this is two broadcast-ish joins, never a corpus self-join.
+
+    ``impl="arrow"`` swaps ONLY the shingling projection for an
+    Arrow-batched kernel producing the identical distinct-gram arrays
+    (string-for-string, pytest-pinned on the real corpus): the
+    expression form is a higher-order-function transform that
+    Catalyst evaluates interpreted per position — about half this
+    operator's sf1 wall time. The joins and set algebra are compiled
+    expressions either way and stay unchanged; so does the result.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _gram_arrays(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                words = [w for w in (t or "").lower().split(" ") if w]
+                # parity with the expression form's edge cases:
+                # sequence(0, greatest(size-n, 0)) emits index 0 even
+                # for short docs, where slice() yields all words (or
+                # "" for an empty doc)
+                k = max(len(words) - n, 0)
+                g = [" ".join(words[i:i + n]) for i in range(k + 1)]
+                out.append(list(dict.fromkeys(g)))
+            return pd.Series(out)
+
+        grams = _gram_arrays(F.col(text_col))
+    elif impl == "expr":
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
+    else:
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     # Prune the corpus to documents that actually appear in a pair
     # before computing gram arrays, then persist that small table: the
     # two pair-joins below would otherwise each scan and re-shingle

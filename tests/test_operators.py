@@ -2075,3 +2075,44 @@ def test_embedding_near_dup_arrow_equals_expr(emb):
     b = sorted(map(tuple, embedding_near_dup(
         emb, threshold=0.1, num_planes=4, impl="arrow").collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_arrow_equals_expr(docs):
+    """The Arrow gram-builder produces string-identical distinct-gram
+    arrays (including short/empty-doc edge cases), so pair Jaccards
+    must be bit-equal to the expression path on the real corpus."""
+    from locustdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("n_chars").alias("nc_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"),
+                    F.col("n_chars").alias("nc_b"))
+    pairs = (a.join(b, (F.col("nc_a") == F.col("nc_b"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    x = sorted(map(tuple, ngram_jaccard_pairs(docs, pairs).collect()))
+    y = sorted(map(tuple,
+                   ngram_jaccard_pairs(docs, pairs,
+                                       impl="arrow").collect()))
+    assert x == y
+
+
+def test_ngram_jaccard_arrow_edge_docs(spark):
+    """Short and empty documents hit the expression form's quirky
+    sequence(0, greatest(size-n, 0)) edge (always one gram, possibly
+    '') — the Arrow path must reproduce it exactly."""
+    from locustdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "one two"), (4, "one two"),
+         (5, "a b c d"), (6, "a b c d")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (1, 3)], "id_a long, id_b long")
+    x = sorted(map(tuple, ngram_jaccard_pairs(docs, pairs).collect()))
+    y = sorted(map(tuple,
+                   ngram_jaccard_pairs(docs, pairs,
+                                       impl="arrow").collect()))
+    assert x == y
+    j = {(r[0], r[1]): r[2] for r in y}
+    assert j[(1, 2)] == 1.0 and j[(5, 6)] == 1.0 and j[(1, 3)] == 0.0
