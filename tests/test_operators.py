@@ -2116,3 +2116,41 @@ def test_ngram_jaccard_arrow_edge_docs(spark):
     assert x == y
     j = {(r[0], r[1]): r[2] for r in y}
     assert j[(1, 2)] == 1.0 and j[(5, 6)] == 1.0 and j[(1, 3)] == 0.0
+
+
+def test_lm_arrow_grams_equal_expr(docs):
+    """Arrow n-gram expansion == expression expansion for LM training
+    counts AND per-document scores on the real corpus (exact integer
+    parts; log-prob to 1e-9)."""
+    from locustdb_spark.operators.lm import ngram_counts, score_documents
+
+    ref = docs.filter("doc_id % 3 = 0")
+    m_e = ngram_counts(ref)
+    m_a = ngram_counts(ref, impl="arrow")
+    assert sorted(map(tuple, m_e.collect())) == \
+        sorted(map(tuple, m_a.collect()))
+    se = {r.doc_id: r for r in score_documents(docs, m_e).collect()}
+    sa = {r.doc_id: r
+          for r in score_documents(docs, m_e, impl="arrow").collect()}
+    assert set(se) == set(sa) and len(se) == 500
+    for d in se:
+        assert (se[d].n_ngrams, se[d].n_unseen, se[d].seen_cnt_sum) == \
+               (sa[d].n_ngrams, sa[d].n_unseen, sa[d].seen_cnt_sum)
+        assert abs((se[d].avg_logprob or 0.0)
+                   - (sa[d].avg_logprob or 0.0)) < 1e-9
+
+
+def test_lm_arrow_grams_edge_cases(spark):
+    """NULL text, empty text, and docs shorter than n produce the
+    same (empty) gram sets in both implementations — the
+    every-doc-restored contract."""
+    from locustdb_spark.operators.lm import score_documents, ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "one two three")],
+        "doc_id long, text string")
+    model = ngram_counts(docs.filter("doc_id = 4"))
+    for impl in ("expr", "arrow"):
+        got = {r.doc_id: r.n_ngrams
+               for r in score_documents(docs, model, impl=impl).collect()}
+        assert got == {1: 0, 2: 0, 3: 0, 4: 2}, (impl, got)
