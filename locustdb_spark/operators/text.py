@@ -296,12 +296,35 @@ def gopher_quality_filter(
     )
 
 
+def _distinct_gram_arrays_arrow(text_col: str, n: int) -> Column:
+    """Arrow-batched twin of the distinct word-n-gram expression used
+    by contamination_check (and dedup.ngram_jaccard_pairs): identical
+    gram strings, including the sequence(0, greatest(size-n, 0)) edge
+    where short/empty docs yield one (possibly partial or empty)
+    gram. One Python pass per Arrow batch instead of an interpreted
+    HOF lambda per position."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = [w for w in (t or "").lower().split(" ") if w]
+            k = max(len(words) - n, 0)
+            g = [" ".join(words[i:i + n]) for i in range(k + 1)]
+            out.append(list(dict.fromkeys(g)))
+        return pd.Series(out)
+
+    return _grams(F.col(text_col))
+
+
 def contamination_check(
     train_df: DataFrame,
     eval_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    impl: str = "expr",
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with an evaluation set.
@@ -312,15 +335,24 @@ def contamination_check(
     shuffle is the per-doc match count over the (tiny) joined subset.
     N-grams are matched as raw strings here for oracle exactness; at
     scale hash them (xxhash64) to shrink the broadcast table.
+    ``impl="arrow"`` swaps the interpreted-HOF gram expansion for an
+    Arrow kernel producing identical gram strings (pytest-pinned).
     """
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+
     def grams(d: DataFrame, *extra: str) -> DataFrame:
-        toks = _tokens(F.col(text_col))
-        g = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        if impl == "arrow":
+            g = _distinct_gram_arrays_arrow(text_col, n)
+        else:
+            toks = _tokens(F.col(text_col))
+            g = F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0),
+                               F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
             )
-        )
         return d.select(*extra, F.explode(g).alias("gram"))
 
     ev = grams(eval_df).distinct()

@@ -2154,3 +2154,15 @@ def test_lm_arrow_grams_edge_cases(spark):
         got = {r.doc_id: r.n_ngrams
                for r in score_documents(docs, model, impl=impl).collect()}
         assert got == {1: 0, 2: 0, 3: 0, 4: 2}, (impl, got)
+
+
+def test_contamination_arrow_equals_expr(docs):
+    from locustdb_spark.operators.text import contamination_check
+
+    train = docs.filter("doc_id % 20 != 0")
+    ev = docs.filter("doc_id % 20 = 0")
+    a = sorted(map(tuple, contamination_check(train, ev).collect()))
+    b = sorted(map(tuple,
+                   contamination_check(train, ev,
+                                       impl="arrow").collect()))
+    assert a == b and len(a) == 475
