@@ -7,7 +7,12 @@ Scale design (the part that matters at 100 TB):
 - MinHash signatures are computed WITHOUT exploding shingles: the
   shingle array is built per row with `sequence`/`transform` and each
   of the k hash lanes is an `array_min` over a `transform` — a pure
-  projection, zero shuffle, fully whole-stage-codegen'd JVM work.
+  projection, zero shuffle. (Caveat discovered in round 5: Catalyst
+  evaluates higher-order-function lambdas INTERPRETED, outside
+  whole-stage codegen — fine here because one shared shingle-hash
+  array feeds all k lanes, but the ops that did per-position/per-pair
+  HOF work each got an Arrow numpy kernel as the fast path; see
+  ngram_jaccard_pairs/embedding_near_dup below and text.py.)
   At 1000 executors this scales embarrassingly: signature cost is
   O(doc_len * k) per row with no data movement.
 - LSH banding shuffles only (band_id, doc_id) pairs — a few dozen
