@@ -376,3 +376,24 @@ def test_property_progressive_equals_baseline(w, h, ch, quality, seed):
     b = jpeg_decode(jpeg_encode_progressive(img, quality=quality))
     assert a[:3] == b[:3]
     assert np.array_equal(a[3], b[3]), (w, h, ch, quality, seed)
+
+
+def test_progressive_fuzz_rejected_quickly():
+    """Byte-mutations of a valid progressive stream must raise a
+    clean error or decode, never hang or crash the worker — the
+    degrade contract decode_media relies on."""
+    import time
+
+    base = bytearray(_golden_progressive_sa())
+    rng = np.random.default_rng(11)
+    t0 = time.time()
+    for _ in range(80):
+        bad = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        try:
+            jpeg_decode(bytes(bad))
+        except (ValueError, struct.error, IndexError, KeyError,
+                ZeroDivisionError):
+            pass
+    assert time.time() - t0 < 30
