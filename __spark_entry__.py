@@ -1704,6 +1704,32 @@ def x_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join that must preserve zero-order customers, then a second
+    aggregation over the first's result (histogram of per-customer
+    counts). The order side pre-aggregates to one row per custkey
+    before joining, so the join input is dimension-sized on both
+    sides; the histogram is a tiny second shuffle. The spec's
+    o_comment NOT LIKE filter becomes a priority filter (the testdata
+    has no comment column)."""
+    customer = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    counts = (
+        customer.join(per_cust,
+                      customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("_cnt", F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 def x_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): a scalar
     CORRELATED subquery — ``l_quantity < 0.2 * (SELECT avg(l_quantity)
@@ -2452,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q17": x_tpch_q17,
         "x_tpch_q21": x_tpch_q21,
         "x_tpch_q22": x_tpch_q22,
+        "x_tpch_q13": x_tpch_q13,
         "x_tpch_q7": x_tpch_q7,
         "x_tpch_q8": x_tpch_q8,
         "x_tpch_q15": x_tpch_q15,
@@ -3155,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey
             LIMIT 20
+        """,
+        "x_tpch_q13": """
+            WITH counts AS (
+              SELECT coalesce(cnt, 0) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+                         FROM orders
+                         WHERE o_orderpriority <> '1-URGENT'
+                         GROUP BY o_custkey) o
+                ON c_custkey = o_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM counts GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "x_tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
