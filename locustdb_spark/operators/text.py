@@ -117,19 +117,57 @@ def token_counts(
 
 
 def lexical_diversity(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """Repetition signals (Gopher-style quality rules): distinct-token
     ratio and the frequency share of the most common token. Pure
-    projection; the per-row cost is O(tokens * distinct) array work,
-    bounded by document length, with no shuffle."""
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    distinct = F.array_distinct(toks)
+    projection with no shuffle.
 
+    The expression form's per-row cost is O(tokens * distinct) —
+    quadratic for a document of mostly-unique tokens, which makes ONE
+    adversarially long document an executor-stalling hot row at
+    corpus scale (and the nested HOF lambdas evaluate interpreted on
+    top of that). ``impl="arrow"`` is the production path: numpy
+    unique-with-counts per document, O(n log n), identical outputs
+    (integer counts + floor-truncated ratios — no float divergence
+    possible; pytest-pinned on the real corpus)."""
     def trunc6(c: Column) -> Column:
         return F.floor(c * 1000000) / 1000000
 
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def _counts(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                words = [w for w in (t or "").lower().split(" ") if w]
+                if not words:
+                    out.append([0, 0, 0])
+                    continue
+                _, cnt = np.unique(words, return_counts=True)
+                out.append([len(words), len(cnt), int(cnt.max())])
+            return pd.Series(out)
+
+        c = _counts(F.col(text_col))
+        out = df.select(F.col(id_col), c.alias("_c"))
+        n = F.element_at("_c", 1)
+        distinct_n = F.element_at("_c", 2)
+        top = F.element_at("_c", 3)
+        return out.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            trunc6(distinct_n / F.greatest(n, F.lit(1)).cast("double"))
+            .alias("distinct_ratio"),
+            trunc6(top / F.greatest(n, F.lit(1)).cast("double"))
+            .alias("top_token_ratio"),
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
     occurrences = F.transform(
         distinct,
         lambda d: F.size(F.filter(toks, lambda t: t == d)),

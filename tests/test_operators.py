@@ -2166,3 +2166,14 @@ def test_contamination_arrow_equals_expr(docs):
                    contamination_check(train, ev,
                                        impl="arrow").collect()))
     assert a == b and len(a) == 475
+
+
+def test_lexical_diversity_arrow_equals_expr(docs):
+    """numpy unique-with-counts (O(n log n)) == the quadratic
+    expression form, bit-for-bit: counts are integers and the ratios
+    floor-truncate, so no float path can diverge."""
+    from locustdb_spark.operators.text import lexical_diversity
+
+    a = sorted(map(tuple, lexical_diversity(docs).collect()))
+    b = sorted(map(tuple, lexical_diversity(docs, impl="arrow").collect()))
+    assert a == b and len(a) == 500
