@@ -297,6 +297,7 @@ def gopher_quality_filter(
     max_tokens: int = 100_000,
     min_mean_len: int = 2,
     max_mean_len: int = 12,
+    impl: str = "expr",
 ) -> DataFrame:
     """Gopher-style quality-rule filter (Rae et al. 2021 heuristics
     adapted to word-level rules): token-count bounds, mean-token-length
@@ -308,7 +309,58 @@ def gopher_quality_filter(
     is trivially bit-identical across engines. Pure projection, no
     shuffle; at 100 TB this is the map-only pre-filter pass that runs
     before any dedup shuffle touches the data.
+
+    ``impl="arrow"`` is the production path: the expression form's
+    top-token count is O(tokens * distinct) per row (an adversarially
+    long unique-token document stalls its executor); the numpy kernel
+    is one O(n log n) unique pass, and every output is an integer, so
+    the two are bit-identical by construction (pytest-pinned).
     """
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        stopset = set(STOPWORDS)
+
+        @pandas_udf("array<long>")
+        def _feats(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                words = [w for w in (t or "").lower().split(" ") if w]
+                if not words:
+                    out.append([0, 0, 0, 0])
+                    continue
+                _, cnt = np.unique(words, return_counts=True)
+                out.append([
+                    len(words),
+                    sum(len(w) for w in words),
+                    int(cnt.max()),
+                    sum(1 for w in words if w in stopset),
+                ])
+            return pd.Series(out)
+
+        f = _feats(F.col(text_col))
+        pre = df.select(F.col(id_col), f.alias("_f"))
+        n = F.element_at("_f", 1)
+        total_len = F.element_at("_f", 2)
+        top = F.element_at("_f", 3)
+        stop_hits = F.element_at("_f", 4)
+        ok_count = (n >= min_tokens) & (n <= max_tokens)
+        ok_mean_len = (total_len >= min_mean_len * n) & \
+            (total_len <= max_mean_len * n)
+        ok_stopword = stop_hits >= 1
+        ok_repetition = (2 * top) <= n
+        return pre.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            ok_count.alias("ok_count"),
+            ok_mean_len.alias("ok_mean_len"),
+            ok_stopword.alias("ok_stopword"),
+            ok_repetition.alias("ok_repetition"),
+            (ok_count & ok_mean_len & ok_stopword & ok_repetition)
+            .alias("passes_gopher"),
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     toks = _tokens(F.col(text_col))
     n = F.size(toks).cast("long")
     total_len = F.aggregate(

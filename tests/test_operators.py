@@ -2177,3 +2177,14 @@ def test_lexical_diversity_arrow_equals_expr(docs):
     a = sorted(map(tuple, lexical_diversity(docs).collect()))
     b = sorted(map(tuple, lexical_diversity(docs, impl="arrow").collect()))
     assert a == b and len(a) == 500
+
+
+def test_gopher_arrow_equals_expr(docs):
+    """The O(n log n) numpy kernel == the quadratic expression form
+    for every gopher rule on the real corpus (all-integer outputs)."""
+    from locustdb_spark.operators.text import gopher_quality_filter
+
+    a = sorted(map(tuple, gopher_quality_filter(docs).collect()))
+    b = sorted(map(tuple,
+                   gopher_quality_filter(docs, impl="arrow").collect()))
+    assert a == b and len(a) == 500
