@@ -15,6 +15,7 @@ union of all batches:
   stream_stream_join                         == static join, same condition
   stream_dedup                               == keep-one-per-id distinct
   stream_append_ivf_index                    == batch build, same centroids
+  stream_enrich                              == static broadcast left join
 
 This is the oracle-style check the streaming family lacked: pytest
 previously pinned each op's behavior in isolation; here the CLAIMED
@@ -411,3 +412,30 @@ def test_stream_append_ivf_index_equals_batch_build(spark, tmp_path):
         str(tmp_path / "ivf_stream_ckpt2"), assign="expr")
     q2.awaitTermination(300)
     assert spark.read.parquet(idx).count() == 40
+
+
+def test_stream_enrich_equals_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment == the same left join
+    evaluated statically over the union of all micro-batches."""
+    from locustdb_spark.streaming.streams import stream_enrich
+
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, label string")
+    batches = [
+        [{"k": "a", "v": 1.0}, {"k": "c", "v": 2.0}],
+        [{"k": "b", "v": 3.0}, {"k": "a", "v": 4.0}],
+    ]
+    src = str(tmp_path / "en_src")
+    write_script(src, batches)
+    out = run_stream(
+        spark, src, "k string, v double",
+        str(tmp_path / "en_ckpt"), "enrich_equiv_out",
+        lambda s: stream_enrich(s, dim, "k"),
+    )
+    got = sorted((r.k, r.v, r.label) for r in out.collect())
+    union = spark.createDataFrame(
+        [(r["k"], r["v"]) for b in batches for r in b],
+        "k string, v double")
+    exp = sorted((r.k, r.v, r.label)
+                 for r in union.join(dim, "k", "left").collect())
+    assert got == exp and len(got) == 4
