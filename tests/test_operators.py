@@ -2188,3 +2188,18 @@ def test_gopher_arrow_equals_expr(docs):
     b = sorted(map(tuple,
                    gopher_quality_filter(docs, impl="arrow").collect()))
     assert a == b and len(a) == 500
+
+
+def test_ivf_maintenance_missing_index_errors(spark, tmp_path):
+    """Maintenance APIs on a path that is not a build_ivf_index layout
+    fail with a named error, not a confusing downstream crash."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, ivf_drift)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    missing = str(tmp_path / "not_an_index")
+    with pytest.raises(FileNotFoundError, match="_centroids.json"):
+        append_ivf_index(df, missing)
+    with pytest.raises(FileNotFoundError, match="_centroids.json"):
+        ivf_drift(spark, missing)
