@@ -1704,6 +1704,44 @@ def x_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketBy: lineitem and orders are
+    both written bucketed (8 buckets, same key) into the warehouse,
+    and the join then requires NO Exchange on either side — Spark's
+    bucketing turns the biggest shuffle of a 100 TB pipeline into a
+    map-side merge of pre-colocated files. The exchange-free plan is
+    pinned in tests/test_plans.py (broadcast disabled there so the
+    SortMergeJoin shape is what's asserted); this entry pins the
+    RESULT through the value-hash oracle. Tables are per-process
+    temporaries, dropped after materialization."""
+    import os
+
+    t1 = f"bkt_lineitem_{os.getpid()}"
+    t2 = f"bkt_orders_{os.getpid()}"
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    try:
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").format("parquet").saveAsTable(t1))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").format("parquet").saveAsTable(t2))
+        j = spark.table(t1).join(
+            spark.table(t2),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        res = (j.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.round(F.col("l_quantity")).cast("long"))
+                    .alias("sum_qty"))
+               .orderBy("o_orderpriority"))
+        rows, schema = res.collect(), res.schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    return spark.createDataFrame(rows, schema)
+
+
 def x_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT
     OUTER join that must preserve zero-order customers, then a second
@@ -2479,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q21": x_tpch_q21,
         "x_tpch_q22": x_tpch_q22,
         "x_tpch_q13": x_tpch_q13,
+        "x_bucketed_join": x_bucketed_join,
         "x_tpch_q7": x_tpch_q7,
         "x_tpch_q8": x_tpch_q8,
         "x_tpch_q15": x_tpch_q15,
@@ -3182,6 +3221,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey
             LIMIT 20
+        """,
+        "x_bucketed_join": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "x_tpch_q13": """
             WITH counts AS (

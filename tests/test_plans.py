@@ -498,3 +498,40 @@ def test_segment_dedup_plans_have_no_window(spark):
         assert "Window" not in plan
         # the keep/drop decision is an aggregate with a partial phase
         assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """bucketBy co-location: two tables bucketed on the join key with
+    matching bucket counts sort-merge-join with ZERO Exchange nodes —
+    the pattern that turns a 100 TB fact-fact shuffle into a map-side
+    merge. Broadcast is disabled so the SMJ shape is what's pinned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t1, t2 = f"tbkt_a_{os.getpid()}", f"tbkt_b_{os.getpid()}"
+    li = spark.read.parquet(f"{TESTDATA_SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{TESTDATA_SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").format("parquet").saveAsTable(t1))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").format("parquet").saveAsTable(t2))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t1).join(
+            spark.table(t2),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan, plan[:600]
+        assert n_exchanges(plan) == 0, plan[:600]
+        # and the result matches the plain (shuffled) join
+        plain = li.join(orders,
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
