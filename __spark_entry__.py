@@ -1281,6 +1281,89 @@ def p_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(_read(spark, sf_dir, "documents"))
 
 
+# The Arrow production kernels below are built bit-equal to their
+# expression forms (dimension-sequential accumulation / integer
+# outputs / identical gram strings), so the SAME SQL oracle gates
+# them — turning the pytest parity pins into driver value-hash rows
+# for the fast paths.
+
+def p_lexical_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lexical_diversity's numpy unique-with-counts production kernel
+    under the value-hash oracle (same SQL as text_lexical: the kernel
+    is bit-equal by construction — integer counts, floor-truncated
+    ratios)."""
+    from locustdb_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(_read(spark, sf_dir, "documents"),
+                             impl="arrow")
+
+
+def p_gopher_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_quality_filter's O(n log n) Arrow kernel under the
+    value-hash oracle (same SQL as text_gopher; all-integer rules)."""
+    from locustdb_spark.operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(_read(spark, sf_dir, "documents"),
+                                 impl="arrow")
+
+
+def p_repetition_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repetition_stats' exact vocabulary-id Arrow kernel under the
+    value-hash oracle (same SQL as text_repetition; the kernel
+    distincts packed ids — no hash, so counts are exactly the
+    expression path's)."""
+    from locustdb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"),
+                            impl="arrow")
+
+
+def p_decontaminate_arrow(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """contamination_check with the Arrow gram expansion under the
+    value-hash oracle (same SQL as text_decontaminate; gram strings
+    identical)."""
+    from locustdb_spark.operators.text import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_check(train, ev, impl="arrow")
+
+
+def p_embedding_near_dup_arrow(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """embedding_near_dup's per-bucket numpy pair kernel under the
+    value-hash oracle (same SQL as dedup_embedding_cosine: dots and
+    norms accumulate dimension-sequentially and rounding is HALF_UP,
+    so similarities are bit-equal to the expression fold)."""
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        emb, threshold=0.1, num_planes=ANN_PLANES, impl="arrow")
+
+
+def p_ngram_jaccard_arrow(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs with the Arrow gram builder under the
+    value-hash oracle (same SQL as dedup_ngram_jaccard; gram strings
+    identical, compiled set algebra unchanged)."""
+    from locustdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("n_chars").alias("nc_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"),
+                    F.col("n_chars").alias("nc_b"))
+    pairs = a.join(b, (F.col("nc_a") == F.col("nc_b"))
+                   & (F.col("id_a") < F.col("id_b"))) \
+        .select("id_a", "id_b")
+    out = ngram_jaccard_pairs(docs, pairs, impl="arrow")
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def p_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import pattern_counts
 
@@ -2593,6 +2676,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": p_multimodal_resize,
         "multimodal_frames": p_multimodal_frames,
         "multimodal_frames_mp4": p_multimodal_frames_mp4,
+        # Arrow production kernels under the SAME oracles as their
+        # expression siblings (bit-equal by construction)
+        "text_lexical_arrow": p_lexical_arrow,
+        "text_gopher_arrow": p_gopher_arrow,
+        "text_repetition_arrow": p_repetition_arrow,
+        "text_decontaminate_arrow": p_decontaminate_arrow,
+        "dedup_embedding_cosine_arrow": p_embedding_near_dup_arrow,
+        "dedup_ngram_jaccard_arrow": p_ngram_jaccard_arrow,
     }
     # Order the inventory so any sampled PREFIX covers every tier:
     # round-robin interleave of (LLM-pipeline, reference-dialect, x_
@@ -4695,4 +4786,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
     }
+    # Arrow production kernels are bit-equal to their expression
+    # siblings by construction, so they share the same SQL oracle —
+    # giving the fast paths their own driver value-hash rows.
+    for arrow_key, expr_key in (
+        ("text_lexical_arrow", "text_lexical"),
+        ("text_gopher_arrow", "text_gopher"),
+        ("text_repetition_arrow", "text_repetition"),
+        ("text_decontaminate_arrow", "text_decontaminate"),
+        ("dedup_embedding_cosine_arrow", "dedup_embedding_cosine"),
+        ("dedup_ngram_jaccard_arrow", "dedup_ngram_jaccard"),
+    ):
+        o[arrow_key] = o[expr_key]
     return o
