@@ -337,9 +337,16 @@ def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (from_json projected before the aggregate); Catalyst does not CSE
     get_json_object, so repeating it in the group key and the
     aggregate would parse every props string twice — measurably the
-    dominant cost at scale for a wide JSON column."""
+    dominant cost at scale for a wide JSON column.
+
+    The field is parsed as STRING and cast to long (not `k BIGINT`
+    directly): from_json's typed-field path nulls coercible-but-quoted
+    values like ``"12"``, while CAST preserves the
+    get_json_object+cast coercion semantics this query always had —
+    and matches the DuckDB oracle's CAST(json_extract_string(...) AS
+    BIGINT). Still exactly one parse per row."""
     ev = _read(spark, sf_dir, "events")
-    k = F.from_json("props", "k BIGINT")["k"]
+    k = F.from_json("props", "k STRING")["k"].cast("long")
     return (
         ev.filter(F.col("props").isNotNull())
         .select(k.alias("_k"))
@@ -535,7 +542,7 @@ def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_chars").alias("nc_b"))
     pairs = a.join(b, (F.col("nc_a") == F.col("nc_b"))
                    & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
-    out = ngram_jaccard_pairs(docs, pairs)
+    out = ngram_jaccard_pairs(docs, pairs, impl="expr")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -547,7 +554,7 @@ def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_near_dup(
-        emb, threshold=0.1, num_planes=ANN_PLANES)
+        emb, threshold=0.1, num_planes=ANN_PLANES, impl="expr")
 
 
 def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,7 +1285,8 @@ def p_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import lexical_diversity
 
-    return lexical_diversity(_read(spark, sf_dir, "documents"))
+    return lexical_diversity(_read(spark, sf_dir, "documents"),
+                             impl="expr")
 
 
 # The Arrow production kernels below are built bit-equal to their
@@ -1373,13 +1381,15 @@ def p_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import gopher_quality_filter
 
-    return gopher_quality_filter(_read(spark, sf_dir, "documents"))
+    return gopher_quality_filter(_read(spark, sf_dir, "documents"),
+                                 impl="expr")
 
 
 def p_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import repetition_stats
 
-    return repetition_stats(_read(spark, sf_dir, "documents"))
+    return repetition_stats(_read(spark, sf_dir, "documents"),
+                            impl="expr")
 
 
 def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,7 +1400,7 @@ def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 20 != 0)
     ev = docs.filter(F.col("doc_id") % 20 == 0)
-    return contamination_check(train, ev, n=3)
+    return contamination_check(train, ev, n=3, impl="expr")
 
 
 def x_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2708,6 +2718,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for t in (0, 1, 2):
             if i < len(tiers[t]):
                 order.append(tiers[t][i])
+    # Rotate the interleaved list's START per round (r5 task 2): the
+    # driver samples a prefix, and a static order means the same ~50
+    # keys get the external gate row every round while the rest only
+    # ever see judge/self sweeps. The round counter is the number of
+    # committed CORRECTNESS_r*.json artifacts next to this file —
+    # deterministic, derived from repo state, no clock — so each
+    # round's 50-entry prefix starts 50 entries further along and
+    # every entry cycles under the driver gate every ~3 rounds.
+    import glob as _glob
+    import os as _os
+    _here = _os.path.dirname(_os.path.abspath(__file__))
+    _round = len(_glob.glob(_os.path.join(_here, "CORRECTNESS_r*.json")))
+    off = (50 * _round) % len(order) if order else 0
+    order = order[off:] + order[:off]
     return {k: q[k] for k in order}
 
 

@@ -26,6 +26,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import decimal
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -309,7 +311,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 6,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with hyperplane-LSH
     blocking: vectors are assigned a sign-LSH bucket (one projection,
@@ -323,18 +325,23 @@ def embedding_near_dup(
     by running multiple plane-sets and unioning, the standard banding
     trade-off. Output: (id_a, id_b, cosine_sim) with id_a < id_b.
 
-    ``impl="arrow"`` is the production path at scale: one
-    applyInPandas kernel per bucket computes every pair similarity as
-    a handful of vectorized numpy ops (accumulating DIMENSION-
-    SEQUENTIALLY, so each dot/norm is bit-identical to the expression
-    fold) and emits only pairs above threshold — the expression path
-    instead evaluates one interpreted aggregate/zip_with lambda per
-    candidate pair and materializes every below-threshold pair row
-    before filtering (measured at sf1: 262 s expr vs ~4 s arrow for
-    50k vectors / ~5M candidate pairs). Same single bucket-keyed
-    shuffle either way; the default stays "expr" because that is the
-    variant the DuckDB value-hash oracle replays, and the two are
-    pytest-pinned bit-equal on the real corpus.
+    ``impl="arrow"`` (the DEFAULT since r6) is the production path at
+    scale: one applyInPandas kernel per bucket computes every pair
+    similarity as a handful of vectorized numpy ops (accumulating
+    DIMENSION-SEQUENTIALLY, so each dot/norm is bit-identical to the
+    expression fold; the final round emulates Spark's
+    shortest-decimal-repr BigDecimal HALF_UP exactly, equal by
+    construction; and a zero-norm vector raises DIVIDE_BY_ZERO just
+    like the ANSI expression path does — no silent NaN divergence)
+    and emits only pairs above threshold — the
+    expression path instead evaluates one interpreted
+    aggregate/zip_with lambda per candidate pair and materializes
+    every below-threshold pair row before filtering (measured at sf1:
+    262 s expr vs ~4 s arrow for 50k vectors / ~5M candidate pairs).
+    Same single bucket-keyed shuffle either way; ``impl="expr"`` is
+    the variant the DuckDB value-hash oracle replays (both variants
+    sit under the same oracle via the `dedup_embedding_cosine[_arrow]`
+    registry entries and are pinned equal).
     """
     from .similarity import _infer_dims, bucket_expr, cosine
 
@@ -367,7 +374,23 @@ def embedding_near_dup(
             for j in range(m.shape[1]):
                 norm2 = norm2 + m[:, j] * m[:, j]
             norms = np.sqrt(norm2)
+            if np.any(norm2 == 0.0):
+                # Parity with the expression path: the session runs
+                # ANSI mode, where Spark 4 raises DIVIDE_BY_ZERO even
+                # for double division — a zero-norm vector in any
+                # >=2-row bucket makes the expr variant fail, so the
+                # kernel must fail too (numpy would silently emit NaN
+                # pairs instead). r6 ADVICE fix, pinned in
+                # test_embedding_near_dup_zero_norm_raises_both_impls.
+                bad = ids[norm2 == 0.0][:5].tolist()
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding(s) "
+                    f"(ids {bad}): cosine similarity is undefined. "
+                    "The ANSI expression path raises for the same "
+                    "input; filter zero vectors out before near-dup.")
             out_a, out_b, out_s = [], [], []
+            quantum = (decimal.Decimal(1).scaleb(-round_to)
+                       if scale is not None else None)
             # row blocks bound the pair-matrix allocation per step
             block = max(1, (1 << 22) // max(n, 1))
             for i0 in range(0, n - 1, block):
@@ -379,15 +402,32 @@ def embedding_near_dup(
                     dots = dots + m[rows, None, j] * m[None, :, j]
                 sims = dots / (norms[rows, None] * norms[None, :])
                 if scale is not None:
-                    # Spark round() = HALF_UP away from zero
-                    sims = (np.floor(np.abs(sims) * scale + 0.5)
-                            / scale * np.sign(sims))
-                ii, kk = np.nonzero(sims >= threshold)
+                    # candidate superset on the RAW value (rounding
+                    # moves a value by at most 0.5/scale), exact-round
+                    # only the candidates below
+                    cand = sims >= threshold - 1.0 / scale
+                else:
+                    cand = sims >= threshold
+                ii, kk = np.nonzero(cand)
                 keep = kk > (rows[ii])  # strictly upper triangle
                 ii, kk = ii[keep], kk[keep]
+                vals = sims[ii, kk]
+                if scale is not None and len(vals):
+                    # Spark round(double, d) = BigDecimal HALF_UP on
+                    # the double's SHORTEST DECIMAL REPR
+                    # (BigDecimal.valueOf -> Double.toString), which
+                    # python repr()+decimal reproduces exactly —
+                    # equal by construction, not corpus-pinned. Runs
+                    # only over near/above-threshold candidates.
+                    vals = np.array([float(
+                        decimal.Decimal(repr(float(v))).quantize(
+                            quantum, rounding=decimal.ROUND_HALF_UP))
+                        for v in vals], dtype=np.float64)
+                    sel = vals >= threshold
+                    ii, kk, vals = ii[sel], kk[sel], vals[sel]
                 out_a.append(ids[rows[ii]])
                 out_b.append(ids[kk])
-                out_s.append(sims[ii, kk])
+                out_s.append(vals)
             return pd.DataFrame({
                 "id_a": np.concatenate(out_a) if out_a else
                 np.array([], dtype=np.int64),
@@ -519,7 +559,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.0,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs.
 
@@ -529,7 +569,8 @@ def ngram_jaccard_pairs(
     candidate table is orders of magnitude smaller than the corpus, so
     this is two broadcast-ish joins, never a corpus self-join.
 
-    ``impl="arrow"`` swaps ONLY the shingling projection for an
+    ``impl="arrow"`` (the DEFAULT since r6) swaps ONLY the shingling
+    projection for an
     Arrow-batched kernel producing the identical distinct-gram arrays
     (string-for-string, pytest-pinned on the real corpus): the
     expression form is a higher-order-function transform that

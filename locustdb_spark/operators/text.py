@@ -118,7 +118,7 @@ def token_counts(
 
 def lexical_diversity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Repetition signals (Gopher-style quality rules): distinct-token
     ratio and the frequency share of the most common token. Pure
@@ -297,7 +297,7 @@ def gopher_quality_filter(
     max_tokens: int = 100_000,
     min_mean_len: int = 2,
     max_mean_len: int = 12,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher-style quality-rule filter (Rae et al. 2021 heuristics
     adapted to word-level rules): token-count bounds, mean-token-length
@@ -414,7 +414,7 @@ def contamination_check(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with an evaluation set.
@@ -475,6 +475,15 @@ def fingerprint(
     `window`-char shingles of the lowercased text, plus the full-text
     md5. Near-identical docs share the min-shingle fingerprint with
     high probability; identical docs share content_md5.
+
+    **VALUE-COMPATIBILITY BREAK (r5)**: the default ``hash_fn``
+    changed ``"md5"`` -> ``"rolling"``. The hash families produce
+    DIFFERENT fingerprint values — only cluster equivalence (which
+    docs share a fingerprint) is preserved across them. If you join
+    new output against fingerprints persisted before the change (or
+    by any caller still passing ``hash_fn="md5"``), pass the SAME
+    ``hash_fn`` explicitly on both sides; default-vs-default across
+    the version boundary will silently match nothing.
 
     ``hash_fn``:
     - ``"rolling"`` (default, the production path): an Arrow-batched
@@ -621,7 +630,7 @@ def repetition_stats(
     ngram: int = 3,
     max_dup_fraction_pct: int = 20,
     hash_ngrams: bool = False,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Duplicate word-n-gram repetition statistics per document (the
     Gopher / FineWeb "repetition removal" heuristic family, Rae et al.
@@ -641,15 +650,17 @@ def repetition_stats(
     10k-n-gram document) — use the default exact path where an
     independent engine must reproduce the numbers bit-for-bit.
 
-    ``impl="arrow"`` is the production path at scale: an Arrow-batched
+    ``impl="arrow"`` (the DEFAULT since r6) is the production path at
+    scale: an Arrow-batched
     numpy kernel that maps tokens to vocabulary ids and distincts
     packed id-triples — EXACT (no hash collisions at all) and ~50x
     faster than the expression paths, whose higher-order-function
     lambdas Catalyst evaluates interpreted per element (measured at
-    sf1: 132 s expr vs ~3 s arrow for 50k documents). The default
-    stays ``impl="expr"`` because that is the variant an independent
-    SQL engine can replay for the value-hash oracle; both must agree
-    bit-for-bit (pytest-pinned), so the choice is purely a speed knob.
+    sf1: 132 s expr vs ~3 s arrow for 50k documents).
+    ``impl="expr"`` is the variant an independent SQL engine can
+    replay for the value-hash oracle; both agree bit-for-bit and both
+    sit under the driver's oracle gate (`text_repetition[_arrow]`),
+    so the choice is purely a speed knob.
 
     Pure projection over the scan (array expressions / one Arrow
     round-trip): at 100 TB this runs in the same map-only pre-filter

@@ -512,7 +512,8 @@ def test_repetition_stats_hash_ngrams_equivalent(spark):
          (3, "x"),
          (4, "spark spark spark spark spark spark spark")],
         ["doc_id", "text"])
-    exact = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    exact = {r.doc_id: r
+             for r in repetition_stats(docs, impl="expr").collect()}
     fast = {r.doc_id: r
             for r in repetition_stats(docs, hash_ngrams=True).collect()}
     arrow = {r.doc_id: r
@@ -532,7 +533,7 @@ def test_repetition_arrow_equals_expr_on_corpus(docs):
     from locustdb_spark.operators.text import repetition_stats
 
     a = {r.doc_id: (r.n_ngrams, r.n_distinct, r.n_dup, r.keep)
-         for r in repetition_stats(docs).collect()}
+         for r in repetition_stats(docs, impl="expr").collect()}
     b = {r.doc_id: (r.n_ngrams, r.n_distinct, r.n_dup, r.keep)
          for r in repetition_stats(docs, impl="arrow").collect()}
     assert a == b and len(a) == 500
@@ -2071,7 +2072,7 @@ def test_embedding_near_dup_arrow_equals_expr(emb):
     from locustdb_spark.operators.dedup import embedding_near_dup
 
     a = sorted(map(tuple, embedding_near_dup(
-        emb, threshold=0.1, num_planes=4).collect()))
+        emb, threshold=0.1, num_planes=4, impl="expr").collect()))
     b = sorted(map(tuple, embedding_near_dup(
         emb, threshold=0.1, num_planes=4, impl="arrow").collect()))
     assert a == b and len(a) > 0
@@ -2090,7 +2091,8 @@ def test_ngram_jaccard_arrow_equals_expr(docs):
     pairs = (a.join(b, (F.col("nc_a") == F.col("nc_b"))
                     & (F.col("id_a") < F.col("id_b")))
              .select("id_a", "id_b"))
-    x = sorted(map(tuple, ngram_jaccard_pairs(docs, pairs).collect()))
+    x = sorted(map(tuple, ngram_jaccard_pairs(docs, pairs,
+                                              impl="expr").collect()))
     y = sorted(map(tuple,
                    ngram_jaccard_pairs(docs, pairs,
                                        impl="arrow").collect()))
@@ -2109,7 +2111,8 @@ def test_ngram_jaccard_arrow_edge_docs(spark):
         "doc_id long, text string")
     pairs = spark.createDataFrame(
         [(1, 2), (3, 4), (5, 6), (1, 3)], "id_a long, id_b long")
-    x = sorted(map(tuple, ngram_jaccard_pairs(docs, pairs).collect()))
+    x = sorted(map(tuple, ngram_jaccard_pairs(docs, pairs,
+                                              impl="expr").collect()))
     y = sorted(map(tuple,
                    ngram_jaccard_pairs(docs, pairs,
                                        impl="arrow").collect()))
@@ -2161,7 +2164,8 @@ def test_contamination_arrow_equals_expr(docs):
 
     train = docs.filter("doc_id % 20 != 0")
     ev = docs.filter("doc_id % 20 = 0")
-    a = sorted(map(tuple, contamination_check(train, ev).collect()))
+    a = sorted(map(tuple, contamination_check(train, ev,
+                                              impl="expr").collect()))
     b = sorted(map(tuple,
                    contamination_check(train, ev,
                                        impl="arrow").collect()))
@@ -2174,7 +2178,8 @@ def test_lexical_diversity_arrow_equals_expr(docs):
     floor-truncate, so no float path can diverge."""
     from locustdb_spark.operators.text import lexical_diversity
 
-    a = sorted(map(tuple, lexical_diversity(docs).collect()))
+    a = sorted(map(tuple, lexical_diversity(docs,
+                                            impl="expr").collect()))
     b = sorted(map(tuple, lexical_diversity(docs, impl="arrow").collect()))
     assert a == b and len(a) == 500
 
@@ -2184,7 +2189,8 @@ def test_gopher_arrow_equals_expr(docs):
     for every gopher rule on the real corpus (all-integer outputs)."""
     from locustdb_spark.operators.text import gopher_quality_filter
 
-    a = sorted(map(tuple, gopher_quality_filter(docs).collect()))
+    a = sorted(map(tuple, gopher_quality_filter(docs,
+                                                impl="expr").collect()))
     b = sorted(map(tuple,
                    gopher_quality_filter(docs, impl="arrow").collect()))
     assert a == b and len(a) == 500
@@ -2203,3 +2209,46 @@ def test_ivf_maintenance_missing_index_errors(spark, tmp_path):
         append_ivf_index(df, missing)
     with pytest.raises(FileNotFoundError, match="_centroids.json"):
         ivf_drift(spark, missing)
+
+
+def test_embedding_near_dup_zero_norm_raises_both_impls(spark):
+    """The session runs ANSI mode, where Spark 4 raises DIVIDE_BY_ZERO
+    even for DOUBLE division — so a zero-norm vector makes the
+    expression path FAIL, not emit NaN. The Arrow kernel must match
+    that outcome instead of silently dropping (numpy NaN-compares
+    false) or keeping NaN pairs — r6 ADVICE fix, pinned here."""
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    # num_planes=0 -> single bucket: the zero vector pairs with others
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        embedding_near_dup(
+            emb, threshold=0.9, num_planes=0, impl="expr").collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        embedding_near_dup(
+            emb, threshold=0.9, num_planes=0, impl="arrow").collect()
+
+
+def test_embedding_near_dup_arrow_round_boundary(spark):
+    """The Arrow kernel's rounding is Spark round() BY CONSTRUCTION
+    (BigDecimal HALF_UP on the double's shortest decimal repr,
+    reproduced via python repr+decimal): pairs whose RAW similarity is
+    just below threshold but round UP across it must be included, and
+    the emitted value must equal Spark's rounded value exactly."""
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    # cos((1,0),(cos t, sin t)) = cos t; pick cos t ~ 0.8999996 so the
+    # raw sim rounds to 0.9 at round_to=6 and crosses threshold=0.9
+    c = 0.89999960
+    import math as m
+    s = m.sqrt(1 - c * c)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [c, s])],
+        "vec_id long, embedding array<double>")
+    a = {(r.id_a, r.id_b): r.cosine_sim for r in embedding_near_dup(
+        emb, threshold=0.9, num_planes=0, impl="expr").collect()}
+    b = {(r.id_a, r.id_b): r.cosine_sim for r in embedding_near_dup(
+        emb, threshold=0.9, num_planes=0, impl="arrow").collect()}
+    assert a == b == {(1, 2): 0.9}

@@ -535,3 +535,47 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_arrow_kernels_are_the_default_impl(spark):
+    """r6 (VERDICT task 1): the six oracle-gated Arrow kernels are the
+    PRODUCTION DEFAULTS — a caller who doesn't read the docstring gets
+    the measured-10-50x-faster path, not the interpreted-HOF one. Two
+    pins per operator: the signature default is 'arrow', and the plan
+    a default call compiles to actually contains an Arrow-batched
+    Python node (ArrowEvalPython / FlatMapGroupsInPandas), proving the
+    default dispatches into the kernel."""
+    import inspect
+
+    from locustdb_spark.operators.dedup import (
+        embedding_near_dup, ngram_jaccard_pairs)
+    from locustdb_spark.operators.text import (
+        contamination_check, gopher_quality_filter, lexical_diversity,
+        repetition_stats)
+
+    for fn in (lexical_diversity, gopher_quality_filter,
+               contamination_check, repetition_stats,
+               embedding_near_dup, ngram_jaccard_pairs):
+        assert inspect.signature(fn).parameters["impl"].default == \
+            "arrow", fn.__name__
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b"))
+    defaults = {
+        "lexical_diversity": lexical_diversity(docs),
+        "gopher_quality_filter": gopher_quality_filter(docs),
+        "contamination_check": contamination_check(
+            docs.filter("doc_id % 20 != 0"),
+            docs.filter("doc_id % 20 = 0")),
+        "repetition_stats": repetition_stats(docs),
+        "embedding_near_dup": embedding_near_dup(emb, threshold=0.1,
+                                                 num_planes=4),
+        "ngram_jaccard_pairs": ngram_jaccard_pairs(docs, pairs),
+    }
+    for name, df in defaults.items():
+        plan = explain_str(df)
+        assert ("ArrowEvalPython" in plan
+                or "FlatMapGroupsInPandas" in plan), (name, plan[:600])
+        assert "BatchEvalPython" not in plan, name
