@@ -20,10 +20,26 @@ Scale design:
 
 from __future__ import annotations
 
+import json
+import os
+import time
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+class IvfUpsertLockError(RuntimeError):
+    """Another `append_ivf_index(upsert=True)` holds the index's
+    `_upsert.lock` (or a crashed one left it behind)."""
+
+
+class IvfUpsertTornError(RuntimeError):
+    """An upsert swap failed partway: the index partitions are torn,
+    but every byte survives in the aside/stage dirs named in the
+    message. The lock is intentionally left held."""
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -604,6 +620,22 @@ def append_ivf_index(
     for. The batch id set is broadcast, so upsert batches should be
     bounded (the incremental regime); bulk rewrites should rebuild.
 
+    Writer safety (r6): concurrent upserts are excluded by a
+    put-if-absent lock file (`_upsert.lock`, via the same per-scheme
+    atomic-create primitive versioned.py commits ride — POSIX link /
+    HDFS no-clobber rename / object-store conditional PUT); a second
+    maintenance job raises `IvfUpsertLockError` instead of silently
+    interleaving renames with the first. The staging directory is
+    unique per invocation, and the swap never deletes live data:
+    each old partition is renamed ASIDE (into a dot-prefixed dir
+    Spark readers ignore) before its replacement is renamed in, so a
+    failure at any point leaves every byte recoverable — the error
+    message names the aside/stage dirs and the lock is intentionally
+    left held until a human (or retry logic) restores or completes
+    the swap. Readers can still observe a brief per-partition gap
+    between the two renames; a reader-transactional index is what
+    `versioned.py` provides.
+
     Drift: appended vectors are quantized by STALE centroids — monitor
     `ivf_drift` and retrain (full `build_ivf_index`) when the mean
     distance to assigned centroids rises materially over the
@@ -633,25 +665,66 @@ def append_ivf_index(
             .join(F.broadcast(new_ids), id_col, "left_anti"))
     replacement = keep.unionByName(
         assigned.select(*keep.columns))
-    # Stage the rewritten partitions in a sibling directory, then swap
-    # each cluster dir in with a rename: never overwrite a path that
-    # the replacement plan is still reading from.
-    stage = path.rstrip("/") + "__upsert_stage"
-    (replacement.write.mode("overwrite")
-     .partitionBy("cluster").parquet(stage))
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    from ..storage import HadoopStorage
+
+    store = HadoopStorage(spark)
+    base = path.rstrip("/")
+    token = uuid.uuid4().hex
+    # Exclude concurrent upserts BEFORE any byte moves: two jobs
+    # interleaving per-cluster renames would tear the index.
+    lock = f"{base}/_upsert.lock"
+    payload = json.dumps({"token": token, "pid": os.getpid(),
+                          "acquired_unix": time.time()}).encode()
+    if not store.put_if_absent(lock, payload):
+        raise IvfUpsertLockError(
+            f"{lock} is held by another upsert (or left by a crashed "
+            "one). Wait for it to finish; if the holder crashed "
+            "before any swap (no .upsert_aside_* dir under the "
+            "index), delete the lock file and retry; if it crashed "
+            "mid-swap, restore the aside partitions first.")
+    # Unique per-invocation staging dir: even if the lock is ever
+    # force-removed wrongly, two writers can't overwrite each other's
+    # staged output.
+    stage = f"{base}__upsert_stage_{token}"
+    aside = f"{base}/.upsert_aside_{token}"  # dot-dir: readers skip it
     try:
+        (replacement.write.mode("overwrite")
+         .partitionBy("cluster").parquet(stage))
+    except BaseException:
+        # nothing has touched the live index yet — clean exit
+        store.delete_dir(stage)
+        store.delete(lock)
+        raise
+    swapped: list[int] = []
+    try:
+        store.mkdirs(aside)
         for k in affected:
-            dst = jvm.org.apache.hadoop.fs.Path(f"{path}/cluster={k}")
-            src = jvm.org.apache.hadoop.fs.Path(f"{stage}/cluster={k}")
-            fs.delete(dst, True)
-            if fs.exists(src):  # absent = the upsert emptied cluster k
-                fs.rename(src, dst)
-    finally:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+            dst = f"{base}/cluster={k}"
+            src = f"{stage}/cluster={k}"
+            # move the OLD partition aside (never delete live data
+            # before its replacement is in place — a failure between
+            # delete and rename would lose the cluster)
+            if store.exists(dst):
+                store.rename(dst, f"{aside}/cluster={k}")
+            if store.exists(src):  # absent = the upsert emptied k
+                store.rename(src, dst)
+            swapped.append(k)
+    except BaseException as exc:
+        # Leave stage + aside for recovery and HOLD the lock: the
+        # index is torn until the asides are restored or the swap is
+        # completed, and another upsert must not run over it.
+        raise IvfUpsertTornError(
+            f"IVF upsert failed mid-swap after clusters {swapped} of "
+            f"{affected}. NO DATA WAS LOST: pre-swap partitions are "
+            f"under {aside}, staged replacements under {stage}. "
+            f"Recover by either (a) renaming the aside partitions "
+            f"back into {base} (rollback) or (b) renaming the "
+            f"remaining staged partitions in (roll forward), then "
+            f"delete {lock}.") from exc
+    # every rename landed — only now is it safe to drop the old bytes
+    store.delete_dir(aside)
+    store.delete_dir(stage)
+    store.delete(lock)
 
 
 def _drift_stats(

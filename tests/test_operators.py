@@ -2008,7 +2008,11 @@ def test_upsert_ivf_index_empties_a_cluster(spark, tmp_path):
     assert sorted(r.vec_id for r in got) == list(range(6))
     assert {r.cluster for r in got} == {1}
     assert not (tmp_path / "ivf_empty" / "cluster=0").exists()
-    assert not (tmp_path / "ivf_empty__upsert_stage").exists()
+    # unique-token staging dirs, aside dirs, and the writer lock must
+    # all be gone after a clean upsert
+    assert not list(tmp_path.glob("ivf_empty__upsert_stage*"))
+    assert not list((tmp_path / "ivf_empty").glob(".upsert_aside_*"))
+    assert not (tmp_path / "ivf_empty" / "_upsert.lock").exists()
 
 
 def test_ivf_drift_baseline_and_retrain_signal(spark, tmp_path):
@@ -2252,3 +2256,190 @@ def test_embedding_near_dup_arrow_round_boundary(spark):
     b = {(r.id_a, r.id_b): r.cosine_sim for r in embedding_near_dup(
         emb, threshold=0.9, num_planes=0, impl="arrow").collect()}
     assert a == b == {(1, 2): 0.9}
+
+
+def test_upsert_ivf_index_lock_excludes_second_writer(spark, tmp_path):
+    """r6 (VERDICT task 3): a held `_upsert.lock` makes a second
+    upsert fail fast with IvfUpsertLockError instead of interleaving
+    renames with the first writer — and after the lock is released the
+    retried upsert produces exactly the serial result."""
+    from locustdb_spark.operators.similarity import (
+        IvfUpsertLockError, append_ivf_index, build_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(200)
+    cents = _frozen_cents(emb)
+    path = str(tmp_path / "ivf_lock")
+    build_ivf_index(emb, path, centroids=cents, assign="expr")
+
+    # writer A "holds" the lock (simulate its critical section)
+    lock = tmp_path / "ivf_lock" / "_upsert.lock"
+    lock.write_bytes(b'{"token": "held-by-A"}')
+    moved = (emb.filter("vec_id >= 100 AND vec_id < 120")
+             .withColumn("vec_id", F.col("vec_id") - 100))
+    with pytest.raises(IvfUpsertLockError, match="_upsert.lock"):
+        append_ivf_index(moved, path, assign="expr", upsert=True)
+    # index untouched by the refused writer
+    assert spark.read.parquet(path).count() == 200
+
+    lock.unlink()  # A finishes; B retries
+    append_ivf_index(moved, path, assign="expr", upsert=True)
+    post = emb.filter("vec_id >= 20 OR vec_id >= 120") \
+        .filter("NOT (vec_id < 20)").unionByName(moved)
+    rebuilt = str(tmp_path / "ivf_lock_rebuild")
+    build_ivf_index(post, rebuilt, centroids=cents, assign="expr")
+    a = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(path).select("vec_id", "cluster")
+               .collect())
+    b = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(rebuilt).select("vec_id", "cluster")
+               .collect())
+    assert a == b and len(a) == 200
+    assert not lock.exists()
+
+
+def test_upsert_ivf_index_racing_threads_serialize(spark, tmp_path):
+    """Two upserts racing from separate driver threads: the lock
+    admits exactly one at a time; with a retry loop both eventually
+    land and the final index equals applying both batches serially —
+    no lost updates, no torn partitions, no leftover stage/aside/lock
+    artifacts."""
+    import threading
+    import time as _t
+
+    from locustdb_spark.operators.similarity import (
+        IvfUpsertLockError, append_ivf_index, build_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(300)
+    cents = _frozen_cents(emb)
+    path = str(tmp_path / "ivf_race")
+    build_ivf_index(emb, path, centroids=cents, assign="expr")
+
+    # disjoint id ranges so the serial-equivalent result is
+    # order-independent
+    batch_a = (emb.filter("vec_id >= 200 AND vec_id < 230")
+               .withColumn("vec_id", F.col("vec_id") - 200))
+    batch_b = (emb.filter("vec_id >= 230 AND vec_id < 260")
+               .withColumn("vec_id", F.col("vec_id") - 180))
+    errs, lock_hits = [], [0]
+
+    def worker(batch):
+        for _ in range(60):
+            try:
+                append_ivf_index(batch, path, assign="expr",
+                                 upsert=True)
+                return
+            except IvfUpsertLockError:
+                lock_hits[0] += 1
+                _t.sleep(0.2)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+        errs.append(TimeoutError("never acquired upsert lock"))
+
+    ts = [threading.Thread(target=worker, args=(b,))
+          for b in (batch_a, batch_b)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert not errs, errs
+
+    serial = str(tmp_path / "ivf_race_serial")
+    post = (emb.join(batch_a.select("vec_id"), "vec_id", "left_anti")
+            .join(batch_b.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(batch_a).unionByName(batch_b))
+    build_ivf_index(post, serial, centroids=cents, assign="expr")
+    a = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(path).select("vec_id", "cluster")
+               .collect())
+    b = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(serial).select("vec_id", "cluster")
+               .collect())
+    assert a == b and len(a) == 300
+    assert not (tmp_path / "ivf_race" / "_upsert.lock").exists()
+    assert not list(tmp_path.glob("ivf_race__upsert_stage*"))
+    assert not list((tmp_path / "ivf_race").glob(".upsert_aside_*"))
+
+
+def test_upsert_ivf_index_midswap_failure_loses_nothing(
+        spark, tmp_path, monkeypatch):
+    """r6 ADVICE fix: a failure BETWEEN renames must not destroy data.
+    The old code deleted the live partition before renaming its
+    replacement in and removed the stage dir unconditionally in a
+    finally — a mid-swap crash lost the cluster. Now every pre-swap
+    partition is renamed aside first; on injected failure the op
+    raises IvfUpsertTornError, the aside+stage dirs hold every byte,
+    the lock stays held, and a documented rollback (restore asides,
+    delete lock) returns the index to its exact pre-upsert state so
+    the retried upsert equals a serial run."""
+    import locustdb_spark.storage as storage_mod
+    from locustdb_spark.operators.similarity import (
+        IvfUpsertTornError, append_ivf_index, build_ivf_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(200)
+    cents = _frozen_cents(emb)
+    path = str(tmp_path / "ivf_torn")
+    build_ivf_index(emb, path, centroids=cents, assign="expr")
+    before = sorted((r.vec_id, r.cluster) for r in
+                    spark.read.parquet(path)
+                    .select("vec_id", "cluster").collect())
+
+    moved = (emb.filter("vec_id >= 100 AND vec_id < 140")
+             .withColumn("vec_id", F.col("vec_id") - 100))
+
+    real_rename = storage_mod.HadoopStorage.rename
+    calls = [0]
+
+    def failing_rename(self, src, dst):
+        calls[0] += 1
+        if calls[0] == 3:  # fail partway through the swap loop
+            raise OSError("injected transient FS failure")
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(storage_mod.HadoopStorage, "rename",
+                        failing_rename)
+    with pytest.raises(IvfUpsertTornError, match="NO DATA WAS LOST"):
+        append_ivf_index(moved, path, assign="expr", upsert=True)
+    monkeypatch.setattr(storage_mod.HadoopStorage, "rename",
+                        real_rename)
+
+    root = tmp_path / "ivf_torn"
+    asides = list(root.glob(".upsert_aside_*"))
+    stages = list(tmp_path.glob("ivf_torn__upsert_stage_*"))
+    assert len(asides) == 1 and len(stages) == 1
+    assert (root / "_upsert.lock").exists()  # lock held while torn
+
+    # documented rollback: restore every aside partition, then clear
+    # the lock and the recovery dirs
+    for d in asides[0].glob("cluster=*"):
+        dst = root / d.name
+        if dst.exists():
+            import shutil
+            shutil.rmtree(dst)
+        d.rename(dst)
+    import shutil
+    shutil.rmtree(asides[0])
+    shutil.rmtree(stages[0])
+    (root / "_upsert.lock").unlink()
+
+    restored = sorted((r.vec_id, r.cluster) for r in
+                      spark.read.parquet(path)
+                      .select("vec_id", "cluster").collect())
+    assert restored == before  # byte-level recovery was possible
+
+    # and the retried upsert now equals the serial result
+    append_ivf_index(moved, path, assign="expr", upsert=True)
+    post = (emb.join(moved.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(moved))
+    rebuilt = str(tmp_path / "ivf_torn_rebuild")
+    build_ivf_index(post, rebuilt, centroids=cents, assign="expr")
+    a = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(path).select("vec_id", "cluster")
+               .collect())
+    b = sorted((r.vec_id, r.cluster) for r in
+               spark.read.parquet(rebuilt).select("vec_id", "cluster")
+               .collect())
+    assert a == b and len(a) == 200
