@@ -1964,6 +1964,111 @@ def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a CORRELATED scalar min
+    over a MULTI-JOIN subquery — ``cost = (SELECT min(cost) FROM
+    <fact x supplier x nation x region> WHERE same part AND region)``.
+    The testdata has no partsupp, so lineitem plays the part-supplier
+    offer fact (cost = l_extendedprice in exact integer cents; same
+    decorrelation, reference-parity note as Q21/Q22's adaptations).
+
+    Decorrelation: the region's supplier set is a BROADCAST dim chain
+    (region -> nation -> supplier), the part band broadcasts into the
+    fact, the per-part min is one partial-agg shuffle on l_partkey,
+    and the (partkey, min_cost) table broadcasts back onto the same
+    offer subset — the fact rows shuffle once, no cartesian, no
+    correlated re-execution. DISTINCT runs on the winners-only set
+    (post-min), not the full offer fact."""
+    reg = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    nat = (_read(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name", "n_name",
+                   F.round(F.col("s_acctbal") * 100).cast("long")
+                   .alias("s_acctbal_cents")))
+    part_sel = _read(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 15)).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cost_cents"))
+    offers = (li.join(F.broadcast(part_sel),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(sup),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
+    minc = (offers.groupBy("l_partkey")
+            .agg(F.min("cost_cents").alias("min_cost")))
+    return (
+        offers.join(F.broadcast(minc.withColumnRenamed("l_partkey",
+                                                       "m_partkey")),
+                    F.col("l_partkey") == F.col("m_partkey"))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .select("s_suppkey", "s_name", "s_acctbal_cents", "n_name",
+                F.col("l_partkey").alias("p_partkey"),
+                F.col("cost_cents").alias("supply_cost_cents"))
+        .distinct()
+        .orderBy(F.col("s_acctbal_cents").desc(), "n_name", "s_name",
+                 "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def x_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess availability): the
+    NESTED IN/EXISTS CHAIN — suppliers IN (pairs over parts IN
+    (name-prefix band) HAVING a CORRELATED per-(part,supplier) sum
+    comparison) joined to a nation/region band. Without partsupp,
+    'availqty > 0.5 * year window qty' becomes 'more than half of the
+    pair's all-time shipped quantity shipped in 1998' — quantities are
+    integers, so the threshold is the exact cross-multiplication
+    ``2 * qty_1998 > qty_all`` (no float division anywhere).
+
+    Decorrelation: innermost IN -> broadcast semi of the part band
+    into the fact; the correlated sum -> ONE grouped aggregate per
+    (l_partkey, l_suppkey) computing both the windowed and total sums
+    in the same pass (conditional agg, not two scans); outer IN ->
+    left-semi of the (tiny) qualifying-supplier set into the broadcast
+    supplier x nation x region dim chain. One fact shuffle total."""
+    reg = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    nat = (_read(spark, sf_dir, "nation")
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name",
+                   F.round(F.col("s_acctbal") * 100).cast("long")
+                   .alias("s_acctbal_cents"), "n_name"))
+    part_sel = _read(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", qty.alias("qty"),
+        F.year("l_shipdate").alias("ship_year"))
+    pairs = (li.join(F.broadcast(part_sel),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.sum(F.when(F.col("ship_year") == 1998,
+                               F.col("qty")).otherwise(F.lit(0)))
+                  .alias("qty_1998"),
+                  F.sum("qty").alias("qty_all")))
+    qual = (pairs.filter(2 * F.col("qty_1998") > F.col("qty_all"))
+            .select("l_suppkey").distinct())
+    return (
+        sup.join(qual, F.col("s_suppkey") == F.col("l_suppkey"),
+                 "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal_cents", "n_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
 def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end versioned-table replay under the oracle gate
     (locustdb_spark/versioned.py): lineitem is committed in two
@@ -2609,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q17": x_tpch_q17,
         "x_tpch_q21": x_tpch_q21,
         "x_tpch_q22": x_tpch_q22,
+        "x_tpch_q2": x_tpch_q2,
+        "x_tpch_q20": x_tpch_q20,
         "x_tpch_q13": x_tpch_q13,
         "x_bucketed_join": x_bucketed_join,
         "x_tpch_q7": x_tpch_q7,
@@ -3471,6 +3578,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        "x_tpch_q2": """
+            WITH offers AS (
+              SELECT l_partkey, s_suppkey, s_name,
+                     CAST(round(s_acctbal * 100) AS BIGINT)
+                       AS s_acctbal_cents,
+                     n_name,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS cost_cents
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE' AND p_size BETWEEN 1 AND 15
+            )
+            SELECT DISTINCT s_suppkey, s_name, s_acctbal_cents, n_name,
+                   l_partkey AS p_partkey,
+                   cost_cents AS supply_cost_cents
+            FROM offers o
+            WHERE cost_cents = (SELECT min(cost_cents) FROM offers i
+                                WHERE i.l_partkey = o.l_partkey)
+            ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey,
+                     s_suppkey
+            LIMIT 100
+        """,
+        "x_tpch_q20": """
+            SELECT s_suppkey, s_name,
+                   CAST(round(s_acctbal * 100) AS BIGINT)
+                     AS s_acctbal_cents,
+                   n_name
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small%')
+                GROUP BY l_partkey, l_suppkey
+                HAVING 2 * sum(CASE WHEN year(l_shipdate) = 1998
+                                    THEN CAST(round(l_quantity) AS BIGINT)
+                                    ELSE 0 END)
+                       > sum(CAST(round(l_quantity) AS BIGINT)))
+            ORDER BY s_name, s_suppkey
         """,
         "x_tpch_q22": """
             WITH pool AS (
