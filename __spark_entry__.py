@@ -2069,6 +2069,106 @@ def x_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the widest star join in
+    the suite — lineitem x part(name band) x supplier x nation x
+    orders, profit grouped by (supplier nation, order year). Profit is
+    the exact integer-micro discounted revenue (the testdata has no
+    partsupp, so the spec's supplycost term drops — same join DAG and
+    aggregation shape, reference-parity note as the other
+    adaptations). Scale: part/supplier/nation broadcast into the
+    fact; orders->lineitem is the one wide join; the group-by output
+    is (nations x years) rows."""
+    part_sel = _read(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")).select("p_partkey")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "n_name"))
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    j = (li.join(F.broadcast(part_sel),
+                 li.l_partkey == F.col("p_partkey"))
+         .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+         .join(orders, li.l_orderkey == F.col("o_orderkey")))
+    return (
+        j.groupBy("n_name", "o_year")
+        .agg(F.sum(cents * disc_bp).alias("profit_micro"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): a grouped aggregate filtered
+    against an UNCORRELATED scalar subquery over the SAME fact subset
+    — per-part inventory value for one nation's suppliers, keeping
+    parts whose value exceeds fraction 1/1000 of the nation total.
+    partsupp-free adaptation: value = discounted revenue micros from
+    lineitem. The threshold compare is the exact integer
+    cross-multiplication ``value * 1000 > total`` (values are already
+    integer micros, the global total is a broadcast single row — no
+    float division, no second fact scan thanks to a self-agg over the
+    grouped result)."""
+    nat = _read(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7").select("n_nationkey")
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    per_part = (li.join(F.broadcast(sup),
+                        li.l_suppkey == F.col("s_suppkey"))
+                .groupBy("l_partkey")
+                .agg(F.sum(cents * disc_bp).alias("value_micro")))
+    total = per_part.agg(
+        F.sum("value_micro").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_micro") * 1000 > F.col("_total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_micro")
+        .orderBy(F.col("value_micro").desc(), "p_partkey")
+    )
+
+
+def x_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT DISTINCT
+    suppliers per part attribute group, with a negated attribute
+    filter AND a NOT IN supplier-exclusion subquery (anti-join).
+    partsupp-free adaptation: the (part, supplier) relation is the
+    distinct lineitem pair set; the exclusion set is suppliers with
+    negative balance (stands in for the spec's complaints-comment
+    scan — same anti-join shape). Scale: the pair projection is two
+    long columns; the distinct-agg shuffles (brand, type, size,
+    suppkey) only; part broadcasts; the exclusion set is a broadcast
+    anti-join."""
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = _read(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (_read(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    j = (pairs.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(excl),
+               F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                 "p_size")
+    )
+
+
 def x_versioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end versioned-table replay under the oracle gate
     (locustdb_spark/versioned.py): lineitem is committed in two
@@ -2716,6 +2816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q22": x_tpch_q22,
         "x_tpch_q2": x_tpch_q2,
         "x_tpch_q20": x_tpch_q20,
+        "x_tpch_q9": x_tpch_q9,
+        "x_tpch_q11": x_tpch_q11,
+        "x_tpch_q16": x_tpch_q16,
         "x_tpch_q13": x_tpch_q13,
         "x_bucketed_join": x_bucketed_join,
         "x_tpch_q7": x_tpch_q7,
@@ -3623,6 +3726,54 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0 END)
                        > sum(CAST(round(l_quantity) AS BIGINT)))
             ORDER BY s_name, s_suppkey
+        """,
+        "x_tpch_q9": """
+            SELECT n_name, year(o_orderdate) AS o_year,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   ) AS BIGINT) AS profit_micro,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "x_tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     ) AS BIGINT) AS value_micro
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, value_micro
+            FROM per_part
+            WHERE value_micro * 1000 >
+                  (SELECT sum(value_micro) FROM per_part)
+            ORDER BY value_micro DESC, p_partkey
+        """,
+        "x_tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
         "x_tpch_q22": """
             WITH pool AS (

@@ -165,11 +165,18 @@ def score_documents(
         )
     )
     # documents with zero n-grams (shorter than n tokens) drop out of
-    # the explode; restore them with NULL score and zero counts
+    # the explode; restore them with NULL score and zero counts.
+    # Zero n-grams <=> fewer than n tokens (size() is NULL for NULL
+    # text under ANSI, coalesced to -1), so the filter only counts
+    # tokens — the old form rebuilt every document's full gram-string
+    # array through the interpreted HOF transform just to size() it,
+    # which the r6 sf10 skew runs measured as a 36 s/task second scan
+    # fused into the final stage.
     empties = (
         docs.select(F.col(id_col),
-                    F.size(_ngrams(_tokens(text_col), n)).alias("_k"))
-        .filter(F.col("_k") == 0)
+                    F.coalesce(F.size(_tokens(text_col)),
+                               F.lit(-1)).alias("_k"))
+        .filter(F.col("_k") < n)
         .select(
             F.col(id_col),
             F.lit(0).cast("long").alias("n_ngrams"),

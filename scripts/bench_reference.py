@@ -143,7 +143,12 @@ def main() -> None:
                     best = min(best, time.perf_counter() - t0)
                 out[qname] = {"sec": round(best, 4),
                               "rows_per_s": int(n / best)}
-        print(json.dumps({"table": name, "rows": n, "queries": out}),
+        # r6: attach the fixed-workload host probes (bench.py) so a
+        # cross-round ratio drift is attributable to the host vs the
+        # plan without a separate investigation
+        from bench import host_calibration
+        print(json.dumps({"table": name, "rows": n, "queries": out,
+                          "host_calibration": host_calibration(spark)}),
               flush=True)
         df.unpersist()
 

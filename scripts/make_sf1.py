@@ -55,7 +55,16 @@ SHIFTS = {
 }
 
 
-def scale_table(src: str, dst: str, name: str) -> int:
+def scale_table(src: str, dst: str, name: str,
+                replicas: int = REPLICAS,
+                hot_prefix: str | None = None) -> int:
+    """`replicas` scales beyond sf1 (100 -> sf10); `hot_prefix`
+    (documents only) prepends the SAME unsalted word sequence to
+    every document of every replica — the adversarially hot key for
+    the r6 skew stress: with an 8-word prefix, every document's first
+    dedup_segments segment is identical (one segment key carrying
+    `5000 * replicas` occurrences) and the prefix's word bigrams are
+    corpus-frequency LM-join keys."""
     import pyarrow.compute as pc
 
     table = pq.read_table(os.path.join(src, f"{name}.parquet"))
@@ -64,17 +73,19 @@ def scale_table(src: str, dst: str, name: str) -> int:
         pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
         return table.num_rows
     reps = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         t = table
         for col, off in shifts.items():
             idx = t.schema.get_field_index(col)
             shifted = pc.add(t.column(col), pa.scalar(
                 r * off, type=t.schema.field(col).type))
             t = t.set_column(idx, t.schema.field(col), shifted)
-        if name == "documents" and r > 0:
+        if name == "documents" and (r > 0 or hot_prefix):
             idx = t.schema.get_field_index("text")
             salted = pa.array(
-                [" ".join(f"{w}{r}" for w in (s or "").split())
+                [(f"{hot_prefix} " if hot_prefix else "")
+                 + " ".join((f"{w}{r}" if r > 0 else w)
+                            for w in (s or "").split())
                  for s in t.column("text").to_pylist()],
                 type=t.schema.field("text").type)
             t = t.set_column(idx, t.schema.field("text"), salted)
@@ -85,7 +96,13 @@ def scale_table(src: str, dst: str, name: str) -> int:
                         t.schema.field("n_chars").type))
         reps.append(t)
     out = pa.concat_tables(reps)
-    pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+    # 64k-row row groups: pyarrow's default writes ONE row group for
+    # the whole table, and Spark's scan parallelism is row-group
+    # granular — a single-group 500k-row file makes one scan task do
+    # all the work (observed as a 14-of-15-idle straggler in the r6
+    # skew runs, masquerading as reducer skew).
+    pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                   row_group_size=65536)
     return out.num_rows
 
 
