@@ -2087,7 +2087,7 @@ def x_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("s_nationkey") == F.col("n_nationkey"))
            .select("s_suppkey", "n_name"))
     orders = _read(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     li = _read(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_bp = F.round((1 - F.col("l_discount")) * 100).cast("long")
@@ -2109,11 +2109,12 @@ def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-part inventory value for one nation's suppliers, keeping
     parts whose value exceeds fraction 1/1000 of the nation total.
     partsupp-free adaptation: value = discounted revenue micros from
-    lineitem. The threshold compare is the exact integer
-    cross-multiplication ``value * 1000 > total`` (values are already
-    integer micros, the global total is a broadcast single row — no
-    float division, no second fact scan thanks to a self-agg over the
-    grouped result)."""
+    lineitem; the fraction is 1.5x the mean per-part value so the
+    qualifying set stays non-trivial at every scale. The threshold
+    compare is an exact integer cross-multiplication (values are
+    integer micros, the global (total, n_parts) is a broadcast single
+    row — no float division, no second fact scan thanks to a self-agg
+    over the grouped result)."""
     nat = _read(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_7").select("n_nationkey")
     sup = (_read(spark, sf_dir, "supplier")
@@ -2127,11 +2128,16 @@ def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                         li.l_suppkey == F.col("s_suppkey"))
                 .groupBy("l_partkey")
                 .agg(F.sum(cents * disc_bp).alias("value_micro")))
-    total = per_part.agg(
-        F.sum("value_micro").alias("_total"))
+    # threshold = 1.5x the mean per-part value, as the exact integer
+    # cross-multiplication value * 2 * n_parts > 3 * total — unlike a
+    # fixed fraction-of-total (the spec's sf-dependent knob), this
+    # keeps a non-trivial qualifying set at every test scale
+    total = per_part.agg(F.sum("value_micro").alias("_total"),
+                         F.count(F.lit(1)).alias("_nparts"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value_micro") * 1000 > F.col("_total"))
+        .filter(F.col("value_micro") * 2 * F.col("_nparts")
+                > 3 * F.col("_total"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_micro")
         .orderBy(F.col("value_micro").desc(), "p_partkey")
     )
@@ -3758,8 +3764,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_partkey AS p_partkey, value_micro
             FROM per_part
-            WHERE value_micro * 1000 >
-                  (SELECT sum(value_micro) FROM per_part)
+            WHERE value_micro * 2 *
+                  (SELECT count(*) FROM per_part) >
+                  3 * (SELECT sum(value_micro) FROM per_part)
             ORDER BY value_micro DESC, p_partkey
         """,
         "x_tpch_q16": """
