@@ -2580,6 +2580,29 @@ def p_multimodal_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_id", "is_key", "frame_len", "frame_md5")
 
 
+def p_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 bitstream-structure parsing under the value-hash
+    oracle (operators/h264.py, new r6): each document becomes a
+    golden AVCC elementary stream (SPS+PPS+IDR+P slices hand-encoded
+    by the spec-derived BitWriter, every property a pure function of
+    doc_id/n_chars), and h264_stream_info must parse the RESOLUTION,
+    PROFILE, ENTROPY MODE, and SLICE STRUCTURE back out of the actual
+    bits — Exp-Golomb, emulation-prevention bytes, crop-unit math and
+    all. DuckDB recomputes the expected values from the same field
+    formulas, closing the encode->parse loop the way the MP4 entry
+    closes mux->demux. Pixel decode of inter-coded video remains the
+    documented stub; adversarial cases (EPB runs, high-profile SPS,
+    truncation, corrupt framing) are pytest-pinned."""
+    from locustdb_spark.operators.multimodal import (
+        h264_stream_info, with_h264_payload)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return h264_stream_info(with_h264_payload(docs)).select(
+        "doc_id", "n_nals", "width", "height", "profile_idc",
+        "level_idc", "chroma_format_idc", "entropy_mode", "n_idr",
+        "n_slices", "slice_types", "valid")
+
+
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window moving average (ROWS frame) per user over the
     event stream. One shuffle on user_id; the frame itself is computed
@@ -2902,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": p_multimodal_resize,
         "multimodal_frames": p_multimodal_frames,
         "multimodal_frames_mp4": p_multimodal_frames_mp4,
+        "multimodal_h264_info": p_multimodal_h264,
         # Arrow production kernels under the SAME oracles as their
         # expression siblings (bit-equal by construction)
         "text_lexical_arrow": p_lexical_arrow,
@@ -5102,6 +5126,28 @@ def oracle_sql() -> dict[str, str]:
               md5(substring(text, CAST(f*256+1 AS BIGINT), 256))
                 AS frame_md5
             FROM e
+        """,
+        "multimodal_h264_info": """
+            SELECT doc_id,
+                   CAST(3 + n_chars % 5 AS INT) AS n_nals,
+                   CAST(16 * (1 + doc_id % 40)
+                        - CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+                        AS INT) AS width,
+                   CAST(16 * (1 + doc_id % 23)
+                        - CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+                        AS INT) AS height,
+                   CAST(66 AS INT) AS profile_idc,
+                   CAST(30 AS INT) AS level_idc,
+                   CAST(1 AS INT) AS chroma_format_idc,
+                   CASE WHEN doc_id % 2 = 1 THEN 'cabac'
+                        ELSE 'cavlc' END AS entropy_mode,
+                   CAST(1 AS INT) AS n_idr,
+                   CAST(1 + n_chars % 5 AS INT) AS n_slices,
+                   CASE WHEN n_chars % 5 = 0 THEN 'I:1'
+                        ELSE 'I:1,P:' || CAST(n_chars % 5 AS VARCHAR)
+                        END AS slice_types,
+                   TRUE AS valid
+            FROM documents
         """,
         "multimodal_frames_mp4": """
             WITH d AS (

@@ -405,3 +405,91 @@ def sample_frames_mp4(
             )
 
     return df.mapInPandas(frames, schema=MP4_FRAMES_SCHEMA)
+
+
+H264_INFO_SCHEMA = (
+    "doc_id long, n_nals int, width int, height int, profile_idc int, "
+    "level_idc int, chroma_format_idc int, entropy_mode string, "
+    "n_idr int, n_slices int, slice_types string, valid boolean"
+)
+
+
+def with_h264_payload(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic GOLDEN H.264 elementary streams derived from doc
+    fields (the fixture side of the `multimodal_h264_info` oracle
+    loop): an AVCC sample of [SPS, PPS, IDR slice, k non-IDR slices]
+    hand-encoded by operators/h264.py's spec-derived BitWriter. Every
+    stream property is a pure function of (doc_id, n_chars), so an
+    independent SQL engine can recompute what the PARSER must read
+    back out of the bits:
+
+      width  = 16 * (1 + doc_id % 40)  - (2 if doc_id % 3 == 0)
+      height = 16 * (1 + doc_id % 23)  - (2 if doc_id % 3 == 0)
+      entropy = cabac if doc_id odd else cavlc
+      n_slices = 1 + n_chars % 5 (one IDR + P slices), n_nals = 2 + n_slices
+
+    (crop is 1 unit right+bottom at 4:2:0 => 2px each, §7.4.2.1.1)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import h264
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, nch in zip(pdf[id_col].values,
+                              pdf[chars_col].values):
+                i, nch = int(i), int(nch)
+                crop = (0, 1, 0, 1) if i % 3 == 0 else None
+                nals = [
+                    h264.build_sps(width_mbs=1 + i % 40,
+                                   height_mbs=1 + i % 23,
+                                   crop=crop),
+                    h264.build_pps(cabac=bool(i % 2)),
+                    h264.build_slice(slice_type=2, idr=True,
+                                     frame_num=0),
+                ]
+                for k in range(nch % 5):
+                    nals.append(h264.build_slice(
+                        slice_type=0, idr=False,
+                        frame_num=(k + 1) % 16))
+                ids.append(i)
+                blobs.append(h264.build_avcc_sample(nals))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return df.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def h264_stream_info(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    length_size: int | None = None,
+) -> DataFrame:
+    """REAL H.264 bitstream-structure parse per payload
+    (operators/h264.py: NAL framing, emulation-prevention removal,
+    Exp-Golomb SPS/PPS/slice headers — ITU-T H.264 §7.3): resolution,
+    profile/level, entropy mode, IDR/slice-type structure. This is
+    the metadata a 100 TB video-curation pipeline filters and groups
+    on BEFORE any pixel decode (which, for inter-coded video, stays
+    behind the documented stub). Corrupt payloads degrade to a
+    valid=false row, never fail the batch; blobs never shuffle —
+    only the few-column summary leaves the stage."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import h264
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                info = h264.parse_stream(bytes(p), length_size)
+                rows.append((int(i), info.n_nals, info.width,
+                             info.height, info.profile_idc,
+                             info.level_idc, info.chroma_format_idc,
+                             info.entropy_mode, info.n_idr,
+                             info.n_slices, info.slice_types,
+                             info.valid))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_nals", "width", "height", "profile_idc",
+                "level_idc", "chroma_format_idc", "entropy_mode",
+                "n_idr", "n_slices", "slice_types", "valid"])
+
+    return df.mapInPandas(parse, schema=H264_INFO_SCHEMA)
