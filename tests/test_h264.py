@@ -159,3 +159,45 @@ def test_spark_h264_info_matches_field_formulas(spark):
         assert r.entropy_mode == ("cabac" if d.doc_id % 2 else "cavlc")
         assert r.n_slices == 1 + d.n_chars % 5
         assert r.n_idr == 1 and r.valid
+
+
+def test_h264_roundtrip_property():
+    """Property fuzz: any (dims, crop, cabac, slice mix) the builders
+    can express must parse back to exactly the encoded values —
+    including dimension combinations whose Exp-Golomb encodings spill
+    emulation-prevention sequences into the byte stream."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        wm=st.integers(1, 300),
+        hm=st.integers(1, 300),
+        crop=st.one_of(st.none(), st.tuples(
+            st.integers(0, 3), st.integers(0, 3),
+            st.integers(0, 3), st.integers(0, 3))),
+        cabac=st.booleans(),
+        n_p=st.integers(0, 6),
+        length_size=st.sampled_from([2, 4]),
+        annexb=st.booleans(),
+    )
+    def check(wm, hm, crop, cabac, n_p, length_size, annexb):
+        nals = [h.build_sps(wm, hm, crop=crop), h.build_pps(cabac),
+                h.build_slice(2, True, 0)]
+        for k in range(n_p):
+            nals.append(h.build_slice(0, False, (k + 1) % 16))
+        if annexb:
+            si = h.parse_stream(h.build_annexb_stream(nals))
+        else:
+            si = h.parse_stream(
+                h.build_avcc_sample(nals, length_size), length_size)
+        exp_w = wm * 16 - (crop[0] + crop[1]) * 2 if crop else wm * 16
+        exp_h = hm * 16 - (crop[2] + crop[3]) * 2 if crop else hm * 16
+        assert si.valid and si.n_nals == 3 + n_p
+        assert (si.width, si.height) == (exp_w, exp_h)
+        assert si.entropy_mode == ("cabac" if cabac else "cavlc")
+        assert si.n_idr == 1 and si.n_slices == 1 + n_p
+        assert si.slice_types == ("I:1" if n_p == 0
+                                  else f"I:1,P:{n_p}")
+
+    check()
