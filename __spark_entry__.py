@@ -2603,6 +2603,23 @@ def p_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_slices", "slice_types", "valid")
 
 
+def p_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-sample analysis under the value-hash oracle (new
+    r6): each document becomes a real 16-bit PCM WAV whose samples
+    follow an all-integer formula of (doc_id, n_chars); the operator
+    must decode the RIFF bytes and compute exact integer features
+    (energy, peak, clipping, zero crossings), which DuckDB recomputes
+    by regenerating the samples with generate_series — the decoder
+    and the analyzer both sit inside the checked loop."""
+    from locustdb_spark.operators.multimodal import (
+        audio_features, with_wav_payload)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return audio_features(with_wav_payload(docs)).select(
+        "doc_id", "n_samples", "sample_rate", "channels", "sum_sq",
+        "peak", "n_clipped", "zero_crossings", "valid")
+
+
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window moving average (ROWS frame) per user over the
     event stream. One shuffle on user_id; the frame itself is computed
@@ -2926,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": p_multimodal_frames,
         "multimodal_frames_mp4": p_multimodal_frames_mp4,
         "multimodal_h264_info": p_multimodal_h264,
+        "multimodal_audio_features": p_multimodal_audio,
         # Arrow production kernels under the SAME oracles as their
         # expression siblings (bit-equal by construction)
         "text_lexical_arrow": p_lexical_arrow,
@@ -5126,6 +5144,37 @@ def oracle_sql() -> dict[str, str]:
               md5(substring(text, CAST(f*256+1 AS BIGINT), 256))
                 AS frame_md5
             FROM e
+        """,
+        "multimodal_audio_features": """
+            WITH d AS (SELECT doc_id, 200 + n_chars % 100 AS n
+                       FROM documents),
+            s AS (
+              SELECT doc_id, tp,
+                     ((doc_id + 1) * tp) % 65536 - 32768 AS v
+              FROM (SELECT doc_id,
+                           unnest(generate_series(1, n)) AS tp
+                    FROM d)
+            ),
+            z AS (
+              SELECT doc_id, tp, v,
+                     lag(v) OVER (PARTITION BY doc_id
+                                  ORDER BY tp) AS pv
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_samples,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(max(abs(v)) AS INT) AS peak,
+                   CAST(sum(CASE WHEN abs(v) >= 32767
+                            THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) <> (pv >= 0))
+                            THEN 1 ELSE 0 END) AS INT)
+                     AS zero_crossings,
+                   TRUE AS valid
+            FROM z GROUP BY doc_id
         """,
         "multimodal_h264_info": """
             SELECT doc_id,

@@ -493,3 +493,103 @@ def h264_stream_info(
                 "n_idr", "n_slices", "slice_types", "valid"])
 
     return df.mapInPandas(parse, schema=H264_INFO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, channels int, "
+    "sum_sq long, peak int, n_clipped int, zero_crossings int, valid boolean"
+)
+
+
+def with_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL 16-bit PCM mono WAV per document (the
+    fixture side of the `multimodal_audio_features` oracle loop):
+    sample[t] = ((doc_id + 1) * (t + 1)) % 65536 - 32768 for
+    t in [0, 200 + n_chars % 100) — all-integer, so an independent
+    SQL engine regenerates the exact samples with generate_series and
+    recomputes every feature the DECODER+ANALYZER must read back out
+    of the actual RIFF bytes."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, nch in zip(pdf[id_col].values,
+                              pdf[chars_col].values):
+                i, nch = int(i), int(nch)
+                n = 200 + nch % 100
+                t = np.arange(1, n + 1, dtype=np.int64)
+                s = (((i + 1) * t) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sample_rate)
+                    wf.writeframes(s.tobytes())
+                ids.append(i)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return df.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio-sample analysis over WAV payloads: decode the PCM
+    through the stdlib wave module, then vectorized numpy features —
+    exact integer energy (sum of squares, the RMS numerator), peak
+    amplitude, clipped-sample count (|s| >= 32767), and zero-crossing
+    count (sign(s[t]) != sign(s[t-1]) with 0 counted non-negative) —
+    the silence/clipping/noisiness signals an audio-curation pipeline
+    filters on. Multi-channel audio analyzes channel 0 (frames are
+    interleaved). Non-WAV / corrupt payloads degrade to a
+    valid=false row; only the small feature columns leave the stage,
+    the blobs never shuffle. All features are integers, so the op is
+    value-hash oracle-checkable (`multimodal_audio_features`)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                try:
+                    with wave.open(io.BytesIO(bytes(p))) as wf:
+                        ch = wf.getnchannels()
+                        rate = wf.getframerate()
+                        width = wf.getsampwidth()
+                        n = wf.getnframes()
+                        raw = wf.readframes(n)
+                    if width != 2:
+                        raise ValueError(f"sampwidth {width} != 2")
+                    s = np.frombuffer(raw, dtype="<i2")
+                    if ch > 1:
+                        s = s[::ch]  # channel 0 of interleaved frames
+                    s64 = s.astype(np.int64)
+                    nonneg = s >= 0
+                    rows.append((
+                        int(i), len(s), rate, ch,
+                        int((s64 * s64).sum()),
+                        int(np.abs(s64).max()) if len(s) else 0,
+                        int((np.abs(s64) >= 32767).sum()),
+                        int((nonneg[1:] != nonneg[:-1]).sum()),
+                        True))
+                except Exception:  # noqa: BLE001 — corrupt blob
+                    rows.append((int(i), 0, 0, 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "sample_rate", "channels",
+                "sum_sq", "peak", "n_clipped", "zero_crossings",
+                "valid"])
+
+    return df.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)

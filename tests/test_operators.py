@@ -2443,3 +2443,51 @@ def test_upsert_ivf_index_midswap_failure_loses_nothing(
                spark.read.parquet(rebuilt).select("vec_id", "cluster")
                .collect())
     assert a == b and len(a) == 200
+
+
+def test_audio_features_known_signals(spark):
+    """audio_features on hand-built WAVs with known answers: silence
+    (zero energy, zero crossings), a full-scale square wave (every
+    sample clipped, a crossing at every sign flip), stereo (channel 0
+    analyzed), and a corrupt blob (valid=false, never a failed
+    batch)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from locustdb_spark.operators.multimodal import audio_features
+
+    def wav(samples, ch=1, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(np.asarray(samples, "<i2").tobytes())
+        return buf.getvalue()
+
+    silence = wav([0] * 100)
+    square = wav(([32767] * 5 + [-32768] * 5) * 4)
+    # stereo: channel 0 is the square, channel 1 all zeros
+    inter = np.zeros(80, dtype="<i2")
+    inter[0::2] = np.asarray(([32767] * 5 + [-32768] * 5) * 4, "<i2")
+    stereo = wav(inter, ch=2)
+    df = spark.createDataFrame(
+        [(1, silence), (2, square), (3, stereo), (4, b"not a wav")],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r for r in audio_features(df).collect()}
+
+    s = got[1]
+    assert s.valid and s.n_samples == 100 and s.sum_sq == 0
+    assert s.peak == 0 and s.n_clipped == 0 and s.zero_crossings == 0
+    q = got[2]
+    assert q.valid and q.n_samples == 40
+    assert q.n_clipped == 40  # |32767| and |-32768| both >= 32767
+    assert q.zero_crossings == 7  # sign flips at each 5-sample edge
+    assert q.sum_sq == 20 * 32767**2 + 20 * 32768**2
+    st = got[3]
+    assert st.valid and st.channels == 2 and st.n_samples == 40
+    assert (st.sum_sq, st.n_clipped, st.zero_crossings) == \
+        (q.sum_sq, q.n_clipped, q.zero_crossings)
+    assert not got[4].valid and got[4].n_samples == 0
