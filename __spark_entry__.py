@@ -2620,6 +2620,25 @@ def p_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak", "n_clipped", "zero_crossings", "valid")
 
 
+def p_multimodal_image_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The REAL PNG decoder under the value-hash oracle (new r6):
+    formula-pixel grayscale PNGs (filter None/Sub/Up rotating by
+    doc_id) are decoded through the pure-stdlib inflate+unfilter
+    codec, and integer pixel stats — including a position-weighted
+    checksum that catches misplaced pixels — must equal what DuckDB
+    recomputes by regenerating every pixel from the formula. The
+    decoder was previously only pytest-pinned against spec goldens;
+    this closes encode->decode->analyze under the driver gate."""
+    from locustdb_spark.operators.multimodal import (
+        image_stats, with_png_payload)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return image_stats(with_png_payload(docs)).select(
+        "doc_id", "width", "height", "channels", "px_sum", "px_min",
+        "px_max", "n_zero", "weighted_sum", "valid")
+
+
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window moving average (ROWS frame) per user over the
     event stream. One shuffle on user_id; the frame itself is computed
@@ -2944,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames_mp4": p_multimodal_frames_mp4,
         "multimodal_h264_info": p_multimodal_h264,
         "multimodal_audio_features": p_multimodal_audio,
+        "multimodal_image_stats": p_multimodal_image_stats,
         # Arrow production kernels under the SAME oracles as their
         # expression siblings (bit-equal by construction)
         "text_lexical_arrow": p_lexical_arrow,
@@ -5144,6 +5164,33 @@ def oracle_sql() -> dict[str, str]:
               md5(substring(text, CAST(f*256+1 AS BIGINT), 256))
                 AS frame_md5
             FROM e
+        """,
+        "multimodal_image_stats": """
+            WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w,
+                              16 + doc_id % 13 AS h
+                       FROM documents),
+            px AS (
+              SELECT doc_id, w, h, idx,
+                     (doc_id + 3 * (idx % w) + 7 * (idx // w)) % 256
+                       AS v
+              FROM (SELECT doc_id, w, h,
+                           unnest(generate_series(0, w * h - 1))
+                             AS idx
+                    FROM d)
+            )
+            SELECT doc_id,
+                   CAST(max(w) AS INT) AS width,
+                   CAST(max(h) AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(sum(v) AS BIGINT) AS px_sum,
+                   CAST(min(v) AS INT) AS px_min,
+                   CAST(max(v) AS INT) AS px_max,
+                   CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                        AS INT) AS n_zero,
+                   CAST(sum(v * (1 + idx % 97)) AS BIGINT)
+                     AS weighted_sum,
+                   TRUE AS valid
+            FROM px GROUP BY doc_id
         """,
         "multimodal_audio_features": """
             WITH d AS (SELECT doc_id, 200 + n_chars % 100 AS n

@@ -130,14 +130,31 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, channels, out.reshape(height, width, channels)
 
 
-def png_encode(pixels: np.ndarray) -> bytes:
-    """Encode a uint8 (h, w, channels) array as a filter-0 PNG."""
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a uint8 (h, w, channels) array as a PNG. `filter_type`
+    0 (None), 1 (Sub: delta vs the pixel `channels` bytes left) or
+    2 (Up: delta vs the previous scanline) — the spec's §9 filter
+    functions, byte-exact inverses of png_decode's unfiltering, so
+    fixtures built here put the decoder's filter paths under test."""
     h, w, ch = pixels.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if filter_type not in (0, 1, 2):
+        raise ValueError(f"unsupported encode filter {filter_type}")
     raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
     for y in range(h):
-        raw.append(0)  # filter: None
-        raw += pixels[y].tobytes()
+        raw.append(filter_type)
+        line = pixels[y].reshape(-1).astype(np.int16)
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:  # Sub
+            left = np.concatenate(
+                [np.zeros(ch, dtype=np.int16), line[:-ch]])
+            enc = (line - left) & 0xFF
+        else:  # Up
+            enc = (line - prev) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body

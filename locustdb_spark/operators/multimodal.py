@@ -593,3 +593,84 @@ def audio_features(
                 "valid"])
 
     return df.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, px_sum long, "
+    "px_min int, px_max int, n_zero int, weighted_sum long, valid boolean"
+)
+
+
+def with_png_payload(
+    df: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL PNG per document (the fixture side of the
+    `multimodal_image_stats` oracle loop): a grayscale image of
+    w = 16 + doc_id % 17, h = 16 + doc_id % 13 whose pixel at (x, y)
+    is (doc_id + 3x + 7y) % 256, encoded through codecs.png_encode
+    with filter doc_id % 3 (None / Sub / Up) — so the oracle sweep
+    exercises the decoder's inflate AND three unfilter paths, and an
+    independent SQL engine regenerates every pixel by formula."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col].values:
+                i = int(i)
+                w, h = 16 + i % 17, 16 + i % 13
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((i + 3 * x + 7 * y) % 256).astype(np.uint8)
+                blob = codecs.png_encode(px[:, :, None],
+                                         filter_type=i % 3)
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return df.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL pixel statistics over PNG payloads: decode through the
+    pure-stdlib inflate+unfilter codec (codecs.png_decode), then
+    vectorized integer stats over the actual pixel array — sum, min,
+    max, zero-pixel count, and a position-weighted checksum
+    (sum of v * (1 + (y*w + x) % 97), channel 0) that catches any
+    pixel landing at the wrong coordinate, which plain sums cannot.
+    The image-curation analog of audio_features: brightness/contrast/
+    blank-image signals computed before any expensive model sees the
+    bytes. Corrupt/non-PNG payloads degrade to valid=false rows; the
+    blobs never shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                try:
+                    w, h, ch, px = codecs.png_decode(bytes(p))
+                    v = px[:, :, 0].astype(np.int64)
+                    idx = (np.arange(h, dtype=np.int64)[:, None] * w
+                           + np.arange(w, dtype=np.int64)[None, :])
+                    rows.append((
+                        int(i), w, h, ch, int(v.sum()),
+                        int(v.min()), int(v.max()),
+                        int((v == 0).sum()),
+                        int((v * (1 + idx % 97)).sum()), True))
+                except Exception:  # noqa: BLE001 — corrupt blob
+                    rows.append((int(i), 0, 0, 0, 0, 0, 0, 0, 0,
+                                 False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "px_sum",
+                "px_min", "px_max", "n_zero", "weighted_sum", "valid"])
+
+    return df.mapInPandas(stats, schema=IMAGE_STATS_SCHEMA)

@@ -2491,3 +2491,42 @@ def test_audio_features_known_signals(spark):
     assert (st.sum_sq, st.n_clipped, st.zero_crossings) == \
         (q.sum_sq, q.n_clipped, q.zero_crossings)
     assert not got[4].valid and got[4].n_samples == 0
+
+
+def test_image_stats_known_images(spark):
+    """image_stats on hand-built PNGs with known answers: an all-zero
+    image (sum 0, n_zero = all), a gradient with a known weighted
+    checksum, an RGB image (channel 0 analyzed), and corrupt bytes
+    (valid=false) — plus encode-filter coverage: the same pixels
+    through filters None/Sub/Up must produce identical stats."""
+    import numpy as np
+
+    from locustdb_spark.operators import codecs
+    from locustdb_spark.operators.multimodal import image_stats
+
+    zeros = codecs.png_encode(np.zeros((5, 4, 1), dtype=np.uint8))
+    grad_px = (np.arange(12, dtype=np.uint8).reshape(3, 4, 1) * 10)
+    grads = [codecs.png_encode(grad_px, filter_type=ft)
+             for ft in (0, 1, 2)]
+    rgb_px = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb_px[:, :, 0] = [[1, 2], [3, 4]]
+    rgb_px[:, :, 1] = 200  # other channels must not leak into stats
+    rgb = codecs.png_encode(rgb_px)
+    df = spark.createDataFrame(
+        [(1, zeros), (2, grads[0]), (3, grads[1]), (4, grads[2]),
+         (5, rgb), (6, b"nope")],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_stats(df).collect()}
+
+    z = got[1]
+    assert z.valid and (z.width, z.height) == (4, 5)
+    assert z.px_sum == 0 and z.n_zero == 20 and z.px_max == 0
+    exp_w = sum(v * 10 * (1 + i % 97) for i, v in enumerate(range(12)))
+    for d in (2, 3, 4):  # same pixels through three encode filters
+        g = got[d]
+        assert g.valid and g.px_sum == 10 * sum(range(12))
+        assert (g.px_min, g.px_max, g.n_zero) == (0, 110, 1)
+        assert g.weighted_sum == exp_w
+    r = got[5]
+    assert r.valid and r.channels == 3 and r.px_sum == 10
+    assert not got[6].valid
