@@ -2639,6 +2639,64 @@ def p_multimodal_image_stats(spark: SparkSession,
         "px_max", "n_zero", "weighted_sum", "valid")
 
 
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the REAL customer->supplier purchase
+    graph (edges = distinct (o_custkey, l_suppkey) pairs through
+    orders x lineitem), in EXACT INTEGER FIXED-POINT so a fixed
+    iteration count is bit-reproducible in any engine — the
+    iterative-algorithm family under the value-hash oracle, sibling
+    of dedup_clusters' unrolled min-label propagation:
+
+        r0 = 1_000_000 per node
+        contrib(u) = r(u) // outdeg(u)        (truncating int div)
+        r'(v) = 150_000 + (850 * sum_in(v)) // 1_000   (d = 0.85)
+
+    Four unrolled iterations; no dangling-mass redistribution
+    (suppliers are sinks — deterministic either way, the point is
+    exact cross-engine parity of an iterative computation).
+
+    Scale shape per iteration: ONE shuffle (groupBy dst over
+    (dst, contrib) longs) plus a node-keyed left join — the edge
+    list itself never re-shuffles once partitioned, and at 1000
+    executors each round ships 16-byte pairs, exactly the
+    pointer-jumping cost model dedup_clusters documents. 4 rounds =
+    4 small shuffles, not a cartesian anything."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_suppkey")
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+             .distinct())
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    # the graph is loop-invariant: persist it once or every unrolled
+    # iteration re-derives the distinct-edge lineage (35 exchanges in
+    # the un-persisted plan vs ~3 per round over the cached relation
+    # — at 100 TB this is the difference between re-shuffling the
+    # fact join 4x and shipping only (dst, contrib) longs per round)
+    e = edges.join(outdeg, "src").persist()
+    nodes = nodes.persist()
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long")
+                         .alias("pr_rank"))
+    for _ in range(4):
+        contribs = (e.join(ranks, e.src == ranks.node)
+                    .select(F.col("dst"),
+                            F.expr("pr_rank DIV outdeg").alias("c"))
+                    .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(contribs, nodes.node == contribs.dst,
+                            "left")
+                 .select("node",
+                         F.expr("CAST(150000 + (850 * coalesce(s, 0))"
+                                " DIV 1000 AS BIGINT)")
+                         .alias("pr_rank")))
+    return ranks.orderBy(F.col("pr_rank").desc(), "node").limit(200)
+
+
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window moving average (ROWS frame) per user over the
     event stream. One shuffle on user_id; the frame itself is computed
@@ -2882,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q2": x_tpch_q2,
         "x_tpch_q20": x_tpch_q20,
         "x_tpch_q9": x_tpch_q9,
+        "x_pagerank": x_pagerank,
         "x_tpch_q11": x_tpch_q11,
         "x_tpch_q16": x_tpch_q16,
         "x_tpch_q13": x_tpch_q13,
@@ -3794,6 +3853,59 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0 END)
                        > sum(CAST(round(l_quantity) AS BIGINT)))
             ORDER BY s_name, s_suppkey
+        """,
+        "x_pagerank": """
+            WITH edges AS (
+              SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges
+                    GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr_rank
+                   FROM nodes),
+            c1 AS (
+              SELECT dst, sum(pr_rank // outdeg) AS s
+              FROM edges JOIN deg USING (src)
+              JOIN r0 ON r0.node = edges.src
+              GROUP BY dst),
+            r1 AS (
+              SELECT nodes.node,
+                     CAST(150000 + (850 * coalesce(s, 0)) // 1000
+                          AS BIGINT) AS pr_rank
+              FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node),
+            c2 AS (
+              SELECT dst, sum(pr_rank // outdeg) AS s
+              FROM edges JOIN deg USING (src)
+              JOIN r1 ON r1.node = edges.src
+              GROUP BY dst),
+            r2 AS (
+              SELECT nodes.node,
+                     CAST(150000 + (850 * coalesce(s, 0)) // 1000
+                          AS BIGINT) AS pr_rank
+              FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node),
+            c3 AS (
+              SELECT dst, sum(pr_rank // outdeg) AS s
+              FROM edges JOIN deg USING (src)
+              JOIN r2 ON r2.node = edges.src
+              GROUP BY dst),
+            r3 AS (
+              SELECT nodes.node,
+                     CAST(150000 + (850 * coalesce(s, 0)) // 1000
+                          AS BIGINT) AS pr_rank
+              FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node),
+            c4 AS (
+              SELECT dst, sum(pr_rank // outdeg) AS s
+              FROM edges JOIN deg USING (src)
+              JOIN r3 ON r3.node = edges.src
+              GROUP BY dst),
+            r4 AS (
+              SELECT nodes.node,
+                     CAST(150000 + (850 * coalesce(s, 0)) // 1000
+                          AS BIGINT) AS pr_rank
+              FROM nodes LEFT JOIN c4 ON c4.dst = nodes.node)
+            SELECT node, pr_rank FROM r4
+            ORDER BY pr_rank DESC, node LIMIT 200
         """,
         "x_tpch_q9": """
             SELECT n_name, year(o_orderdate) AS o_year,
