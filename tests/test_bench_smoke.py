@@ -45,3 +45,26 @@ def test_bench_operator_headliners_run(spark, bench_db):
                     k=3).count() > 0
     ev = spark.read.parquet(f"{TESTDATA_SF}/events.parquet")
     assert funnel(ev, ["view", "click", "purchase"]).count() == 3
+
+
+def test_registry_oracle_parity():
+    """Registry integrity (r6): since r4 every queries() entry is
+    value-hash gated, so queries() and oracle_sql() must stay in
+    exact key bijection — an entry added to one side without the
+    other silently downgrades the driver gate to rows-only (or dies
+    at gate time). Also pins the rotation invariants: the rotated
+    order is a permutation of the full registry, and the 50-entry
+    prefix mixes at least two tiers."""
+    import __spark_entry__ as entry
+
+    q = set(entry.queries().keys())
+    o = set(entry.oracle_sql().keys())
+    assert q == o, (sorted(q - o), sorted(o - q))
+    order = list(entry.queries().keys())
+    assert len(order) == len(set(order))
+    pipeline_prefixes = ("dedup_", "pipeline_", "text_", "sample_",
+                        "sim_", "multimodal_")
+    tiers = {("pipe" if k.startswith(pipeline_prefixes) else
+              ("x" if k.startswith("x_") else "dial"))
+             for k in order[:50]}
+    assert len(tiers) >= 2, tiers
