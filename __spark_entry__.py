@@ -884,8 +884,22 @@ def p_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     model = ngram_counts(docs.filter(F.col("doc_id") % 2 == 0),
-                         n=2, min_count=2)
-    return score_documents(docs, model, n=2).select(
+                         n=2, min_count=2, impl="expr")
+    return score_documents(docs, model, n=2, impl="expr").select(
+        "doc_id", "n_ngrams", "n_unseen", "seen_cnt_sum")
+
+
+def p_lm_score_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow gram kernel (the r6 production default) under the
+    SAME SQL oracle as text_lm_score — gram strings are identical by
+    construction, so train+score must reproduce the expression
+    path's integer outputs exactly."""
+    from locustdb_spark.operators.lm import ngram_counts, score_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    model = ngram_counts(docs.filter(F.col("doc_id") % 2 == 0),
+                         n=2, min_count=2, impl="arrow")
+    return score_documents(docs, model, n=2, impl="arrow").select(
         "doc_id", "n_ngrams", "n_unseen", "seen_cnt_sum")
 
 
@@ -897,9 +911,9 @@ def p_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     model = ngram_counts(docs.filter(F.col("doc_id") % 2 == 0),
-                         n=2, min_count=2)
-    return perplexity_filter(docs, model, n=2,
-                             max_unseen_frac=0.02).select(
+                         n=2, min_count=2, impl="expr")
+    return perplexity_filter(docs, model, n=2, max_unseen_frac=0.02,
+                             impl="expr").select(
         "doc_id", "lang", "n_chars")
 
 
@@ -3026,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow production kernels under the SAME oracles as their
         # expression siblings (bit-equal by construction)
         "text_lexical_arrow": p_lexical_arrow,
+        "text_lm_score_arrow": p_lm_score_arrow,
         "text_gopher_arrow": p_gopher_arrow,
         "text_repetition_arrow": p_repetition_arrow,
         "text_decontaminate_arrow": p_decontaminate_arrow,
@@ -5109,6 +5124,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_bpe_counts": _duck_bpe_counts(),
         "text_lm_score": """
+            WITH t AS (SELECT doc_id, """ + _DUCK_TOKS + """ AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(len(toks) - 1,
+                                                         0)),
+                             i -> array_to_string(toks[i:i+1], ' ')))
+                         AS ngram
+                  FROM t),
+            model AS (SELECT ngram, count(*) AS cnt FROM g
+                      WHERE doc_id % 2 = 0
+                      GROUP BY ngram HAVING count(*) >= 2),
+            s AS (SELECT g.doc_id,
+                         count(*) AS n_ngrams,
+                         sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                             AS n_unseen,
+                         sum(coalesce(m.cnt, 0)) AS seen_cnt_sum
+                  FROM g LEFT JOIN model m USING (ngram)
+                  GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+                   CAST(coalesce(s.seen_cnt_sum, 0) AS BIGINT)
+                       AS seen_cnt_sum
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "text_lm_score_arrow": """
             WITH t AS (SELECT doc_id, """ + _DUCK_TOKS + """ AS toks
                        FROM documents),
             g AS (SELECT doc_id,

@@ -97,12 +97,15 @@ def ngram_counts(
     n: int = 2,
     text_col: str = "text",
     min_count: int = 1,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Train: (ngram, cnt) over the corpus. `min_count` prunes the
     long tail (the vocabulary-size knob; pruning happens after the
-    single count shuffle). ``impl="arrow"`` swaps the interpreted-HOF
-    n-gram expansion for the Arrow kernel (identical grams)."""
+    single count shuffle). ``impl="arrow"`` (the DEFAULT since r6)
+    uses the Arrow n-gram kernel; ``impl="expr"`` is the
+    interpreted-HOF expansion the SQL oracle replays — identical
+    grams either way (pytest-pinned + both under the driver gate via
+    the text_lm_*[_arrow] entries)."""
     grams = docs.select(
         F.explode(_gram_col(text_col, n, impl)).alias("ngram"))
     counts = grams.groupBy("ngram").agg(
@@ -119,7 +122,7 @@ def score_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_model: bool = False,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Score every document against a trained `ngram_counts` model.
 
@@ -196,13 +199,14 @@ def perplexity_filter(
     min_avg_logprob: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Keep documents that look in-distribution: unseen-n-gram
     fraction at most `max_unseen_frac`, and (optionally) avg_logprob
     at least `min_avg_logprob`. Join-back is a semi-join on id — the
     corpus text shuffles zero times."""
     scores = score_documents(docs, model, n=n, text_col=text_col,
-                             id_col=id_col)
+                             id_col=id_col, impl=impl)
     # integer-exact threshold (micro-units): float `n * 0.3` differs
     # across engines at the boundary (0.3 is not a binary fraction)
     thresh = round(max_unseen_frac * 1_000_000)

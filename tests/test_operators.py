@@ -2132,11 +2132,12 @@ def test_lm_arrow_grams_equal_expr(docs):
     from locustdb_spark.operators.lm import ngram_counts, score_documents
 
     ref = docs.filter("doc_id % 3 = 0")
-    m_e = ngram_counts(ref)
+    m_e = ngram_counts(ref, impl="expr")
     m_a = ngram_counts(ref, impl="arrow")
     assert sorted(map(tuple, m_e.collect())) == \
         sorted(map(tuple, m_a.collect()))
-    se = {r.doc_id: r for r in score_documents(docs, m_e).collect()}
+    se = {r.doc_id: r
+          for r in score_documents(docs, m_e, impl="expr").collect()}
     sa = {r.doc_id: r
           for r in score_documents(docs, m_e, impl="arrow").collect()}
     assert set(se) == set(sa) and len(se) == 500

@@ -549,13 +549,16 @@ def test_arrow_kernels_are_the_default_impl(spark):
 
     from locustdb_spark.operators.dedup import (
         embedding_near_dup, ngram_jaccard_pairs)
+    from locustdb_spark.operators.lm import (
+        ngram_counts, perplexity_filter, score_documents)
     from locustdb_spark.operators.text import (
         contamination_check, gopher_quality_filter, lexical_diversity,
         repetition_stats)
 
     for fn in (lexical_diversity, gopher_quality_filter,
                contamination_check, repetition_stats,
-               embedding_near_dup, ngram_jaccard_pairs):
+               embedding_near_dup, ngram_jaccard_pairs,
+               ngram_counts, score_documents, perplexity_filter):
         assert inspect.signature(fn).parameters["impl"].default == \
             "arrow", fn.__name__
 
