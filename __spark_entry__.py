@@ -2711,6 +2711,52 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("pr_rank").desc(), "node").limit(200)
 
 
+def x_validate_constraints(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate under the value-hash oracle
+    (operators/validate.py, new r6): six rule families (not-null,
+    unique, range, regex, accepted-set, non-negative) over orders +
+    lineitem columns, all compiled into ONE conditional-aggregate
+    pass per table — N rules never cost N scans. DuckDB recomputes
+    each violation count independently."""
+    from locustdb_spark.operators.validate import (
+        accepted_values, check_constraints, in_range, matches,
+        non_negative, not_null, unique)
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    a = check_constraints(orders, [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 400_000),
+        matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        accepted_values("o_orderstatus", ["F", "O", "P"]),
+    ]).withColumn("table", F.lit("orders"))
+    b = check_constraints(li, [
+        not_null("l_orderkey"),
+        unique("l_orderkey"),  # expected to FAIL: multi-line orders
+        non_negative("l_quantity"),
+        in_range("l_discount", 0.0, 0.2),
+    ]).withColumn("table", F.lit("lineitem"))
+    return (a.unionByName(b)
+            .select("table", "rule", "violations", "total_rows",
+                    "passed")
+            .orderBy("table", "rule"))
+
+
+def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (null/distinct/min/max per
+    column, melted to one row per column) over lineitem — the
+    drift-detection fingerprint a 100 TB pipeline diffs across days
+    without re-scanning history. One scan, one aggregation job."""
+    from locustdb_spark.operators.validate import profile_columns
+
+    li = _read(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag",
+             "l_shipdate"]).orderBy("column")
+
+
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window moving average (ROWS frame) per user over the
     event stream. One shuffle on user_id; the frame itself is computed
@@ -2955,6 +3001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q20": x_tpch_q20,
         "x_tpch_q9": x_tpch_q9,
         "x_pagerank": x_pagerank,
+        "x_validate_constraints": x_validate_constraints,
+        "x_profile_columns": x_profile_columns,
         "x_tpch_q11": x_tpch_q11,
         "x_tpch_q16": x_tpch_q16,
         "x_tpch_q13": x_tpch_q13,
@@ -3868,6 +3916,115 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0 END)
                        > sum(CAST(round(l_quantity) AS BIGINT)))
             ORDER BY s_name, s_suppkey
+        """,
+        "x_validate_constraints": """
+            WITH o AS (
+              SELECT count(*) AS total,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS v1,
+                count(o_orderkey) - count(DISTINCT o_orderkey) AS v2,
+                sum(CASE WHEN o_totalprice IS NOT NULL AND
+                    o_totalprice NOT BETWEEN 0 AND 400000
+                    THEN 1 ELSE 0 END) AS v3,
+                sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+                    regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                    THEN 1 ELSE 0 END) AS v4,
+                sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                    o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS v5
+              FROM orders),
+            l AS (
+              SELECT count(*) AS total,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS v1,
+                count(l_orderkey) - count(DISTINCT l_orderkey) AS v2,
+                sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity < 0
+                    THEN 1 ELSE 0 END) AS v3,
+                sum(CASE WHEN l_discount IS NOT NULL AND
+                    l_discount NOT BETWEEN 0.0 AND 0.2
+                    THEN 1 ELSE 0 END) AS v4
+              FROM lineitem)
+            SELECT * FROM (
+              SELECT 'orders' AS "table", 'not_null(o_custkey)' AS rule,
+                     CAST(v1 AS BIGINT) AS violations,
+                     CAST(total AS BIGINT) AS total_rows,
+                     v1 = 0 AS passed FROM o
+              UNION ALL
+              SELECT 'orders', 'unique(o_orderkey)',
+                     CAST(v2 AS BIGINT), CAST(total AS BIGINT),
+                     v2 = 0 FROM o
+              UNION ALL
+              SELECT 'orders', 'in_range(o_totalprice,0,400000)',
+                     CAST(v3 AS BIGINT), CAST(total AS BIGINT),
+                     v3 = 0 FROM o
+              UNION ALL
+              SELECT 'orders', 'matches(o_orderpriority)',
+                     CAST(v4 AS BIGINT), CAST(total AS BIGINT),
+                     v4 = 0 FROM o
+              UNION ALL
+              SELECT 'orders', 'accepted_values(o_orderstatus)',
+                     CAST(v5 AS BIGINT), CAST(total AS BIGINT),
+                     v5 = 0 FROM o
+              UNION ALL
+              SELECT 'lineitem', 'not_null(l_orderkey)',
+                     CAST(v1 AS BIGINT), CAST(total AS BIGINT),
+                     v1 = 0 FROM l
+              UNION ALL
+              SELECT 'lineitem', 'unique(l_orderkey)',
+                     CAST(v2 AS BIGINT), CAST(total AS BIGINT),
+                     v2 = 0 FROM l
+              UNION ALL
+              SELECT 'lineitem', 'non_negative(l_quantity)',
+                     CAST(v3 AS BIGINT), CAST(total AS BIGINT),
+                     v3 = 0 FROM l
+              UNION ALL
+              SELECT 'lineitem', 'in_range(l_discount,0.0,0.2)',
+                     CAST(v4 AS BIGINT), CAST(total AS BIGINT),
+                     v4 = 0 FROM l
+            ) ORDER BY "table", rule
+        """,
+        "x_profile_columns": """
+            WITH a AS (
+              SELECT count(*) AS total,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n1,
+                count(DISTINCT l_orderkey) AS d1,
+                CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+                CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+                sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS n2,
+                count(DISTINCT l_suppkey) AS d2,
+                CAST(min(l_suppkey) AS VARCHAR) AS mn2,
+                CAST(max(l_suppkey) AS VARCHAR) AS mx2,
+                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n3,
+                count(DISTINCT l_quantity) AS d3,
+                CAST(min(l_quantity) AS VARCHAR) AS mn3,
+                CAST(max(l_quantity) AS VARCHAR) AS mx3,
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n4,
+                count(DISTINCT l_returnflag) AS d4,
+                CAST(min(l_returnflag) AS VARCHAR) AS mn4,
+                CAST(max(l_returnflag) AS VARCHAR) AS mx4,
+                sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n5,
+                count(DISTINCT l_shipdate) AS d5,
+                CAST(min(l_shipdate) AS VARCHAR) AS mn5,
+                CAST(max(l_shipdate) AS VARCHAR) AS mx5
+              FROM lineitem)
+            SELECT * FROM (
+              SELECT 'l_orderkey' AS "column", CAST(n1 AS BIGINT) AS n_null,
+                     CAST(d1 AS BIGINT) AS n_distinct, mn1 AS min_value,
+                     mx1 AS max_value, CAST(total AS BIGINT) AS total_rows
+              FROM a
+              UNION ALL
+              SELECT 'l_suppkey', CAST(n2 AS BIGINT), CAST(d2 AS BIGINT),
+                     mn2, mx2, CAST(total AS BIGINT) FROM a
+              UNION ALL
+              SELECT 'l_quantity', CAST(n3 AS BIGINT), CAST(d3 AS BIGINT),
+                     mn3, mx3, CAST(total AS BIGINT) FROM a
+              UNION ALL
+              SELECT 'l_returnflag', CAST(n4 AS BIGINT), CAST(d4 AS BIGINT),
+                     mn4, mx4, CAST(total AS BIGINT) FROM a
+              UNION ALL
+              SELECT 'l_shipdate', CAST(n5 AS BIGINT), CAST(d5 AS BIGINT),
+                     mn5, mx5, CAST(total AS BIGINT) FROM a
+            ) ORDER BY "column"
         """,
         "x_pagerank": """
             WITH edges AS (

@@ -2531,3 +2531,51 @@ def test_image_stats_known_images(spark):
     r = got[5]
     assert r.valid and r.channels == 3 and r.px_sum == 10
     assert not got[6].valid
+
+
+def test_check_constraints_single_pass_and_semantics(spark):
+    """validate.py: all rules evaluate in ONE aggregation job over one
+    scan (plan has exactly the agg exchanges, no join/union of
+    per-rule scans), and each rule family counts exactly the intended
+    violations — including NULL handling (range/regex/accepted skip
+    NULLs; not_null counts them; unique ignores NULL values)."""
+    from locustdb_spark.operators.validate import (
+        accepted_values, check_constraints, in_range, matches,
+        non_negative, not_null, unique)
+    from locustdb_spark.plans import explain_formatted
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (2, None, "bad"),
+         (None, 900.0, None), (5, 50.0, "A")],
+        "id long, v double, s string")
+    rules = [not_null("id"), unique("id"), in_range("v", 0, 100),
+             matches("s", "^[A-Z]$"), accepted_values("s", ["A", "B"]),
+             non_negative("v")]
+    out = check_constraints(df, rules)
+    plan = explain_formatted(out)
+    assert "Join" not in plan and "Union" not in plan
+    got = {r.rule: (r.violations, r.passed) for r in out.collect()}
+    assert got["not_null(id)"] == (1, False)
+    assert got["unique(id)"] == (1, False)       # id=2 twice
+    assert got["in_range(v,0,100)"] == (2, False)   # -5, 900; NULL skipped
+    assert got["matches(s)"] == (1, False)       # 'bad'; NULL skipped
+    assert got["accepted_values(s)"] == (1, False)
+    assert got["non_negative(v)"] == (1, False)  # -5
+    assert all(r.total_rows == 5 for r in out.collect())
+
+    clean = check_constraints(
+        df.filter("id = 1"), [not_null("id"), unique("id")])
+    assert all(r.passed for r in clean.collect())
+
+
+def test_profile_columns_values(spark):
+    from locustdb_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, s string")
+    got = {r.column: r for r in
+           profile_columns(df, ["k", "s"]).collect()}
+    assert got["k"].n_null == 0 and got["k"].n_distinct == 2
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "2")
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert got["s"].total_rows == 3
