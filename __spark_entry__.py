@@ -2711,6 +2711,31 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("pr_rank").desc(), "node").limit(200)
 
 
+def x_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join family the x_ tier lacked:
+    customer-count-per-bucket vs order-count-per-bucket where the
+    bucket key ranges deliberately overlap only partially (left keys
+    5..94, right keys 0..89), so matched, left-only, and right-only
+    rows ALL occur and the NULL-preserving semantics are actually
+    exercised. Both sides pre-aggregate before the join (tiny key
+    space), so the full-outer itself joins two small aggregates —
+    the scale-correct shape for reconciliation-style queries."""
+    cust = (_read(spark, sf_dir, "customer")
+            .groupBy((F.col("c_custkey") % 90 + 5).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                 .alias("bal_cents")))
+    orders = (_read(spark, sf_dir, "orders")
+              .groupBy((F.col("o_custkey") % 90).alias("obucket"))
+              .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (cust.join(orders,
+                      cust.bucket == orders.obucket, "full_outer")
+            .select(F.coalesce(F.col("bucket"), F.col("obucket"))
+                    .alias("bucket"),
+                    "n_cust", "bal_cents", "n_orders")
+            .orderBy("bucket"))
+
+
 def x_validate_constraints(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Deequ-style data-quality gate under the value-hash oracle
@@ -3001,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tpch_q20": x_tpch_q20,
         "x_tpch_q9": x_tpch_q9,
         "x_pagerank": x_pagerank,
+        "x_full_outer": x_full_outer,
         "x_validate_constraints": x_validate_constraints,
         "x_profile_columns": x_profile_columns,
         "x_tpch_q11": x_tpch_q11,
@@ -3916,6 +3942,22 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0 END)
                        > sum(CAST(round(l_quantity) AS BIGINT)))
             ORDER BY s_name, s_suppkey
+        """,
+        "x_full_outer": """
+            WITH c AS (
+              SELECT c_custkey % 90 + 5 AS bucket,
+                     count(*) AS n_cust,
+                     CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS bal_cents
+              FROM customer GROUP BY 1),
+            o AS (
+              SELECT o_custkey % 90 AS obucket,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1)
+            SELECT coalesce(bucket, obucket) AS bucket,
+                   n_cust, bal_cents, n_orders
+            FROM c FULL OUTER JOIN o ON c.bucket = o.obucket
+            ORDER BY bucket
         """,
         "x_validate_constraints": """
             WITH o AS (
