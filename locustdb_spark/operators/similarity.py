@@ -665,23 +665,36 @@ def append_ivf_index(
             .join(F.broadcast(new_ids), id_col, "left_anti"))
     replacement = keep.unionByName(
         assigned.select(*keep.columns))
+    _locked_partition_swap(spark, path, affected, replacement)
+
+
+def _locked_partition_swap(spark, path: str, affected: list[int],
+                           replacement: DataFrame) -> None:
+    """The writer-safe partition-rewrite protocol shared by
+    `append_ivf_index(upsert=True)` and `compact_ivf_index`:
+    put-if-absent `_upsert.lock` -> stage the replacement partitions
+    in a per-invocation uuid directory -> per-cluster rename the OLD
+    data ASIDE, rename the replacement in -> drop aside/stage/lock
+    only after every rename lands. A mid-swap failure raises
+    IvfUpsertTornError naming the recovery dirs and HOLDS the lock
+    (the index is torn until a human restores or rolls forward)."""
     from ..storage import HadoopStorage
 
     store = HadoopStorage(spark)
     base = path.rstrip("/")
     token = uuid.uuid4().hex
-    # Exclude concurrent upserts BEFORE any byte moves: two jobs
+    # Exclude concurrent rewriters BEFORE any byte moves: two jobs
     # interleaving per-cluster renames would tear the index.
     lock = f"{base}/_upsert.lock"
     payload = json.dumps({"token": token, "pid": os.getpid(),
                           "acquired_unix": time.time()}).encode()
     if not store.put_if_absent(lock, payload):
         raise IvfUpsertLockError(
-            f"{lock} is held by another upsert (or left by a crashed "
-            "one). Wait for it to finish; if the holder crashed "
-            "before any swap (no .upsert_aside_* dir under the "
-            "index), delete the lock file and retry; if it crashed "
-            "mid-swap, restore the aside partitions first.")
+            f"{lock} is held by another index rewrite (or left by a "
+            "crashed one). Wait for it to finish; if the holder "
+            "crashed before any swap (no .upsert_aside_* dir under "
+            "the index), delete the lock file and retry; if it "
+            "crashed mid-swap, restore the aside partitions first.")
     # Unique per-invocation staging dir: even if the lock is ever
     # force-removed wrongly, two writers can't overwrite each other's
     # staged output.
@@ -706,7 +719,7 @@ def append_ivf_index(
             # delete and rename would lose the cluster)
             if store.exists(dst):
                 store.rename(dst, f"{aside}/cluster={k}")
-            if store.exists(src):  # absent = the upsert emptied k
+            if store.exists(src):  # absent = the rewrite emptied k
                 store.rename(src, dst)
             swapped.append(k)
     except BaseException as exc:
@@ -714,7 +727,8 @@ def append_ivf_index(
         # index is torn until the asides are restored or the swap is
         # completed, and another upsert must not run over it.
         raise IvfUpsertTornError(
-            f"IVF upsert failed mid-swap after clusters {swapped} of "
+            f"IVF partition rewrite failed mid-swap after clusters "
+            f"{swapped} of "
             f"{affected}. NO DATA WAS LOST: pre-swap partitions are "
             f"under {aside}, staged replacements under {stage}. "
             f"Recover by either (a) renaming the aside partitions "
@@ -725,6 +739,55 @@ def append_ivf_index(
     store.delete_dir(aside)
     store.delete_dir(stage)
     store.delete(lock)
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    max_files_per_cluster: int = 4,
+) -> dict:
+    """Small-file compaction for an incrementally-maintained IVF
+    index: every `append_ivf_index` batch adds at least one parquet
+    file to each touched cluster directory, so a continuously-fed
+    index accretes files until scans are metadata-bound — the classic
+    small-file problem. This rewrites each over-threshold cluster to
+    ONE file per cluster through the same writer-safe protocol as
+    upsert (`_locked_partition_swap`: put-if-absent lock, uuid stage,
+    rename-aside — a concurrent append/upsert/compact is excluded and
+    a mid-swap crash loses nothing).
+
+    Cost is proportional to the clusters rewritten, never the corpus:
+    the replacement reads ONLY the over-threshold clusters and
+    repartitions on `cluster`, so each output cluster dir gets
+    exactly one file (all its rows hash to one task). Rounds out the
+    index lifecycle: build -> append -> drift/retrain -> compact.
+
+    Returns {"compacted": [cluster ids], "files_before": {k: n},
+    "skipped": [cluster ids under threshold]}."""
+    from ..storage import HadoopStorage
+
+    store = HadoopStorage(spark)
+    base = path.rstrip("/")
+    counts: dict[int, int] = {}
+    for d in store.list(base):
+        if not d.startswith("cluster="):
+            continue
+        k = int(d.split("=", 1)[1])
+        counts[k] = sum(
+            1 for f in store.list(f"{base}/{d}")
+            if not f.startswith(("_", ".")))
+    todo = sorted(k for k, n in counts.items()
+                  if n > max_files_per_cluster)
+    if not todo:
+        return {"compacted": [], "files_before": counts,
+                "skipped": sorted(counts)}
+    replacement = (spark.read.parquet(base)
+                   .filter(F.col("cluster").isin(todo))
+                   .repartition(len(todo), "cluster"))
+    _locked_partition_swap(spark, path, todo, replacement)
+    return {"compacted": todo,
+            "files_before": {k: counts[k] for k in todo},
+            "skipped": sorted(set(counts) - set(todo))}
 
 
 def _drift_stats(

@@ -2579,3 +2579,64 @@ def test_profile_columns_values(spark):
     assert (got["k"].min_value, got["k"].max_value) == ("1", "2")
     assert got["s"].n_null == 1 and got["s"].n_distinct == 2
     assert got["s"].total_rows == 3
+
+
+def test_compact_ivf_index_collapses_small_files(spark, tmp_path):
+    """r6: repeated appends accrete one file per batch per cluster;
+    compaction rewrites over-threshold clusters to ONE file each with
+    zero data change (same (id, cluster) set, identical probe
+    results), skips under-threshold clusters, and leaves no
+    lock/stage/aside artifacts. A held lock excludes compaction just
+    like it excludes upserts."""
+    from locustdb_spark.operators.similarity import (
+        IvfUpsertLockError, append_ivf_index, build_ivf_index,
+        compact_ivf_index, probe_ivf_index)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1000, [0.0, 1.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    path = str(tmp_path / "ivf_compact")
+    build_ivf_index(seed, path, centroids=cents, assign="expr")
+    # 6 append batches -> >=6 files in cluster 0, >=6 in cluster 1
+    for b in range(1, 7):
+        batch = spark.createDataFrame(
+            [(b * 10, [1.0, 0.01 * b]), (1000 + b, [0.01 * b, 1.0])],
+            "vec_id long, embedding array<double>").coalesce(1)
+        append_ivf_index(batch, path, assign="expr")
+    root = tmp_path / "ivf_compact"
+
+    def files(k):
+        return [f for f in (root / f"cluster={k}").iterdir()
+                if not f.name.startswith(("_", "."))]
+
+    assert len(files(0)) >= 6 and len(files(1)) >= 6
+    before = sorted((r.vec_id, r.cluster) for r in
+                    spark.read.parquet(path)
+                    .select("vec_id", "cluster").collect())
+    probe_before = probe_ivf_index(spark, path, [1.0, 0.02], k=3,
+                                   nprobe=1).collect()
+
+    # a held lock excludes compaction too
+    lock = root / "_upsert.lock"
+    lock.write_bytes(b"{}")
+    with pytest.raises(IvfUpsertLockError):
+        compact_ivf_index(spark, path, max_files_per_cluster=2)
+    lock.unlink()
+
+    rep = compact_ivf_index(spark, path, max_files_per_cluster=2)
+    assert sorted(rep["compacted"]) == [0, 1]
+    assert all(n >= 6 for n in rep["files_before"].values())
+    assert len(files(0)) == 1 and len(files(1)) == 1
+    after = sorted((r.vec_id, r.cluster) for r in
+                   spark.read.parquet(path)
+                   .select("vec_id", "cluster").collect())
+    assert after == before and len(after) == 14
+    assert probe_ivf_index(spark, path, [1.0, 0.02], k=3,
+                           nprobe=1).collect() == probe_before
+    assert not lock.exists()
+    assert not list(root.glob(".upsert_aside_*"))
+    assert not list(tmp_path.glob("ivf_compact__upsert_stage*"))
+    # idempotent: nothing left over threshold
+    rep2 = compact_ivf_index(spark, path, max_files_per_cluster=2)
+    assert rep2["compacted"] == [] and sorted(rep2["skipped"]) == [0, 1]
