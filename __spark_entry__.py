@@ -549,10 +549,20 @@ def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucketed candidate pairs + exact
     cosine. Threshold 0.1 so the synthetic corpus (max pairwise cosine
-    ~0.5) yields a non-trivial result to check."""
+    ~0.5) yields a non-trivial result to check.
+
+    The gate entry runs on a deterministic quarter of the corpus
+    (vec_id % 4 = 0; the oracle SQL applies the same predicate) — r7,
+    VERDICT task 4: the expr-pinned sibling's per-bucket pair cost is
+    quadratic, and at sf1 the uncapped entry (259 s) was ~35% of the
+    whole 169-entry sweep while validating a path no caller runs by
+    default. A 4x doc cap is a ~16x pair cap with identical semantic
+    coverage (bucketing, the pair join, the dimension-sequential
+    cosine fold, HALF_UP rounding all still exercised)."""
     from locustdb_spark.operators.dedup import embedding_near_dup
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 == 0)
     return embedding_near_dup(
         emb, threshold=0.1, num_planes=ANN_PLANES, impl="expr")
 
@@ -1336,8 +1346,10 @@ def p_repetition_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression path's)."""
     from locustdb_spark.operators.text import repetition_stats
 
-    return repetition_stats(_read(spark, sf_dir, "documents"),
-                            impl="arrow")
+    # same doc_id % 4 cap as the expr sibling (shared oracle SQL)
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0)
+    return repetition_stats(docs, impl="arrow")
 
 
 def p_decontaminate_arrow(spark: SparkSession,
@@ -1361,7 +1373,11 @@ def p_embedding_near_dup_arrow(spark: SparkSession,
     so similarities are bit-equal to the expression fold)."""
     from locustdb_spark.operators.dedup import embedding_near_dup
 
-    emb = _read(spark, sf_dir, "embeddings")
+    # same vec_id % 4 cap as the expr sibling (they share the oracle
+    # SQL); the production kernel's uncapped sf1 timing lives in
+    # docs/BENCH_NOTES.md
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 == 0)
     return embedding_near_dup(
         emb, threshold=0.1, num_planes=ANN_PLANES, impl="arrow")
 
@@ -1400,10 +1416,17 @@ def p_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry runs on a deterministic quarter of the corpus
+    (doc_id % 4 = 0, oracle SQL matching) — r7, VERDICT task 4: the
+    expr path's interpreted per-gram lambdas made the uncapped entry
+    116 s of the sf1 sweep for a deliberately-slow oracle sibling of
+    the Arrow default. Semantics coverage is unchanged; the uncapped
+    production timing lives in docs/BENCH_NOTES.md."""
     from locustdb_spark.operators.text import repetition_stats
 
-    return repetition_stats(_read(spark, sf_dir, "documents"),
-                            impl="expr")
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0)
+    return repetition_stats(docs, impl="expr")
 
 
 def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2708,7 +2731,17 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr("CAST(150000 + (850 * coalesce(s, 0))"
                                 " DIV 1000 AS BIGINT)")
                          .alias("pr_rank")))
-    return ranks.orderBy(F.col("pr_rank").desc(), "node").limit(200)
+    result = ranks.orderBy(F.col("pr_rank").desc(), "node").limit(200)
+    # Materialize the bounded top-200 (≤200 16-byte rows), then drop
+    # the cached graph (r7, ADVICE): in a long-lived session the
+    # persisted edge relation would otherwise stay pinned in executor
+    # storage for every query that runs after this one. The collected
+    # rows are re-wrapped as a local-backed DataFrame so the returned
+    # plan no longer references the unpersisted lineage.
+    rows = result.collect()
+    e.unpersist()
+    nodes.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def x_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2780,6 +2813,39 @@ def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         li, ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag",
              "l_shipdate"]).orderBy("column")
+
+
+def x_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-diff drift detection (r7, closing the loop
+    x_profile_columns opens): lineitem lands in a versioned table as
+    two atomic appends (odd orderkeys, then even), and the drift
+    report diffs the VERSION-1 profile against the VERSION-2 profile
+    through time travel — two tiny profile frames joined, neither
+    day's data re-scanned, exactly the daily-snapshot comparison a
+    100 TB pipeline runs. fail_on_range_change is on so the even
+    append moving a min/max endpoint must be detected; the
+    distinct-density metric sees l_quantity's 50 distinct values
+    halve in per-row density while l_orderkey's density stays flat —
+    the report must carry BOTH failing and passing rows
+    (locustdb_spark/operators/validate.py profile_drift)."""
+    import tempfile
+
+    from locustdb_spark import VersionedTable
+    from locustdb_spark.operators.validate import (
+        profile_columns, profile_drift)
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_drift_"))
+    vt.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    vt.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    old = profile_columns(vt.read(version=1), cols)
+    new = profile_columns(vt.read(version=2), cols)
+    return profile_drift(
+        old, new, max_null_frac_delta=0.0,
+        max_distinct_frac_delta=0.01,
+        fail_on_range_change=True).orderBy("rule")
 
 
 def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3029,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_full_outer": x_full_outer,
         "x_validate_constraints": x_validate_constraints,
         "x_profile_columns": x_profile_columns,
+        "x_profile_drift": x_profile_drift,
         "x_tpch_q11": x_tpch_q11,
         "x_tpch_q16": x_tpch_q16,
         "x_tpch_q13": x_tpch_q13,
@@ -3144,21 +3211,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for t in (0, 1, 2):
             if i < len(tiers[t]):
                 order.append(tiers[t][i])
-    # Rotate the interleaved list's START per round (r5 task 2): the
-    # driver samples a prefix, and a static order means the same ~50
-    # keys get the external gate row every round while the rest only
-    # ever see judge/self sweeps. The round counter is the number of
-    # committed CORRECTNESS_r*.json artifacts next to this file —
-    # deterministic, derived from repo state, no clock — so each
-    # round's 50-entry prefix starts 50 entries further along and
-    # every entry cycles under the driver gate every ~3 rounds.
-    import glob as _glob
-    import os as _os
-    _here = _os.path.dirname(_os.path.abspath(__file__))
-    _round = len(_glob.glob(_os.path.join(_here, "CORRECTNESS_r*.json")))
-    off = (50 * _round) % len(order) if order else 0
-    order = order[off:] + order[:off]
+    # Rotate so the driver's 50-entry prefix always gates the
+    # LEAST-recently-sampled entries (r7, replacing r5/r6's blind
+    # 50*round offset): every key is ranked by the last round it
+    # appeared in a COMMITTED CORRECTNESS_r*.json driver artifact
+    # (never-sampled ranks first), with the tier-interleaved position
+    # as the stable tiebreak, so no entry can be skipped by the
+    # prefix indefinitely and the prefix still mixes tiers. Committed
+    # state only (git ls-files, ADVICE r6): an untracked artifact in
+    # the working tree no longer makes this tree and a fresh clone of
+    # the same HEAD compute different orders; the glob fallback only
+    # fires where git itself is unavailable.
+    last = _committed_gate_rounds()
+    pos = {k: i for i, k in enumerate(order)}
+    order.sort(key=lambda k: (last.get(k, -1), pos[k]))
     return {k: q[k] for k in order}
+
+
+def _committed_gate_rounds() -> dict[str, int]:
+    """Map each registry key to the LATEST round whose committed
+    driver artifact (CORRECTNESS_r*.json tracked by git) sampled it.
+    Keys never sampled are absent. Used by queries() to put the
+    least-recently-gated entries at the front of the prefix the
+    driver samples."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    names: list[str] = []
+    try:
+        out = _sp.run(["git", "-C", here, "ls-files",
+                       "CORRECTNESS_r*.json"],
+                      capture_output=True, text=True, timeout=10)
+        if out.returncode == 0:
+            names = out.stdout.split()
+    except (OSError, _sp.SubprocessError):
+        pass
+    if not names:  # not a git checkout (e.g. exported tarball)
+        names = sorted(_os.path.basename(p) for p in _glob.glob(
+            _os.path.join(here, "CORRECTNESS_r*.json")))
+    rounds: dict[str, int] = {}
+    for nm in names:
+        try:
+            rnd = int(nm.rsplit("_r", 1)[1].split(".")[0])
+            with open(_os.path.join(here, nm)) as fh:
+                keys = _json.load(fh)
+        except (OSError, ValueError, IndexError):
+            continue
+        for k in keys:
+            rounds[k] = max(rounds.get(k, rnd), rnd)
+    return rounds
 
 
 # ---------------------------------------------------------------------------
@@ -4068,6 +4171,86 @@ def oracle_sql() -> dict[str, str]:
                      mn5, mx5, CAST(total AS BIGINT) FROM a
             ) ORDER BY "column"
         """,
+        # Replays the versioned-table drift entry: version 1 = odd
+        # orderkeys, version 2 = odd + even = the whole table, so the
+        # two profiles are recomputed from the filtered / full scans.
+        "x_profile_drift": """
+            WITH po AS (
+              SELECT count(*) AS t,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS nf1,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS df1,
+                CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+                CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS nf2,
+                CAST(count(DISTINCT l_quantity) AS BIGINT) AS df2,
+                CAST(min(l_quantity) AS VARCHAR) AS mn2,
+                CAST(max(l_quantity) AS VARCHAR) AS mx2,
+                CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS nf3,
+                CAST(count(DISTINCT l_returnflag) AS BIGINT) AS df3,
+                CAST(min(l_returnflag) AS VARCHAR) AS mn3,
+                CAST(max(l_returnflag) AS VARCHAR) AS mx3
+              FROM lineitem WHERE l_orderkey % 2 = 1),
+            pn AS (
+              SELECT count(*) AS t,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS nf1,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS df1,
+                CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+                CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS nf2,
+                CAST(count(DISTINCT l_quantity) AS BIGINT) AS df2,
+                CAST(min(l_quantity) AS VARCHAR) AS mn2,
+                CAST(max(l_quantity) AS VARCHAR) AS mx2,
+                CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0
+                         END) AS BIGINT) AS nf3,
+                CAST(count(DISTINCT l_returnflag) AS BIGINT) AS df3,
+                CAST(min(l_returnflag) AS VARCHAR) AS mn3,
+                CAST(max(l_returnflag) AS VARCHAR) AS mx3
+              FROM lineitem),
+            m AS (
+              SELECT 'l_orderkey' AS col,
+                     po.nf1 / po.t AS nfo, pn.nf1 / pn.t AS nfn,
+                     po.df1 / po.t AS dfo, pn.df1 / pn.t AS dfn,
+                     po.mn1 AS mno, pn.mn1 AS mnn,
+                     po.mx1 AS mxo, pn.mx1 AS mxn
+              FROM po, pn
+              UNION ALL
+              SELECT 'l_quantity', po.nf2 / po.t, pn.nf2 / pn.t,
+                     po.df2 / po.t, pn.df2 / pn.t,
+                     po.mn2, pn.mn2, po.mx2, pn.mx2 FROM po, pn
+              UNION ALL
+              SELECT 'l_returnflag', po.nf3 / po.t, pn.nf3 / pn.t,
+                     po.df3 / po.t, pn.df3 / pn.t,
+                     po.mn3, pn.mn3, po.mx3, pn.mx3 FROM po, pn)
+            SELECT rule, old_value, new_value, delta, passed FROM (
+              SELECT 'null_frac(' || col || ')' AS rule,
+                     round(nfo, 9) AS old_value,
+                     round(nfn, 9) AS new_value,
+                     round(abs(nfn - nfo), 9) AS delta,
+                     round(abs(nfn - nfo), 9) <= 0.0 AS passed
+              FROM m
+              UNION ALL
+              SELECT 'distinct_frac(' || col || ')',
+                     round(dfo, 9), round(dfn, 9),
+                     round(abs(dfn - dfo), 9),
+                     round(abs(dfn - dfo), 9) <= 0.01 FROM m
+              UNION ALL
+              SELECT 'range(' || col || ')',
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                     CAST((CASE WHEN mno IS DISTINCT FROM mnn
+                                THEN 1 ELSE 0 END
+                         + CASE WHEN mxo IS DISTINCT FROM mxn
+                                THEN 1 ELSE 0 END) AS DOUBLE),
+                     (CASE WHEN mno IS DISTINCT FROM mnn
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN mxo IS DISTINCT FROM mxn
+                             THEN 1 ELSE 0 END) = 0 FROM m
+            ) ORDER BY rule
+        """,
         "x_pagerank": """
             WITH edges AS (
               SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
@@ -4744,10 +4927,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         """,
         "dedup_embedding_cosine": (
-            f"WITH b AS ({_duck_buckets()}), "
+            # vec_id % 4 = 0 mirrors the entry's doc cap (r7 task 4)
+            f"WITH b AS (SELECT * FROM ({_duck_buckets()}) "
+            "WHERE vec_id % 4 = 0), "
             "e AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
-            "FROM embeddings) "
+            "FROM embeddings WHERE vec_id % 4 = 0) "
             "SELECT * FROM ("
             "SELECT ba.vec_id AS id_a, bb.vec_id AS id_b, "
             "round(list_sum(list_transform(generate_series(1, len(ea.v)), "
@@ -5444,7 +5629,8 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "text_repetition": f"""
-            WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks
+                       FROM documents WHERE doc_id % 4 = 0),
             g AS (
               SELECT doc_id,
                 CASE WHEN len(toks) >= 3 THEN

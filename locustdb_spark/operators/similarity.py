@@ -607,7 +607,10 @@ def append_ivf_index(
     append (default): new ids only — one assignment scan of the batch
     and a partitioned append; existing partitions gain files, nothing
     is read back. Callers must guarantee id uniqueness (append never
-    checks — checking would scan the corpus).
+    checks — checking would scan the corpus). The append holds the
+    same `_upsert.lock` as upsert/compaction for the duration of the
+    write (r7): an unlocked append racing a compaction could commit
+    files into a cluster dir the compactor is about to swap aside.
 
     upsert=True: ids may replace existing rows. Affected partitions
     (clusters holding old versions of the batch ids, plus clusters the
@@ -646,8 +649,32 @@ def append_ivf_index(
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
     if not upsert:
-        (assigned.write.mode("append")
-         .partitionBy("cluster").parquet(path))
+        # r7 (ADVICE): the plain append must ALSO hold the writer
+        # lock — an unlocked append racing compact_ivf_index can land
+        # a file in a live cluster dir after the compactor stages its
+        # snapshot; the swap then renames that dir aside and deletes
+        # the aside on success, silently losing the appended rows.
+        # Appends never move live data, so unlike the torn-swap path
+        # the lock is released even on failure (Spark's output
+        # committer leaves no committed files behind a failed write).
+        from ..storage import HadoopStorage
+
+        store = HadoopStorage(spark)
+        lock = f"{path.rstrip('/')}/_upsert.lock"
+        payload = json.dumps({"op": "append", "pid": os.getpid(),
+                              "acquired_unix": time.time()}).encode()
+        if not store.put_if_absent(lock, payload):
+            raise IvfUpsertLockError(
+                f"{lock} is held by another index rewrite (or left "
+                "by a crashed one); a plain append may not interleave "
+                "with an in-flight upsert/compaction swap. Wait for "
+                "it to finish (see append_ivf_index docstring for "
+                "crash recovery), then retry.")
+        try:
+            (assigned.write.mode("append")
+             .partitionBy("cluster").parquet(path))
+        finally:
+            store.delete(lock)
         return
     idx = spark.read.parquet(path)
     new_ids = df.select(id_col).distinct()

@@ -509,20 +509,46 @@ def fingerprint(
 
         @pandas_udf("long")
         def _roll_min(texts: pd.Series) -> pd.Series:
-            out = np.empty(len(texts), dtype=np.int64)
+            # r7: fully vectorized — ONE flat byte buffer + offsets
+            # per Arrow batch (the gram-kernel pattern) instead of a
+            # per-document Python loop: `window` polynomial passes
+            # over the whole batch, cross-document shingles masked to
+            # u64-max, per-document mins via minimum.reduceat. The
+            # only remaining per-row Python is the unavoidable
+            # str.lower().encode().
             w = window
-            for i, t in enumerate(texts):
-                b = np.frombuffer(
-                    (t or "").lower().encode("utf-8", "surrogatepass"),
-                    dtype=np.uint8)
-                if len(b) < w:  # matches the expression paths'
-                    b = np.pad(b, (0, w - len(b)))  # short-text floor
-                n = len(b)
-                acc = np.zeros(n - w + 1, dtype=np.uint64)
-                for j in range(w):
-                    acc = acc * prime + b[j:n - w + 1 + j]
-                out[i] = int(acc.min().astype(np.int64))
-            return pd.Series(out)
+            if len(texts) == 0:
+                return pd.Series(np.empty(0, dtype=np.int64))
+            # zero-pad short docs to w bytes — matches the expression
+            # paths' short-text floor (and the pre-r7 loop kernel)
+            blobs = [
+                (t or "").lower().encode("utf-8", "surrogatepass")
+                .ljust(w, b"\0")
+                for t in texts
+            ]
+            lens = np.fromiter((len(b) for b in blobs),
+                               dtype=np.int64, count=len(blobs))
+            starts = np.zeros(len(blobs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            n = len(buf)
+            acc = np.zeros(n - w + 1, dtype=np.uint64)
+            for j in range(w):
+                acc = acc * prime + buf[j:n - w + 1 + j]
+            # shingles whose window crosses a document boundary are
+            # garbage: doc i's valid starts are
+            # [starts[i], starts[i] + lens[i] - w]; mask the rest via
+            # a +1/-1 diff array so the cost stays O(batch), not
+            # O(docs * window)
+            inv_from = np.minimum(starts + lens - w + 1, len(acc))
+            inv_to = np.minimum(starts + lens, len(acc))
+            diff = np.zeros(len(acc) + 1, dtype=np.int64)
+            np.add.at(diff, inv_from, 1)
+            np.add.at(diff, inv_to, -1)
+            acc[np.cumsum(diff[:-1]) > 0] = np.uint64(
+                0xFFFFFFFFFFFFFFFF)
+            mins = np.minimum.reduceat(acc, starts)
+            return pd.Series(mins.astype(np.int64))
 
         return df.select(
             F.col(id_col),

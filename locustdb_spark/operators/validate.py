@@ -132,3 +132,81 @@ def profile_columns(
                     F.col("p.min_value").alias("min_value"),
                     F.col("p.max_value").alias("max_value"),
                     F.col("_total").alias("total_rows")))
+
+
+def profile_drift(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    *,
+    max_null_frac_delta: float = 0.01,
+    max_distinct_frac_delta: float = 0.05,
+    fail_on_range_change: bool = False,
+) -> DataFrame:
+    """Diff two `profile_columns` outputs into a drift report — the
+    operator that closes the loop the profile docstring promises
+    ("drift checks diff two profiles, never re-scanning the old
+    data"): yesterday's profile is a handful of rows, so comparing a
+    100 TB table against its history costs a join of two tiny frames,
+    zero scans of either table.
+
+    Emits one row per (column, metric) in the same report shape as
+    `check_constraints` (rule / measured values / passed):
+
+    - ``null_frac(col)``   — |null fraction new − old|; passed when
+      the delta is within `max_null_frac_delta`.
+    - ``distinct_frac(col)`` — |distinct-per-row density new − old|
+      (a cardinality-collapse / explosion detector); passed within
+      `max_distinct_frac_delta`.
+    - ``range(col)``       — how many of the min/max endpoints moved
+      (0, 1 or 2, as `delta`; old/new values are NULL because the
+      endpoints are heterogeneous strings); passed unless
+      `fail_on_range_change` and an endpoint moved.
+
+    Columns present in only one profile are dropped (inner join):
+    schema drift is `check_constraints` territory, this compares the
+    columns both snapshots measured."""
+    def fracs(p: DataFrame, tag: str) -> DataFrame:
+        return p.select(
+            "column",
+            (F.col("n_null") / F.col("total_rows"))
+            .alias(f"_nf_{tag}"),
+            (F.col("n_distinct") / F.col("total_rows"))
+            .alias(f"_df_{tag}"),
+            F.col("min_value").alias(f"_mn_{tag}"),
+            F.col("max_value").alias(f"_mx_{tag}"))
+
+    j = fracs(old_profile, "o").join(fracs(new_profile, "n"),
+                                     "column")
+    nf_delta = F.round(F.abs(F.col("_nf_n") - F.col("_nf_o")), 9)
+    df_delta = F.round(F.abs(F.col("_df_n") - F.col("_df_o")), 9)
+    ends_moved = (
+        (~F.col("_mn_o").eqNullSafe(F.col("_mn_n"))).cast("int")
+        + (~F.col("_mx_o").eqNullSafe(F.col("_mx_n"))).cast("int"))
+    null_d = F.lit(None).cast("double")
+    metrics = F.array(
+        F.struct(
+            F.concat(F.lit("null_frac("), F.col("column"),
+                     F.lit(")")).alias("rule"),
+            F.round(F.col("_nf_o"), 9).alias("old_value"),
+            F.round(F.col("_nf_n"), 9).alias("new_value"),
+            nf_delta.alias("delta"),
+            (nf_delta <= F.lit(max_null_frac_delta)).alias("passed")),
+        F.struct(
+            F.concat(F.lit("distinct_frac("), F.col("column"),
+                     F.lit(")")).alias("rule"),
+            F.round(F.col("_df_o"), 9).alias("old_value"),
+            F.round(F.col("_df_n"), 9).alias("new_value"),
+            df_delta.alias("delta"),
+            (df_delta <= F.lit(max_distinct_frac_delta))
+            .alias("passed")),
+        F.struct(
+            F.concat(F.lit("range("), F.col("column"),
+                     F.lit(")")).alias("rule"),
+            null_d.alias("old_value"),
+            null_d.alias("new_value"),
+            ends_moved.cast("double").alias("delta"),
+            (F.lit(not fail_on_range_change) | (ends_moved == 0))
+            .alias("passed")))
+    return (j.select(F.explode(metrics).alias("m"))
+            .select("m.rule", "m.old_value", "m.new_value",
+                    "m.delta", "m.passed"))

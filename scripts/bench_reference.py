@@ -22,8 +22,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Resolve the repo root by this file's location, not CWD (r7,
+# ADVICE): with "." the bench.py import below only worked when run
+# from the repo root, and failed mid-benchmark AFTER timings were
+# collected when run from anywhere else. Importing at module top
+# makes a broken path fail before any work is done.
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
 
+from bench import host_calibration  # noqa: E402
 from locustdb_spark import LocustDB, get_spark  # noqa: E402
 from locustdb_spark.sources import colgen  # noqa: E402
 
@@ -146,7 +153,6 @@ def main() -> None:
         # r6: attach the fixed-workload host probes (bench.py) so a
         # cross-round ratio drift is attributable to the host vs the
         # plan without a separate investigation
-        from bench import host_calibration
         print(json.dumps({"table": name, "rows": n, "queries": out,
                           "host_calibration": host_calibration(spark)}),
               flush=True)

@@ -501,6 +501,45 @@ def test_fingerprint_hash_variants_cluster_equivalent(spark):
         fingerprint(docs, hash_fn="sha9000").collect()
 
 
+def test_fingerprint_rolling_matches_per_doc_reference(spark):
+    """r7: the flat-buffer batch kernel must be VALUE-equal to the
+    pre-r7 per-document loop (re-implemented here as the reference),
+    including the short-text zero-pad floor, empty/None texts,
+    multi-byte UTF-8, and texts whose tails would collide across the
+    batch boundary if the cross-document mask were wrong."""
+    import numpy as np
+
+    from locustdb_spark.operators.text import fingerprint
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),            # floor: padded to 8 zero bytes
+        (3, None),          # treated as ""
+        (4, "short"),       # < window, padded
+        (5, "exactly8"),    # == window: exactly one shingle
+        (6, "αβγδε ζηθικ"), # multi-byte utf-8
+        (7, "zzzzzzzzzzzzzzzz"),  # tail equal to next doc's head
+        (8, "zzzzzzzzaaaaaaaa"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: r.fingerprint
+           for r in fingerprint(docs).collect()}
+
+    prime = np.uint64(1099511628211)
+    w = 8
+    for doc_id, t in texts:
+        b = np.frombuffer(
+            (t or "").lower().encode("utf-8", "surrogatepass"),
+            dtype=np.uint8)
+        if len(b) < w:
+            b = np.pad(b, (0, w - len(b)))
+        n = len(b)
+        acc = np.zeros(n - w + 1, dtype=np.uint64)
+        for j in range(w):
+            acc = acc * prime + b[j:n - w + 1 + j]
+        assert got[doc_id] == int(acc.min().astype(np.int64)), doc_id
+
+
 def test_repetition_stats_hash_ngrams_equivalent(spark):
     """hash_ngrams=True (no string materialization) must reproduce the
     exact path's counts on a collision-free corpus."""
@@ -2581,6 +2620,40 @@ def test_profile_columns_values(spark):
     assert got["s"].total_rows == 3
 
 
+def test_profile_drift_report(spark):
+    """r7: profile_drift diffs two profile_columns outputs — no
+    rescan of either table — and flags null-fraction jumps,
+    distinct-density shifts, and moved min/max endpoints per the
+    thresholds, emitting both passing and failing rows."""
+    from locustdb_spark.operators.validate import (
+        profile_columns, profile_drift)
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, s string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (9, "a")], "k long, s string")
+    po, pn = (profile_columns(d, ["k", "s"]) for d in (old, new))
+    got = {r.rule: r for r in profile_drift(
+        po, pn, max_null_frac_delta=0.1,
+        max_distinct_frac_delta=0.3,
+        fail_on_range_change=True).collect()}
+    assert len(got) == 6
+    # s: null frac 0 -> 0.25 exceeds 0.1; k stays 0
+    assert not got["null_frac(s)"].passed
+    assert got["null_frac(s)"].new_value == 0.25
+    assert got["null_frac(k)"].passed
+    # s: distinct density 1.0 -> 0.25 exceeds 0.3; k 1.0 stays
+    assert not got["distinct_frac(s)"].passed
+    assert got["distinct_frac(k)"].passed
+    # k's max moved 4 -> 9 (one endpoint); s's max moved d -> a
+    assert got["range(k)"].delta == 1.0 and not got["range(k)"].passed
+    assert got["range(k)"].old_value is None
+    # with fail_on_range_change off the same delta passes
+    relaxed = {r.rule: r for r in profile_drift(
+        po, pn, fail_on_range_change=False).collect()}
+    assert relaxed["range(k)"].passed and relaxed["range(k)"].delta == 1.0
+
+
 def test_compact_ivf_index_collapses_small_files(spark, tmp_path):
     """r6: repeated appends accrete one file per batch per cluster;
     compaction rewrites over-threshold clusters to ONE file each with
@@ -2640,3 +2713,32 @@ def test_compact_ivf_index_collapses_small_files(spark, tmp_path):
     # idempotent: nothing left over threshold
     rep2 = compact_ivf_index(spark, path, max_files_per_cluster=2)
     assert rep2["compacted"] == [] and sorted(rep2["skipped"]) == [0, 1]
+
+
+def test_append_ivf_index_respects_writer_lock(spark, tmp_path):
+    """r7 (ADVICE): a PLAIN append must not interleave with an
+    in-flight upsert/compaction swap — it now takes the same
+    _upsert.lock: a held lock raises instead of silently landing a
+    file the compactor's rename-aside would drop, and a successful
+    append releases the lock so the next writer proceeds."""
+    from locustdb_spark.operators.similarity import (
+        IvfUpsertLockError, append_ivf_index, build_ivf_index)
+
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1000, [0.0, 1.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    path = str(tmp_path / "ivf_lockap")
+    build_ivf_index(seed, path, centroids=[[1.0, 0.0], [0.0, 1.0]],
+                    assign="expr")
+    batch = spark.createDataFrame(
+        [(5, [1.0, 0.1])], "vec_id long, embedding array<double>")
+    lock = tmp_path / "ivf_lockap" / "_upsert.lock"
+    lock.write_bytes(b"{}")
+    with pytest.raises(IvfUpsertLockError):
+        append_ivf_index(batch, path, assign="expr")
+    # the batch must NOT have landed while the lock was held
+    assert spark.read.parquet(path).filter("vec_id = 5").count() == 0
+    lock.unlink()
+    append_ivf_index(batch, path, assign="expr")
+    assert spark.read.parquet(path).filter("vec_id = 5").count() == 1
+    assert not lock.exists()  # released after a successful append
