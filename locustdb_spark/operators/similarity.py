@@ -676,35 +676,48 @@ def append_ivf_index(
         finally:
             store.delete(lock)
         return
-    idx = spark.read.parquet(path)
-    new_ids = df.select(id_col).distinct()
-    old_clusters = {
-        int(r[0]) for r in
-        idx.join(F.broadcast(new_ids), id_col, "left_semi")
-        .select("cluster").distinct().collect()
-    }
-    new_clusters = {
-        int(r[0]) for r in
-        assigned.select("cluster").distinct().collect()
-    }
-    affected = sorted(old_clusters | new_clusters)
-    keep = (idx.filter(F.col("cluster").isin(affected))
-            .join(F.broadcast(new_ids), id_col, "left_anti"))
-    replacement = keep.unionByName(
-        assigned.select(*keep.columns))
-    _locked_partition_swap(spark, path, affected, replacement)
+    def plan() -> tuple[list[int], DataFrame]:
+        idx = spark.read.parquet(path)
+        new_ids = df.select(id_col).distinct()
+        old_clusters = {
+            int(r[0]) for r in
+            idx.join(F.broadcast(new_ids), id_col, "left_semi")
+            .select("cluster").distinct().collect()
+        }
+        new_clusters = {
+            int(r[0]) for r in
+            assigned.select("cluster").distinct().collect()
+        }
+        affected = sorted(old_clusters | new_clusters)
+        keep = (idx.filter(F.col("cluster").isin(affected))
+                .join(F.broadcast(new_ids), id_col, "left_anti"))
+        replacement = keep.unionByName(
+            assigned.select(*keep.columns))
+        return affected, replacement
+
+    _locked_partition_swap(spark, path, plan)
 
 
-def _locked_partition_swap(spark, path: str, affected: list[int],
-                           replacement: DataFrame) -> None:
+def _locked_partition_swap(spark, path: str, plan) -> None:
     """The writer-safe partition-rewrite protocol shared by
     `append_ivf_index(upsert=True)` and `compact_ivf_index`:
-    put-if-absent `_upsert.lock` -> stage the replacement partitions
-    in a per-invocation uuid directory -> per-cluster rename the OLD
-    data ASIDE, rename the replacement in -> drop aside/stage/lock
-    only after every rename lands. A mid-swap failure raises
-    IvfUpsertTornError naming the recovery dirs and HOLDS the lock
-    (the index is torn until a human restores or rolls forward)."""
+    put-if-absent `_upsert.lock` -> compute the rewrite plan -> stage
+    the replacement partitions in a per-invocation uuid directory ->
+    per-cluster rename the OLD data ASIDE, rename the replacement in
+    -> drop aside/stage/lock only after every rename lands. A
+    mid-swap failure raises IvfUpsertTornError naming the recovery
+    dirs and HOLDS the lock (the index is torn until a human restores
+    or rolls forward).
+
+    `plan` is a zero-arg callable returning (affected clusters,
+    replacement DataFrame), or None to abort with nothing to do. It
+    runs AFTER the lock is held (r7): the plan reads a snapshot of
+    the index, and taking that snapshot before acquiring the lock was
+    a cross-process TOCTOU — a second writer could swap partitions
+    between the snapshot listing and the staged write, leaving the
+    stage job reading renamed-away files (and the loser's rewrite
+    built on a stale view even when the files survived). Lock, THEN
+    look."""
     from ..storage import HadoopStorage
 
     store = HadoopStorage(spark)
@@ -728,6 +741,11 @@ def _locked_partition_swap(spark, path: str, affected: list[int],
     stage = f"{base}__upsert_stage_{token}"
     aside = f"{base}/.upsert_aside_{token}"  # dot-dir: readers skip it
     try:
+        planned = plan()
+        if planned is None:  # nothing to rewrite under the lock
+            store.delete(lock)
+            return
+        affected, replacement = planned
         (replacement.write.mode("overwrite")
          .partitionBy("cluster").parquet(stage))
     except BaseException:
@@ -795,23 +813,35 @@ def compact_ivf_index(
 
     store = HadoopStorage(spark)
     base = path.rstrip("/")
-    counts: dict[int, int] = {}
-    for d in store.list(base):
-        if not d.startswith("cluster="):
-            continue
-        k = int(d.split("=", 1)[1])
-        counts[k] = sum(
-            1 for f in store.list(f"{base}/{d}")
-            if not f.startswith(("_", ".")))
-    todo = sorted(k for k, n in counts.items()
-                  if n > max_files_per_cluster)
+    report: dict = {}
+
+    # the file-count census runs UNDER the lock (r7): counting before
+    # acquiring it raced a concurrent upsert's rename-aside window
+    def plan():
+        counts: dict[int, int] = {}
+        for d in store.list(base):
+            if not d.startswith("cluster="):
+                continue
+            k = int(d.split("=", 1)[1])
+            counts[k] = sum(
+                1 for f in store.list(f"{base}/{d}")
+                if not f.startswith(("_", ".")))
+        todo = sorted(k for k, n in counts.items()
+                      if n > max_files_per_cluster)
+        report["files_before"] = counts
+        report["todo"] = todo
+        if not todo:
+            return None
+        replacement = (spark.read.parquet(base)
+                       .filter(F.col("cluster").isin(todo))
+                       .repartition(len(todo), "cluster"))
+        return todo, replacement
+
+    _locked_partition_swap(spark, path, plan)
+    counts, todo = report["files_before"], report["todo"]
     if not todo:
         return {"compacted": [], "files_before": counts,
                 "skipped": sorted(counts)}
-    replacement = (spark.read.parquet(base)
-                   .filter(F.col("cluster").isin(todo))
-                   .repartition(len(todo), "cluster"))
-    _locked_partition_swap(spark, path, todo, replacement)
     return {"compacted": todo,
             "files_before": {k: counts[k] for k in todo},
             "skipped": sorted(set(counts) - set(todo))}

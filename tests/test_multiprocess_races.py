@@ -1,0 +1,163 @@
+"""Cross-PROCESS writer races (r7, VERDICT task 3): the thread-race
+tests in test_versioned.py / test_operators.py share one JVM and one
+Python process, but the regime two maintenance cron jobs actually
+create is separate OS processes with separate JVMs and filesystem
+handles. These tests launch real `python` subprocesses, each with its
+OWN SparkSession, hammering the same on-disk table/index, then assert
+no lost update, no torn state, and equality with a serial run.
+
+Both lock protocols under test serialize writers through the same
+put-if-absent primitive (POSIX O_CREAT|O_EXCL via Hadoop's
+create-no-overwrite locally; conditional PUT on object stores), so a
+cross-process win here is evidence the primitive — not Python-level
+threading — carries the exclusion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Each worker is an independent `python` process building its own
+# SparkSession: small heap + local[2] so two JVMs start fast and
+# coexist; the work per worker is tiny.
+_WORKER_PRELUDE = textwrap.dedent("""
+    import json, os, sys, time
+    sys.path.insert(0, {repo!r})
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "1g"
+    from locustdb_spark import get_spark
+    spark = get_spark(app_name="race-worker-" + sys.argv[1],
+                      master="local[2]", shuffle_partitions=2,
+                      extra_conf={{"spark.ui.enabled": "false"}})
+""")
+
+
+def _run_workers(body: str, path: str, n_workers: int = 2,
+                 timeout: int = 600) -> None:
+    script = _WORKER_PRELUDE.format(repo=REPO) + textwrap.dedent(body)
+    script_path = os.path.join(path, "_worker.py")
+    with open(script_path, "w") as fh:
+        fh.write(script)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script_path, str(i), path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(n_workers)
+    ]
+    failures = []
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=timeout)
+        if p.returncode != 0:
+            failures.append(f"worker {i} rc={p.returncode}\n"
+                            f"stdout:\n{out[-2000:]}\n"
+                            f"stderr:\n{err[-2000:]}")
+    assert not failures, "\n---\n".join(failures)
+
+
+@pytest.mark.slow
+def test_versioned_append_cross_process(spark, tmp_path):
+    """Two processes each append 4 disjoint batches concurrently.
+    The manifest's fails-if-exists commit must serialize them: every
+    batch commits exactly once (appends retry on lost version races
+    internally), the final version count is seed + 8, and the row
+    multiset equals the serial union."""
+    from locustdb_spark import VersionedTable
+
+    root = str(tmp_path / "vt_race")
+    vt = VersionedTable(spark, root)
+    vt.append(spark.range(0, 10).selectExpr(
+        "id AS k", "CAST(-1 AS INT) AS writer", "CAST(-1 AS INT) AS batch"))
+
+    _run_workers("""
+        from pyspark.sql import functions as F
+        from locustdb_spark import VersionedTable
+        w = int(sys.argv[1]); root = sys.argv[2] + "/vt_race"
+        vt = VersionedTable(spark, root)
+        for b in range(4):
+            df = spark.range(100000 + 1000 * (10 * w + b),
+                             100000 + 1000 * (10 * w + b) + 50).selectExpr(
+                "id AS k",
+                f"CAST({w} AS INT) AS writer",
+                f"CAST({b} AS INT) AS batch")
+            vt.append(df)
+        spark.stop()
+    """, str(tmp_path))
+
+    vt2 = VersionedTable(spark, root)
+    assert vt2.latest_version() == 9  # 1 seed + 2*4 racing appends
+    got = vt2.read()
+    assert got.count() == 10 + 8 * 50
+    # every (writer, batch) committed exactly once, no torn batch
+    per_batch = {(r.writer, r.batch): r.n for r in
+                 got.groupBy("writer", "batch").count()
+                 .withColumnRenamed("count", "n").collect()}
+    expect = {(-1, -1): 10}
+    expect.update({(w, b): 50 for w in (0, 1) for b in range(4)})
+    assert per_batch == expect
+    # and no duplicate keys anywhere
+    assert got.select("k").distinct().count() == got.count()
+
+
+@pytest.mark.slow
+def test_ivf_upsert_cross_process(spark, tmp_path):
+    """Two processes upsert overlapping-cluster batches concurrently,
+    retrying on IvfUpsertLockError (the documented multi-writer
+    protocol). The put-if-absent lock must exclude them across JVMs:
+    afterwards every id appears exactly once with its LAST writer's
+    vector, and no lock/stage/aside artifacts remain."""
+    from locustdb_spark.operators.similarity import build_ivf_index
+
+    root = tmp_path / "ivf_race"
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    build_ivf_index(seed, str(root),
+                    centroids=[[1.0, 0.0], [0.0, 1.0]], assign="expr")
+
+    # both workers upsert the SAME ids (100..109) plus their own
+    # private range; each retries the documented way on lock conflict
+    _run_workers("""
+        import random
+        from locustdb_spark.operators.similarity import (
+            IvfUpsertLockError, append_ivf_index)
+        w = int(sys.argv[1]); root = sys.argv[2] + "/ivf_race"
+        for b in range(3):
+            rows = ([(100 + i, [1.0, 0.001 * (10 * w + b)])
+                     for i in range(10)] +
+                    [(1000 * (w + 1) + 10 * b + i, [0.001 * i, 1.0])
+                     for i in range(10)])
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>")
+            for attempt in range(240):
+                try:
+                    append_ivf_index(df, root, upsert=True,
+                                     assign="expr")
+                    break
+                except IvfUpsertLockError:
+                    time.sleep(0.25 + random.random() * 0.25)
+            else:
+                raise SystemExit("never acquired the upsert lock")
+        spark.stop()
+    """, str(tmp_path))
+
+    idx = spark.read.parquet(str(root))
+    # ids exactly once: 2 seed + 10 shared + 2 workers * 3 batches * 10
+    ids = [r.vec_id for r in idx.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == 2 + 10 + 60
+    # the shared ids carry a COHERENT final batch (one writer's last
+    # committed upsert, not an interleaving): all ten share one vector
+    shared = (idx.filter("vec_id BETWEEN 100 AND 109")
+              .selectExpr("embedding[1] AS tag").distinct().collect())
+    assert len(shared) == 1, shared
+    assert float(shared[0].tag) in {0.001 * (10 * w + 2) for w in (0, 1)}
+    # protocol hygiene: no lock, no stage, no aside leftovers
+    assert not (root / "_upsert.lock").exists()
+    assert not list(root.glob(".upsert_aside_*"))
+    assert not list(tmp_path.glob("ivf_race__upsert_stage*"))
