@@ -42,6 +42,29 @@ class IvfUpsertTornError(RuntimeError):
     message. The lock is intentionally left held."""
 
 
+def _acquire_upsert_lock(store, lock: str, payload: bytes,
+                         lock_retries: int, lock_backoff: float,
+                         hint: str) -> None:
+    """Take the index's put-if-absent writer lock, retrying with
+    linear backoff (r8, VERDICT task 4): two LEGITIMATE concurrent
+    maintainers — an append cron racing a compaction cron — should
+    serialize inside the library rather than every caller hand-rolling
+    the retry loop the race tests used to carry. `lock_retries=0`
+    restores the r7 fail-fast behavior. The backoff is linear
+    (`lock_backoff * attempt`), bounded at `lock_retries` sleeps; a
+    lock left by a CRASHED writer burns the retries and then raises
+    with the recovery instructions, which is the right failure for an
+    unattended job (a human must inspect the aside/stage dirs)."""
+    for attempt in range(1, lock_retries + 1):
+        if store.put_if_absent(lock, payload):
+            return
+        time.sleep(lock_backoff * attempt)
+    if not store.put_if_absent(lock, payload):
+        raise IvfUpsertLockError(
+            f"{lock} is held by another index rewrite (or left by a "
+            f"crashed one) after {lock_retries} retries. {hint}")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -596,6 +619,8 @@ def append_ivf_index(
     id_col: str = "vec_id",
     assign: str = "numpy",
     upsert: bool = False,
+    lock_retries: int = 5,
+    lock_backoff: float = 0.5,
 ) -> None:
     """Incrementally maintain a `build_ivf_index` layout: assign the
     batch with the index's FROZEN centroids (read from
@@ -643,6 +668,13 @@ def append_ivf_index(
     `ivf_drift` and retrain (full `build_ivf_index`) when the mean
     distance to assigned centroids rises materially over the
     `_stats.json` baseline.
+
+    Lock contention (r8): `lock_retries`/`lock_backoff` bound how
+    long this writer waits for `_upsert.lock` before raising
+    `IvfUpsertLockError` — linear backoff, `lock_retries` sleeps of
+    `lock_backoff * attempt` seconds. The default (5 retries, 0.5 s
+    base) rides out a racing append/compaction; `lock_retries=0`
+    fails fast for callers that schedule their own retries.
     """
     spark = df.sparkSession
     centroids = _read_ivf_centroids(spark, path)
@@ -663,13 +695,12 @@ def append_ivf_index(
         lock = f"{path.rstrip('/')}/_upsert.lock"
         payload = json.dumps({"op": "append", "pid": os.getpid(),
                               "acquired_unix": time.time()}).encode()
-        if not store.put_if_absent(lock, payload):
-            raise IvfUpsertLockError(
-                f"{lock} is held by another index rewrite (or left "
-                "by a crashed one); a plain append may not interleave "
-                "with an in-flight upsert/compaction swap. Wait for "
-                "it to finish (see append_ivf_index docstring for "
-                "crash recovery), then retry.")
+        _acquire_upsert_lock(
+            store, lock, payload, lock_retries, lock_backoff,
+            "A plain append may not interleave with an in-flight "
+            "upsert/compaction swap. Wait for it to finish (see "
+            "append_ivf_index docstring for crash recovery), then "
+            "retry.")
         try:
             (assigned.write.mode("append")
              .partitionBy("cluster").parquet(path))
@@ -695,10 +726,14 @@ def append_ivf_index(
             assigned.select(*keep.columns))
         return affected, replacement
 
-    _locked_partition_swap(spark, path, plan)
+    _locked_partition_swap(spark, path, plan,
+                           lock_retries=lock_retries,
+                           lock_backoff=lock_backoff)
 
 
-def _locked_partition_swap(spark, path: str, plan) -> None:
+def _locked_partition_swap(spark, path: str, plan,
+                           lock_retries: int = 5,
+                           lock_backoff: float = 0.5) -> None:
     """The writer-safe partition-rewrite protocol shared by
     `append_ivf_index(upsert=True)` and `compact_ivf_index`:
     put-if-absent `_upsert.lock` -> compute the rewrite plan -> stage
@@ -728,13 +763,12 @@ def _locked_partition_swap(spark, path: str, plan) -> None:
     lock = f"{base}/_upsert.lock"
     payload = json.dumps({"token": token, "pid": os.getpid(),
                           "acquired_unix": time.time()}).encode()
-    if not store.put_if_absent(lock, payload):
-        raise IvfUpsertLockError(
-            f"{lock} is held by another index rewrite (or left by a "
-            "crashed one). Wait for it to finish; if the holder "
-            "crashed before any swap (no .upsert_aside_* dir under "
-            "the index), delete the lock file and retry; if it "
-            "crashed mid-swap, restore the aside partitions first.")
+    _acquire_upsert_lock(
+        store, lock, payload, lock_retries, lock_backoff,
+        "Wait for it to finish; if the holder crashed before any "
+        "swap (no .upsert_aside_* dir under the index), delete the "
+        "lock file and retry; if it crashed mid-swap, restore the "
+        "aside partitions first.")
     # Unique per-invocation staging dir: even if the lock is ever
     # force-removed wrongly, two writers can't overwrite each other's
     # staged output.
@@ -790,6 +824,8 @@ def compact_ivf_index(
     spark,
     path: str,
     max_files_per_cluster: int = 4,
+    lock_retries: int = 5,
+    lock_backoff: float = 0.5,
 ) -> dict:
     """Small-file compaction for an incrementally-maintained IVF
     index: every `append_ivf_index` batch adds at least one parquet
@@ -837,7 +873,9 @@ def compact_ivf_index(
                        .repartition(len(todo), "cluster"))
         return todo, replacement
 
-    _locked_partition_swap(spark, path, plan)
+    _locked_partition_swap(spark, path, plan,
+                           lock_retries=lock_retries,
+                           lock_backoff=lock_backoff)
     counts, todo = report["files_before"], report["todo"]
     if not todo:
         return {"compacted": [], "files_before": counts,

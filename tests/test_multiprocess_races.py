@@ -122,11 +122,11 @@ def test_ivf_upsert_cross_process(spark, tmp_path):
                     centroids=[[1.0, 0.0], [0.0, 1.0]], assign="expr")
 
     # both workers upsert the SAME ids (100..109) plus their own
-    # private range; each retries the documented way on lock conflict
+    # private range; lock contention is resolved by the library's own
+    # bounded retry (r8: lock_retries/lock_backoff replaced the
+    # hand-rolled loop this test used to carry)
     _run_workers("""
-        import random
-        from locustdb_spark.operators.similarity import (
-            IvfUpsertLockError, append_ivf_index)
+        from locustdb_spark.operators.similarity import append_ivf_index
         w = int(sys.argv[1]); root = sys.argv[2] + "/ivf_race"
         for b in range(3):
             rows = ([(100 + i, [1.0, 0.001 * (10 * w + b)])
@@ -135,15 +135,8 @@ def test_ivf_upsert_cross_process(spark, tmp_path):
                      for i in range(10)])
             df = spark.createDataFrame(
                 rows, "vec_id long, embedding array<double>")
-            for attempt in range(240):
-                try:
-                    append_ivf_index(df, root, upsert=True,
-                                     assign="expr")
-                    break
-                except IvfUpsertLockError:
-                    time.sleep(0.25 + random.random() * 0.25)
-            else:
-                raise SystemExit("never acquired the upsert lock")
+            append_ivf_index(df, root, upsert=True, assign="expr",
+                             lock_retries=240, lock_backoff=0.05)
         spark.stop()
     """, str(tmp_path))
 
@@ -161,3 +154,52 @@ def test_ivf_upsert_cross_process(spark, tmp_path):
     assert not (root / "_upsert.lock").exists()
     assert not list(root.glob(".upsert_aside_*"))
     assert not list(tmp_path.glob("ivf_race__upsert_stage*"))
+
+
+@pytest.mark.slow
+def test_ivf_append_vs_compact_cross_process(spark, tmp_path):
+    """The exact race the r7 append-lock closed, now across JVMs:
+    one process streams plain appends while another repeatedly
+    compacts. An unlocked append could land a file inside a cluster
+    dir the compactor had staged a snapshot of — the swap would
+    rename that dir aside and delete the aside, silently dropping the
+    appended rows. With both paths serialized through `_upsert.lock`
+    (and the r8 library retry riding out contention), every appended
+    id must survive every compaction, exactly once."""
+    from locustdb_spark.operators.similarity import build_ivf_index
+
+    root = tmp_path / "ivf_ac"
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    build_ivf_index(seed, str(root),
+                    centroids=[[1.0, 0.0], [0.0, 1.0]], assign="expr")
+
+    _run_workers("""
+        from locustdb_spark.operators.similarity import (
+            append_ivf_index, compact_ivf_index)
+        w = int(sys.argv[1]); root = sys.argv[2] + "/ivf_ac"
+        if w == 0:  # appender: 4 batches of 25 unique ids, both clusters
+            for b in range(4):
+                rows = [(1000 + 25 * b + i,
+                         [1.0, 0.001 * i] if i % 2 else [0.001 * i, 1.0])
+                        for i in range(25)]
+                df = spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>")
+                append_ivf_index(df, root, assign="expr",
+                                 lock_retries=240, lock_backoff=0.05)
+        else:  # compactor: aggressive threshold so every pass rewrites
+            for _ in range(5):
+                compact_ivf_index(spark, root, max_files_per_cluster=1,
+                                  lock_retries=240, lock_backoff=0.05)
+                time.sleep(0.2)
+        spark.stop()
+    """, str(tmp_path))
+
+    idx = spark.read.parquet(str(root))
+    ids = sorted(r.vec_id for r in idx.select("vec_id").collect())
+    # no appended batch lost to a compaction swap, no duplicates
+    assert ids == [0, 1] + list(range(1000, 1100))
+    assert not (root / "_upsert.lock").exists()
+    assert not list(root.glob(".upsert_aside_*"))
+    assert not list(tmp_path.glob("ivf_ac__upsert_stage*"))
