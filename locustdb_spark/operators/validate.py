@@ -98,21 +98,36 @@ def check_constraints(
 
 
 def profile_columns(
-    df: DataFrame, cols: list[str],
+    df: DataFrame, cols: list[str], distinct: str = "exact",
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Single-pass column profile: one row per column with null
-    count, distinct count (exact — swap count_distinct for
-    approx_count_distinct when a sketch suffices at scale), and
-    min/max rendered as strings so heterogeneous column types melt
-    into one frame. The output is a per-column fingerprint a drift
-    job can diff against yesterday's profile without touching
-    yesterday's data."""
+    count, distinct count, and min/max rendered as strings so
+    heterogeneous column types melt into one frame. The output is a
+    per-column fingerprint a drift job can diff against yesterday's
+    profile without touching yesterday's data.
+
+    `distinct="exact"` (default, oracle-checkable) uses
+    `count_distinct`, which Spark plans as an Expand — the input is
+    replicated once per distinct-aggregate, a real two-pass cost when
+    profiling many columns of a 100 TB table. `distinct="approx"`
+    swaps in `approx_count_distinct` (HyperLogLog++, one streaming
+    pass; `rsd` is the relative standard deviation, default 0.05, so
+    individual estimates can be ~10% off at 2σ) — the right profile
+    for a scheduled drift job, since `profile_drift`'s
+    `max_distinct_frac_delta` threshold already absorbs sketch
+    noise (set it above ~2×rsd)."""
+    if distinct not in ("exact", "approx"):
+        raise ValueError(
+            f"distinct must be 'exact' or 'approx', got {distinct!r}")
+    n_distinct = (F.count_distinct if distinct == "exact"
+                  else lambda c: F.approx_count_distinct(c, rsd))
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long").alias(f"_n_{c}"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"_d_{c}"),
+            n_distinct(F.col(c)).cast("long").alias(f"_d_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]

@@ -2654,6 +2654,48 @@ def test_profile_drift_report(spark):
     assert relaxed["range(k)"].passed and relaxed["range(k)"].delta == 1.0
 
 
+def test_profile_columns_approx_distinct(spark):
+    """r8 (VERDICT task 6): `distinct="approx"` swaps count_distinct
+    for approx_count_distinct (HLL++, one streaming pass instead of
+    an Expand) and the resulting profile feeds profile_drift
+    UNCHANGED — same schema, same report rows, with the drift
+    thresholds absorbing sketch error (exact at these tiny
+    cardinalities, where HLL++ is itself exact)."""
+    import pytest
+
+    from locustdb_spark.operators.validate import (
+        profile_columns, profile_drift)
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, s string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (9, "a")], "k long, s string")
+    exact = {(r.column): r for r in
+             profile_columns(new, ["k", "s"]).collect()}
+    approx_df = profile_columns(new, ["k", "s"], distinct="approx")
+    approx = {(r.column): r for r in approx_df.collect()}
+    # identical schema and (at HLL-exact cardinalities) identical rows
+    assert approx_df.columns == ["column", "n_null", "n_distinct",
+                                 "min_value", "max_value", "total_rows"]
+    for c in ("k", "s"):
+        assert approx[c] == exact[c]
+    # the approx plan has no Expand (the exact plan's two-pass cost)
+    from locustdb_spark.plans import explain_formatted
+    assert "Expand" in explain_formatted(profile_columns(
+        new, ["k", "s"]))
+    assert "Expand" not in explain_formatted(approx_df)
+    # an approx profile on either/both sides feeds profile_drift as-is
+    po = profile_columns(old, ["k", "s"], distinct="approx")
+    got = {r.rule: r for r in profile_drift(
+        po, approx_df, max_null_frac_delta=0.1,
+        max_distinct_frac_delta=0.3).collect()}
+    assert len(got) == 6
+    assert not got["null_frac(s)"].passed
+    assert not got["distinct_frac(s)"].passed and got["distinct_frac(k)"].passed
+    with pytest.raises(ValueError, match="exact.*approx|approx.*exact"):
+        profile_columns(new, ["k"], distinct="sketchy")
+
+
 def test_compact_ivf_index_collapses_small_files(spark, tmp_path):
     """r6: repeated appends accrete one file per batch per cluster;
     compaction rewrites over-threshold clusters to ONE file each with
