@@ -2676,6 +2676,34 @@ def p_multimodal_image_stats(spark: SparkSession,
         "px_max", "n_zero", "weighted_sum", "valid")
 
 
+def p_multimodal_h264_pixels(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """REAL H.264 INTRA PIXEL DECODE under the value-hash oracle
+    (operators/h264_decode.py, new r8 — closes the r6/r7 punch-list
+    item): each document becomes a one-macroblock Intra_4x4 stream
+    whose per-block DC-only residual levels are a formula of doc_id
+    at QP 28, where dequant+IDCT of a lone DC level is EXACTLY 4*d
+    (§8.5.12 integer arithmetic — no rounding slack). The decoder
+    must run the real pipeline — CAVLC coeff_token/level/total_zeros,
+    Exp-Golomb MB syntax, Z-scan + nC bookkeeping, DC intra
+    prediction, dequant, IDCT, and the chroma prediction path — and
+    land on pixels DuckDB recomputes from the spec's DC-prediction
+    recurrence in closed form (16 lateral-alias block constants +
+    generate_series pixels). A position-weighted checksum catches
+    any pixel at the wrong coordinate. Full-strength CAVLC
+    (multi-coefficient blocks, trailing-one signs, run_before),
+    I_16x16 + Hadamard DC, I_PCM, and all nine Intra_4x4 modes are
+    pinned by encode->decode->reference-reconstruction equality in
+    tests/test_h264_decode.py."""
+    from locustdb_spark.operators.multimodal import (
+        h264_pixel_stats, with_h264_pixel_payload)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return h264_pixel_stats(with_h264_pixel_payload(docs)).select(
+        "doc_id", "width", "height", "y_sum", "y_min", "y_max",
+        "y_weighted", "cb_sum", "cr_sum", "valid")
+
+
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the REAL customer->supplier purchase
     graph (edges = distinct (o_custkey, l_suppkey) pairs through
@@ -3176,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": p_multimodal_frames,
         "multimodal_frames_mp4": p_multimodal_frames_mp4,
         "multimodal_h264_info": p_multimodal_h264,
+        "multimodal_h264_pixels": p_multimodal_h264_pixels,
         "multimodal_audio_features": p_multimodal_audio,
         "multimodal_image_stats": p_multimodal_image_stats,
         # Arrow production kernels under the SAME oracles as their
@@ -3475,8 +3504,63 @@ FROM d
 """
 
 
+def _h264_pixels_oracle() -> str:
+    """Generate the multimodal_h264_pixels oracle: the spec's
+    Intra_4x4 DC-prediction recurrence over the 16 4x4 blocks of the
+    one-macroblock golden stream, unrolled as DuckDB lateral column
+    aliases (c0..c15 in raster block order), then pixel stats via
+    generate_series — exactly the closed form the fixture docstring
+    derives (operators/multimodal.py with_h264_pixel_payload)."""
+    def d(k: int) -> str:
+        return f"(((doc_id * 7 + {5 * k}) % 9) - 4)"
+
+    cols = []
+    for k in range(16):
+        by, bx = divmod(k, 4)
+        if k == 0:
+            e = f"128 + 4 * {d(k)}"
+        elif by == 0:
+            e = f"c{k - 1} + 4 * {d(k)}"
+        elif bx == 0:
+            e = f"c{k - 4} + 4 * {d(k)}"
+        else:
+            e = f"(c{k - 1} + c{k - 4} + 1) // 2 + 4 * {d(k)}"
+        cols.append(f"{e} AS c{k}")
+    c_select = ",\n                   ".join(cols)
+    whens = "\n                     ".join(
+        f"WHEN {k} THEN c{k}" for k in range(16))
+    return f"""
+            WITH c AS (
+              SELECT doc_id,
+                   {c_select}
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, idx,
+                     CASE ((idx // 16) // 4) * 4 + ((idx % 16) // 4)
+                     {whens}
+                     END AS v
+              FROM (SELECT c.*, unnest(generate_series(0, 255)) AS idx
+                    FROM c)
+            )
+            SELECT doc_id,
+                   CAST(16 AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS y_sum,
+                   CAST(min(v) AS INT) AS y_min,
+                   CAST(max(v) AS INT) AS y_max,
+                   CAST(sum(v * (1 + idx % 97)) AS BIGINT)
+                     AS y_weighted,
+                   CAST(128 * 64 AS BIGINT) AS cb_sum,
+                   CAST(128 * 64 AS BIGINT) AS cr_sum,
+                   TRUE AS valid
+            FROM px GROUP BY doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     o = {
+        "multimodal_h264_pixels": _h264_pixels_oracle(),
         "flagship_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS cnt,

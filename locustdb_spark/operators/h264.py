@@ -173,6 +173,9 @@ class SPS:
     width: int
     height: int
     frame_mbs_only: bool
+    # retained for slice-header decode (pixel layer, h264_decode.py):
+    # pic_order_cnt_lsb's bit width when pic_order_cnt_type == 0
+    log2_max_poc_lsb: int = 4
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -199,8 +202,9 @@ def parse_sps(rbsp: bytes) -> SPS:
                     _skip_scaling_list(r, 16 if i < 6 else 64)
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 4
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         r.u(1)  # delta_pic_order_always_zero_flag
         r.se()  # offset_for_non_ref_pic
@@ -230,7 +234,8 @@ def parse_sps(rbsp: bytes) -> SPS:
         height -= (top + bottom) * ch
     return SPS(profile_idc, level_idc, sps_id, chroma_format_idc,
                bit_depth_luma, bit_depth_chroma, log2_max_frame_num,
-               poc_type, num_ref_frames, width, height, frame_mbs_only)
+               poc_type, num_ref_frames, width, height,
+               frame_mbs_only, log2_max_poc_lsb)
 
 
 def _skip_scaling_list(r: BitReader, size: int) -> None:

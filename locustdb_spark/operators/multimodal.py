@@ -674,3 +674,106 @@ def image_stats(
                 "px_min", "px_max", "n_zero", "weighted_sum", "valid"])
 
     return df.mapInPandas(stats, schema=IMAGE_STATS_SCHEMA)
+
+
+H264_PIXEL_STATS_SCHEMA = (
+    "doc_id long, width int, height int, y_sum long, y_min int, "
+    "y_max int, y_weighted long, cb_sum long, cr_sum long, "
+    "valid boolean"
+)
+
+
+def with_h264_pixel_payload(
+    df: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic golden INTRA H.264 streams whose DECODED PIXELS
+    are a closed-form function of doc_id (the fixture side of the
+    `multimodal_h264_pixels` oracle loop — operators/h264_decode.py).
+
+    Each doc becomes a one-macroblock (16x16) Annex B stream: SPS +
+    PPS + IDR slice holding a single Intra_4x4 macroblock, every 4x4
+    block DC-predicted (mode 2) with a DC-ONLY residual level
+
+        d[k] = ((doc_id * 7 + 5 * k) % 9) - 4,   k = 4*by + bx
+
+    at QP 28, where dequant+IDCT of a lone DC level is EXACTLY 4*d
+    per pixel ((256*d + 32) >> 6 — §8.5.12 arithmetic). So the
+    reconstruction follows the spec's DC-prediction recurrence in
+    closed form, SQL-recomputable with no decoder on the oracle side:
+
+        c[0][0]       = 128            + 4*d[0]
+        c[0][x]       = c[0][x-1]      + 4*d[..]          (top row)
+        c[y][0]       = c[y-1][0]      + 4*d[..]          (left col)
+        c[y][x] = (c[y][x-1] + c[y-1][x] + 1)//2 + 4*d[..]
+
+    d in [-4, 4] keeps every value inside [16, 240]: no clipping, so
+    the closed form is exact. Chroma carries no residual and no
+    neighbors -> flat 128, which the decoder must still produce via
+    the real chroma DC prediction path. The bits in between are real
+    CAVLC (coeff_token, level, total_zeros), real Exp-Golomb MB
+    syntax, and real Z-scan/nC bookkeeping — a decoder that gets ANY
+    of it wrong lands on different pixels."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264_decode import BLK_ZSCAN, encode_i_frame
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col].values:
+                i = int(i)
+                luma = []
+                for blk in range(16):
+                    bx, by = BLK_ZSCAN[blk]
+                    lv = [0] * 16
+                    lv[0] = ((i * 7 + 5 * (4 * by + bx)) % 9) - 4
+                    luma.append(lv)
+                spec = {"kind": "i4x4", "modes": [2] * 16,
+                        "luma": luma, "chroma_mode": 0,
+                        "cbp_chroma": 0}
+                ids.append(i)
+                blobs.append(encode_i_frame([spec], 1, 1, qp=28))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return df.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def h264_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL H.264 intra pixel decode per payload (operators/
+    h264_decode.py: CAVLC residuals, intra prediction, dequant/IDCT)
+    followed by integer pixel statistics — the video analog of
+    image_stats, with the same position-weighted checksum
+    (sum of y * (1 + (row*w + col) % 97)) that catches misplaced
+    pixels. Corrupt or out-of-scope payloads (CABAC, inter slices)
+    degrade to valid=false rows, never fail the batch; the blobs
+    never shuffle — only this few-column summary leaves the stage."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .h264_decode import decode_i_frame
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                try:
+                    fr = decode_i_frame(bytes(p))
+                    y = fr.y.astype(np.int64)
+                    h, w = y.shape
+                    idx = (np.arange(h, dtype=np.int64)[:, None] * w
+                           + np.arange(w, dtype=np.int64)[None, :])
+                    rows.append((
+                        int(i), w, h, int(y.sum()), int(y.min()),
+                        int(y.max()),
+                        int((y * (1 + idx % 97)).sum()),
+                        int(fr.cb.astype(np.int64).sum()),
+                        int(fr.cr.astype(np.int64).sum()), True))
+                except Exception:  # noqa: BLE001 — corrupt blob
+                    rows.append((int(i), 0, 0, 0, 0, 0, 0, 0, 0,
+                                 False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "y_sum", "y_min",
+                "y_max", "y_weighted", "cb_sum", "cr_sum", "valid"])
+
+    return df.mapInPandas(stats, schema=H264_PIXEL_STATS_SCHEMA)
