@@ -21,8 +21,9 @@ recursive CTE) needs tens of minutes on a 32M-edge graph, which makes
 the unsalted corpus unusable as a routine gate. The salted corpus
 keeps every within-replica near-dup clique identical to sf0.1's.
 
-Usage: python scripts/make_sf1.py [src_dir] [dst_dir]
-       (defaults: /root/testdata/sf0.1 -> /tmp/testdata_sf1)
+Usage: python scripts/make_sf1.py [src_dir] [dst_dir] [replicas]
+       (defaults: /root/testdata/sf0.1 -> /tmp/testdata_sf1 x10;
+        replicas=100 scales the same recipe to sf10)
 
 The output is ~170 MB and intentionally NOT committed; this script is
 the reproducible recipe, and the committed artifacts are the sweep
@@ -72,7 +73,17 @@ def scale_table(src: str, dst: str, name: str,
     if not shifts:  # dimension table: copy once
         pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
         return table.num_rows
-    reps = []
+    # Stream replicas straight into the writer (r8): at 100 replicas
+    # (sf10) concatenating everything in memory first would hold the
+    # whole multi-GB table; per-replica writes keep peak memory at
+    # one replica. 64k-row row groups: pyarrow's default writes ONE
+    # row group for the whole table, and Spark's scan parallelism is
+    # row-group granular — a single-group 500k-row file makes one
+    # scan task do all the work (observed as a 14-of-15-idle
+    # straggler in the r6 skew runs, masquerading as reducer skew).
+    total = 0
+    writer = pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"),
+                              table.schema)
     for r in range(replicas):
         t = table
         for col, off in shifts.items():
@@ -94,24 +105,19 @@ def scale_table(src: str, dst: str, name: str,
                 nidx, t.schema.field("n_chars"),
                 pc.cast(pc.utf8_length(t.column("text")),
                         t.schema.field("n_chars").type))
-        reps.append(t)
-    out = pa.concat_tables(reps)
-    # 64k-row row groups: pyarrow's default writes ONE row group for
-    # the whole table, and Spark's scan parallelism is row-group
-    # granular — a single-group 500k-row file makes one scan task do
-    # all the work (observed as a 14-of-15-idle straggler in the r6
-    # skew runs, masquerading as reducer skew).
-    pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
-                   row_group_size=65536)
-    return out.num_rows
+        writer.write_table(t, row_group_size=65536)
+        total += t.num_rows
+    writer.close()
+    return total
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata_sf1"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else REPLICAS
     os.makedirs(dst, exist_ok=True)
     for name in SHIFTS:
-        n = scale_table(src, dst, name)
+        n = scale_table(src, dst, name, replicas=replicas)
         print(f"{name}: {n} rows")
 
 
