@@ -21,8 +21,18 @@ Both entropy layers are lossless over the same quantized
 coefficients, so progressive and baseline encodes of one image must
 decode bit-identically — which is exactly what the tests pin.
 
-Arithmetic-coded, 12-bit, lossless, and hierarchical modes are out of
-scope and raise ValueError with the mode named.
+12-bit extended sequential (SOF1) and 12-bit progressive decode for
+real since r8: precision comes from the SOF, the level shift/clip
+and YCbCr offsets follow 2^(P-1), 16-bit quantization tables (DQT
+Pq=1) parse, and the output array is uint16 for P=12 (uint8 for
+P=8, unchanged). `jpeg_encode(..., precision=12)` emits SOF1 with
+16x-scaled quantization tables — the scaling keeps every Huffman
+magnitude category inside the Annex K code books (T.81 limits
+12-bit DC diffs to category 15 and AC to 14; with q >= 160 the
+encoder never exceeds 8), so the standard tables stay valid.
+
+Arithmetic-coded (SOF9/SOF10), lossless, and hierarchical modes are
+out of scope and raise ValueError with the mode named.
 """
 
 from __future__ import annotations
@@ -431,6 +441,7 @@ def jpeg_decode(data: bytes,
     width = height = None
     restart_interval = 0
     progressive = False
+    precision = 8
     coef: dict[int, np.ndarray] | None = None
     by_id: dict[int, tuple] = {}
     hmax = vmax = mcux = mcuy = 0
@@ -450,23 +461,36 @@ def jpeg_decode(data: bytes,
             break
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2:pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=1 -> 16-bit values, 12-bit files)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
                 i += 1
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
                 table = np.zeros(64)
-                table[_ZZ] = np.frombuffer(body[i:i + 64], np.uint8)
+                if pq == 0:
+                    table[_ZZ] = np.frombuffer(body[i:i + 64],
+                                               np.uint8)
+                    i += 64
+                elif pq == 1:
+                    table[_ZZ] = np.frombuffer(
+                        body[i:i + 128], ">u2").astype(np.int64)
+                    i += 128
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
                 qt[tq] = table.reshape(8, 8)
-                i += 64
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (8- or 12-bit)
+            # / SOF2 progressive
             if comps:
                 raise ValueError("multiple SOF segments")
             progressive = marker == 0xC2
-            _prec, height, width, ncomp = struct.unpack_from(
+            precision, height, width, ncomp = struct.unpack_from(
                 ">BHHB", body, 0)
+            if precision not in (8, 12) or \
+                    (precision == 12 and marker == 0xC0):
+                raise ValueError(
+                    f"SOF{marker - 0xC0} with {precision}-bit "
+                    "samples unsupported")
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(
                     ">BBB", body, 6 + 3 * c)
@@ -492,7 +516,7 @@ def jpeg_decode(data: bytes,
             # zigzag-order coefficient store over the padded MCU grid
             coef = {c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64),
                                    np.int64) for c in comps}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0})")
@@ -534,6 +558,9 @@ def jpeg_decode(data: bytes,
     if width is None or nscans == 0:
         raise ValueError("missing SOF/SOS")
 
+    mid = float(1 << (precision - 1))     # level shift (T.81 A.3.1)
+    peak = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     planes: dict[int, np.ndarray] = {}
     for cid, h, v, tq in comps:
         if tq not in qt:
@@ -543,7 +570,7 @@ def jpeg_decode(data: bytes,
         dez = np.zeros((rows * cols, 64))
         dez[:, _ZZ] = arr.reshape(-1, 64)
         pix = _idct_blocks(
-            dez.reshape(-1, 8, 8) * qt[tq][None, :, :]) + 128.0
+            dez.reshape(-1, 8, 8) * qt[tq][None, :, :]) + mid
         plane = (pix.reshape(rows, cols, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
         # upsample to full resolution
@@ -553,19 +580,19 @@ def jpeg_decode(data: bytes,
         planes[cid] = plane[:height, :width]
 
     if len(comps) == 1:
-        gray = np.clip(planes[comps[0][0]], 0, 255) \
-            .round().astype(np.uint8)
+        gray = np.clip(planes[comps[0][0]], 0, peak) \
+            .round().astype(dtype)
         return width, height, 1, gray[:, :, None]
     if len(comps) != 3:
         raise ValueError(f"{len(comps)}-component JPEG unsupported")
     y, cb, cr = (planes[comps[i][0]] for i in range(3))
-    cb = cb - 128.0
-    cr = cr - 128.0
+    cb = cb - mid
+    cr = cr - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255) \
-        .round().astype(np.uint8)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, peak) \
+        .round().astype(dtype)
     return width, height, 3, rgb
 
 # ---------------------------------------------------------------------------
@@ -611,25 +638,39 @@ def _encode_magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (h, w, 1|3) uint8 pixels as baseline JFIF (4:4:4)."""
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                precision: int = 8) -> bytes:
+    """Encode (h, w, 1|3) pixels as sequential JFIF (4:4:4).
+    precision=8 emits baseline SOF0 over uint8 samples (unchanged
+    path); precision=12 emits extended sequential SOF1 over samples
+    in [0, 4095] with 16x-scaled quantization tables in a 16-bit DQT
+    — the scaling bounds every Huffman magnitude category inside the
+    Annex K code books (module docstring), so the standard tables
+    serve both precisions."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    mid = float(1 << (precision - 1))
+    peak = (1 << precision) - 1
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
+    if int(pixels.max(initial=0)) > peak:
+        raise ValueError(f"sample exceeds {precision}-bit range")
     h, w, ch = pixels.shape
     if ch == 3:
         rf, gf, bf = (pixels[:, :, i].astype(np.float64)
                       for i in range(3))
         y = 0.299 * rf + 0.587 * gf + 0.114 * bf
-        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
-        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + mid
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + mid
         planes = [y, cb, cr]
     elif ch == 1:
         planes = [pixels[:, :, 0].astype(np.float64)]
     else:
         raise ValueError("1- or 3-channel input only")
 
-    qluma = _quality_scale(_K_LUMA, quality)
-    qchroma = _quality_scale(_K_CHROMA, quality)
+    qscale = 1 if precision == 8 else 16
+    qluma = _quality_scale(_K_LUMA, quality) * qscale
+    qchroma = _quality_scale(_K_CHROMA, quality) * qscale
     qts = [qluma.reshape(8, 8)] + \
         ([qchroma.reshape(8, 8)] * 2 if ch == 3 else [])
 
@@ -639,13 +680,18 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
     for tq, tab in ((0, qluma), (1, qchroma))[:1 if ch == 1 else 2]:
         zzvals = tab.reshape(64)[_ZZ]  # DQT stores zigzag order
-        body = bytes([tq]) + bytes(int(v) for v in zzvals)
+        if precision == 12:  # Pq=1: 16-bit big-endian values
+            body = bytes([0x10 | tq]) + b"".join(
+                struct.pack(">H", int(v)) for v in zzvals)
+        else:
+            body = bytes([tq]) + bytes(int(v) for v in zzvals)
         out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
     ncomp = 1 if ch == 1 else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for c in range(ncomp):
         sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
     tables = [(0, 0, _K_DC_LUMA), (1, 0, _K_AC_LUMA)]
     if ch == 3:
         tables += [(0, 1, _K_DC_CHROMA), (1, 1, _K_AC_CHROMA)]
@@ -676,7 +722,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     qblocks = []
     for ci, p in enumerate(padded):
         bl = (p.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
-              .reshape(-1, 8, 8)) - 128.0
+              .reshape(-1, 8, 8)) - mid
         coeff = _dct_blocks(bl) / qts[ci][None, :, :]
         qb = np.round(coeff).astype(np.int64).reshape(-1, 64)[:, _ZZ]
         qblocks.append(qb)

@@ -397,3 +397,100 @@ def test_progressive_fuzz_rejected_quickly():
                 ZeroDivisionError):
             pass
     assert time.time() - t0 < 30
+
+
+def test_12bit_grayscale_roundtrip():
+    """SOF1 12-bit extended sequential (r8): smooth 12-bit content
+    round-trips within the 16x-scaled quantization error, output
+    dtype uint16, full [0, 4095] range reachable."""
+    import numpy as np
+
+    from locustdb_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    img = ((xx * 40 + yy * 25) % 4096).astype(np.uint16)[:, :, None]
+    data = jpeg_encode(img, quality=95, precision=12)
+    assert b"\xff\xc1" in data and b"\xff\xc0" not in data[2:]
+    w, h, ch, out = jpeg_decode(data)
+    assert (w, h, ch) == (48, 40, 1)
+    assert out.dtype == np.uint16
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 32, err.max()  # quant step 48 -> +-24 worst
+
+
+def test_12bit_rgb_and_extremes():
+    import numpy as np
+
+    from locustdb_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    sm = np.random.default_rng(5).integers(
+        0, 4096, (24, 32, 3)).astype(float)
+    for _ in range(4):
+        sm[1:-1, 1:-1] = (sm[:-2, 1:-1] + sm[2:, 1:-1]
+                          + sm[1:-1, :-2] + sm[1:-1, 2:]) / 4
+    img = sm.astype(np.uint16)
+    w, h, ch, out = jpeg_decode(jpeg_encode(img, quality=95,
+                                            precision=12))
+    assert (w, h, ch, out.dtype) == (32, 24, 3, np.dtype(np.uint16))
+    # flat extremes land within one DC quantization step
+    for v in (0, 4095):
+        flat = np.full((8, 8, 1), v, np.uint16)
+        _, _, _, o = jpeg_decode(jpeg_encode(flat, precision=12))
+        assert abs(int(o[0, 0, 0]) - v) <= 3
+    # checkerboard 0/4095 maximizes AC magnitude categories: must
+    # stay inside the Annex K code books at any quality
+    chk = (np.indices((16, 16)).sum(axis=0) % 2 * 4095) \
+        .astype(np.uint16)[:, :, None]
+    for q in (1, 50, 100):
+        _, _, _, o = jpeg_decode(jpeg_encode(chk, quality=q,
+                                             precision=12))
+        assert o.dtype == np.uint16
+    # out-of-range samples rejected
+    import pytest
+    with pytest.raises(ValueError, match="range"):
+        jpeg_encode(np.full((8, 8, 1), 4096, np.uint16),
+                    precision=12)
+    with pytest.raises(ValueError, match="range"):
+        jpeg_encode(np.full((8, 8, 1), 256, np.uint16), precision=8)
+    with pytest.raises(ValueError, match="precision"):
+        jpeg_encode(np.zeros((8, 8, 1), np.uint8), precision=10)
+
+
+def test_12bit_baseline_sof0_rejected():
+    """12-bit is only legal in extended sequential / progressive:
+    a hand-corrupted SOF0 claiming 12-bit precision must raise."""
+    import numpy as np
+    import pytest
+
+    from locustdb_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.zeros((8, 8, 1), np.uint16)
+    data = bytearray(jpeg_encode(img, precision=12))
+    i = data.find(b"\xff\xc1")
+    data[i + 1] = 0xC0  # lie: baseline marker with precision byte 12
+    with pytest.raises(ValueError, match="SOF0.*12"):
+        jpeg_decode(bytes(data))
+
+
+def test_16bit_dqt_parses_with_8bit_samples():
+    """DQT Pq=1 is independent of sample precision: an 8-bit file
+    carrying 16-bit quant values decodes (T.81 B.2.4.1)."""
+    import struct
+
+    import numpy as np
+
+    from locustdb_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)[:, :, None]
+    data = bytearray(jpeg_encode(img, quality=90))
+    i = data.find(b"\xff\xdb")
+    (ln,) = struct.unpack_from(">H", data, i + 2)
+    tq = data[i + 4] & 15
+    vals = list(data[i + 5:i + 5 + 64])
+    wide = bytes([0x10 | tq]) + b"".join(
+        struct.pack(">H", v) for v in vals)
+    new = data[:i + 2] + struct.pack(">H", len(wide) + 2) + wide + \
+        data[i + 2 + ln:]
+    w, h, ch, out = jpeg_decode(bytes(new))
+    _, _, _, ref = jpeg_decode(bytes(data))
+    assert np.array_equal(out, ref)
