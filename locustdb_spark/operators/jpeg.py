@@ -441,7 +441,10 @@ def jpeg_decode(data: bytes,
     width = height = None
     restart_interval = 0
     progressive = False
+    arithmetic = False
     precision = 8
+    dc_cond: dict[int, tuple] = {}
+    ac_cond: dict[int, int] = {}
     coef: dict[int, np.ndarray] | None = None
     by_id: dict[int, tuple] = {}
     hmax = vmax = mcux = mcuy = 0
@@ -478,12 +481,13 @@ def jpeg_decode(data: bytes,
                 else:
                     raise ValueError(f"invalid DQT precision {pq}")
                 qt[tq] = table.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0 baseline / SOF1 extended sequential (8- or 12-bit)
-            # / SOF2 progressive
+            # / SOF2 progressive / SOF9 extended sequential ARITHMETIC
             if comps:
                 raise ValueError("multiple SOF segments")
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             precision, height, width, ncomp = struct.unpack_from(
                 ">BHHB", body, 0)
             if precision not in (8, 12) or \
@@ -516,10 +520,20 @@ def jpeg_decode(data: bytes,
             # zigzag-order coefficient store over the padded MCU grid
             coef = {c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64),
                                    np.int64) for c in comps}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0})")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i < len(body):
+                tc, tb = body[i] >> 4, body[i] & 15
+                cs = body[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs                  # Kx
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -547,12 +561,24 @@ def jpeg_decode(data: bytes,
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             pos += seglen
-            reader = _BitReader(buf, pos)
-            _decode_scan(reader, scan, ss, se, ah, al, progressive,
-                         restart_interval, huff_dc, huff_ac, coef,
-                         by_id, hmax, vmax, mcux, mcuy, width, height)
+            if arithmetic:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "progressive parameters in an arithmetic "
+                        "sequential scan")
+                from .jpeg_arith import decode_scan_arith
+                pos = decode_scan_arith(
+                    buf, pos, scan, dc_cond, ac_cond, coef, by_id,
+                    hmax, vmax, mcux, mcuy, width, height,
+                    restart_interval)
+            else:
+                reader = _BitReader(buf, pos)
+                _decode_scan(reader, scan, ss, se, ah, al,
+                             progressive, restart_interval, huff_dc,
+                             huff_ac, coef, by_id, hmax, vmax, mcux,
+                             mcuy, width, height)
+                pos = reader.tail_pos()
             nscans += 1
-            pos = reader.tail_pos()
             continue
         pos += seglen
     if width is None or nscans == 0:
@@ -639,14 +665,17 @@ def _encode_magnitude(v: int) -> tuple[int, int]:
 
 
 def jpeg_encode(pixels: np.ndarray, quality: int = 90,
-                precision: int = 8) -> bytes:
+                precision: int = 8, arithmetic: bool = False) -> bytes:
     """Encode (h, w, 1|3) pixels as sequential JFIF (4:4:4).
     precision=8 emits baseline SOF0 over uint8 samples (unchanged
     path); precision=12 emits extended sequential SOF1 over samples
     in [0, 4095] with 16x-scaled quantization tables in a 16-bit DQT
     — the scaling bounds every Huffman magnitude category inside the
     Annex K code books (module docstring), so the standard tables
-    serve both precisions."""
+    serve both precisions. arithmetic=True swaps the Huffman entropy
+    layer for the T.81 QM-coder (SOF9, operators/jpeg_arith.py):
+    same quantized coefficients, so Huffman and arithmetic encodes of
+    one image decode bit-identically — pinned by tests."""
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     mid = float(1 << (precision - 1))
@@ -690,14 +719,25 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for c in range(ncomp):
         sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
-    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    if arithmetic:
+        sof_marker = b"\xff\xc9"
+    else:
+        sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
     out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
-    tables = [(0, 0, _K_DC_LUMA), (1, 0, _K_AC_LUMA)]
-    if ch == 3:
-        tables += [(0, 1, _K_DC_CHROMA), (1, 1, _K_AC_CHROMA)]
-    for tc, th, (bits, vals) in tables:
-        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if arithmetic:
+        # DAC: write the defaults explicitly (DC L=0/U=1, AC Kx=5)
+        dac = b""
+        for th in range(1 if ch == 1 else 2):
+            dac += bytes([th, 0x10])          # Tc=0: U<<4 | L
+            dac += bytes([0x10 | th, 5])      # Tc=1: Kx
+        out += b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + dac
+    else:
+        tables = [(0, 0, _K_DC_LUMA), (1, 0, _K_AC_LUMA)]
+        if ch == 3:
+            tables += [(0, 1, _K_DC_CHROMA), (1, 1, _K_AC_CHROMA)]
+        for tc, th, (bits, vals) in tables:
+            body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -726,6 +766,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
         coeff = _dct_blocks(bl) / qts[ci][None, :, :]
         qb = np.round(coeff).astype(np.int64).reshape(-1, 64)[:, _ZZ]
         qblocks.append(qb)
+    if arithmetic:
+        from .jpeg_arith import encode_scan_arith
+        out += encode_scan_arith(qblocks, ncomp, mcux * mcuy)
+        out += b"\xff\xd9"
+        return bytes(out)
     pred = [0] * ncomp
     for b in range(mcux * mcuy):
         for ci in range(ncomp):
