@@ -62,9 +62,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .h264 import (BitReader, BitWriter, H264ParseError,
-                   add_emulation_prevention, build_pps, build_sps,
-                   parse_sps, split_nal_units,
-                   strip_emulation_prevention)
+                   add_emulation_prevention, build_sps, parse_sps,
+                   split_nal_units, strip_emulation_prevention)
 
 # ---------------------------------------------------------------------
 # scan orders and quantization tables

@@ -39,10 +39,6 @@ in this environment, so three layers carry confidence notes:
 
 from __future__ import annotations
 
-import struct
-
-import numpy as np
-
 # ---------------------------------------------------------------------
 # Table D.3 — Qe values and probability estimation state machine
 # (index: Qe, NMPS, NLPS, SWITCH); see module docstring confidence
@@ -115,7 +111,6 @@ class QMDecoder:
         self._d = data
         self._bp = pos
         self._bit = 0        # next bit index in current byte (MSB=0)
-        self._stuffed = False  # top bit of current byte is stuffing
         self._at_marker = False
         self.a = 0x10000
         self.c = 0
@@ -453,7 +448,6 @@ def encode_ac_block(enc: QMEncoder, stats: AcStats,
     nz = [k for k in range(1, 64) if zz[k]]
     last = nz[-1] if nz else 0
     k = 1
-    i = 0
     while k <= last:
         st = 3 * (k - 1)
         enc.encode(b[st], 0)      # not EOB yet
@@ -492,7 +486,6 @@ def encode_ac_block(enc: QMEncoder, stats: AcStats,
             mm >>= 1
             enc.encode(b[st], 1 if (v - m) & mm else 0)
         k += 1
-        i += 1
     if last < 63:
         st = 3 * (k - 1)
         enc.encode(b[st], 1)      # EOB
