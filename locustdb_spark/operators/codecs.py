@@ -49,8 +49,11 @@ def sniff(data: bytes) -> str:
 
 
 def jpeg_decode(data: bytes):
-    """Baseline JFIF decode (pure Python + numpy IDCT, jpeg.py);
-    same (width, height, channels, pixels) contract as png_decode."""
+    """Sequential/progressive JFIF decode (pure Python + numpy IDCT,
+    jpeg.py — Huffman AND arithmetic entropy layers); same (width,
+    height, channels, pixels) contract as png_decode, except 12-bit
+    files return uint16 pixels (png_encode rejects those rather than
+    wrap them — rescale explicitly)."""
     from .jpeg import jpeg_decode as _dec
 
     return _dec(data)
@@ -136,6 +139,14 @@ def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     2 (Up: delta vs the previous scanline) — the spec's §9 filter
     functions, byte-exact inverses of png_decode's unfiltering, so
     fixtures built here put the decoder's filter paths under test."""
+    if pixels.dtype != np.uint8:
+        # r8: jpeg_decode now returns uint16 for 12-bit files; a
+        # silent astype would wrap 256..4095 mod 256 into valid-
+        # looking garbage. Raising keeps the caller's degrade path
+        # (flagged row) intact, as it was when 12-bit failed earlier.
+        raise ValueError(
+            f"png_encode takes uint8 pixels, got {pixels.dtype} "
+            "(12-bit sources must be rescaled explicitly)")
     h, w, ch = pixels.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     if filter_type not in (0, 1, 2):

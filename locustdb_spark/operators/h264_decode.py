@@ -280,33 +280,31 @@ CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(CBP_INTRA)}
 
 
 def _build_trie(table) -> dict:
-    """bitstring table -> decode trie {bit: subtrie, "": value}."""
+    """bitstring table -> decode trie {bit: subtrie, "": value}.
+    Build-time validation: duplicate codes AND prefix violations
+    raise here (a reconstructed-table error must fail loudly, not
+    resolve arbitrarily at decode time)."""
     root: dict = {}
     items = (table.items() if isinstance(table, dict)
              else enumerate(table))
-    for value, code in ((v, c) for v, c in items):
+    for value, code in items:
         node = root
         for b in code:
+            if "" in node:
+                raise ValueError(
+                    f"code for {node['']} is a prefix of {code}")
             node = node.setdefault(b, {})
-        if "" in node or len(node) > 1 and "" not in node and False:
-            raise ValueError("duplicate code")
+        if node:
+            raise ValueError(f"{code} is a prefix of another code")
         node[""] = value
     return root
 
 
 _TRIES = {
-    "ct0": _build_trie(
-        {v: c for v, c in
-         ((k, COEFF_TOKEN_NC0[k]) for k in COEFF_TOKEN_NC0)}),
-    "ct2": _build_trie(
-        {v: c for v, c in
-         ((k, COEFF_TOKEN_NC2[k]) for k in COEFF_TOKEN_NC2)}),
-    "ct4": _build_trie(
-        {v: c for v, c in
-         ((k, COEFF_TOKEN_NC4[k]) for k in COEFF_TOKEN_NC4)}),
-    "ctc": _build_trie(
-        {v: c for v, c in ((k, COEFF_TOKEN_CHROMA_DC[k])
-                           for k in COEFF_TOKEN_CHROMA_DC)}),
+    "ct0": _build_trie(COEFF_TOKEN_NC0),
+    "ct2": _build_trie(COEFF_TOKEN_NC2),
+    "ct4": _build_trie(COEFF_TOKEN_NC4),
+    "ctc": _build_trie(COEFF_TOKEN_CHROMA_DC),
     "tz": {tc: _build_trie(codes)
            for tc, codes in TOTAL_ZEROS_4X4.items()},
     "tzc": {tc: _build_trie(codes)
@@ -992,6 +990,13 @@ class _IntraDecoder:
             raise H264UnsupportedError("only 4:2:0 chroma")
         if not sps.frame_mbs_only:
             raise H264UnsupportedError("field/MBAFF coding")
+        if sps.bit_depth_luma != 8 or sps.bit_depth_chroma != 8:
+            # review finding: High-10 intra streams passed every other
+            # guard and decoded with 8-bit clip/QP math as
+            # valid-looking garbage — reject by name instead
+            raise H264UnsupportedError(
+                f"{sps.bit_depth_luma}/{sps.bit_depth_chroma}-bit "
+                "samples: only 8-bit decode is implemented")
         self.sps, self.pps = sps, pps
         self.mbs_w = (sps.width + 15) // 16
         self.mbs_h = (sps.height + 15) // 16
@@ -1007,7 +1012,7 @@ class _IntraDecoder:
         self.mb_types: list[str] = []
 
     # -- nC context (§9.2.1) ------------------------------------------
-    def _nc(self, table: dict, gbx: int, gby: int, max_x: int) -> int:
+    def _nc(self, table: dict, gbx: int, gby: int) -> int:
         na = table.get((gbx - 1, gby)) if gbx > 0 else None
         nb = table.get((gbx, gby - 1)) if gby > 0 else None
         if na is not None and nb is not None:
@@ -1062,15 +1067,12 @@ class _IntraDecoder:
         neighbor is unavailable or not Intra_4x4-coded."""
         ma = self.i4x4_mode.get((gbx - 1, gby), 2) if gbx > 0 else 2
         mb = self.i4x4_mode.get((gbx, gby - 1), 2) if gby > 0 else 2
-        ka = (gbx - 1, gby)
-        kb = (gbx, gby - 1)
         if gbx > 0 and self.mb_kind.get(
                 ((gbx - 1) // 4, gby // 4)) not in ("i4x4",):
             ma = 2
         if gby > 0 and self.mb_kind.get(
                 (gbx // 4, (gby - 1) // 4)) not in ("i4x4",):
             mb = 2
-        _ = ka, kb
         return min(ma, mb)
 
     def _decode_i4x4(self, r: BitReader, mbx: int, mby: int,
@@ -1103,7 +1105,7 @@ class _IntraDecoder:
             bx, by = BLK_ZSCAN[blk]
             gbx, gby = mbx * 4 + bx, mby * 4 + by
             if cbp_luma & (1 << (blk >> 2)):
-                nc = self._nc(self.luma_tc, gbx, gby, self.mbs_w * 4)
+                nc = self._nc(self.luma_tc, gbx, gby)
                 coeffs = decode_residual_block(r, nc, 16)
                 tc = sum(1 for c in coeffs if c)
             else:
@@ -1139,14 +1141,14 @@ class _IntraDecoder:
             raise H264ParseError("intra_chroma_pred_mode out of range")
         qp = (qp + r.se() + 52) % 52
         # DC block: nC as for luma blk 0 (§9.2.1)
-        nc = self._nc(self.luma_tc, mbx * 4, mby * 4, self.mbs_w * 4)
+        nc = self._nc(self.luma_tc, mbx * 4, mby * 4)
         dc_scan = decode_residual_block(r, nc, 16)
         ac_coeffs: list[list[int]] = []
         for blk in range(16):
             bx, by = BLK_ZSCAN[blk]
             gbx, gby = mbx * 4 + bx, mby * 4 + by
             if cbp_luma:
-                nc = self._nc(self.luma_tc, gbx, gby, self.mbs_w * 4)
+                nc = self._nc(self.luma_tc, gbx, gby)
                 coeffs = decode_residual_block(r, nc, 15)
                 tc = sum(1 for c in coeffs if c)
             else:
@@ -1191,8 +1193,7 @@ class _IntraDecoder:
             for b, (bx, by) in enumerate(CHROMA_BLKS):
                 gbx, gby = mbx * 2 + bx, mby * 2 + by
                 if cbp_chroma == 2:
-                    nc = self._nc(self.chroma_tc[comp], gbx, gby,
-                                  self.mbs_w * 2)
+                    nc = self._nc(self.chroma_tc[comp], gbx, gby)
                     ac[comp][b] = decode_residual_block(r, nc, 15)
                     tc = sum(1 for c in ac[comp][b] if c)
                 else:

@@ -31,8 +31,12 @@ magnitude category inside the Annex K code books (T.81 limits
 12-bit DC diffs to category 15 and AC to 14; with q >= 160 the
 encoder never exceeds 8), so the standard tables stay valid.
 
-Arithmetic-coded (SOF9/SOF10), lossless, and hierarchical modes are
-out of scope and raise ValueError with the mode named.
+Arithmetic-coded sequential (SOF9) decodes AND encodes for real since
+r8 through operators/jpeg_arith.py (T.81 Annex D QM-coder + Annex F
+decision models; `jpeg_encode(..., arithmetic=True)`), dispatched
+behind the same jpeg_decode(). Progressive-arithmetic (SOF10),
+lossless, and hierarchical modes remain out of scope and raise
+ValueError with the mode named.
 """
 
 from __future__ import annotations
@@ -698,8 +702,20 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
         raise ValueError("1- or 3-channel input only")
 
     qscale = 1 if precision == 8 else 16
-    qluma = _quality_scale(_K_LUMA, quality) * qscale
-    qchroma = _quality_scale(_K_CHROMA, quality) * qscale
+    qluma = _quality_scale(_K_LUMA, quality)
+    qchroma = _quality_scale(_K_CHROMA, quality)
+    if precision == 12:
+        # Clamp the base table to >= 2 (effective quant >= 32) so the
+        # worst-case 12-bit coefficient (|DCT| <= 8 * 2048 = 16384)
+        # quantizes to <= 512 and DC diffs to <= 1024 — magnitude
+        # categories 10 / 11, inside the Annex K code books. Without
+        # the clamp, quality >= 96 drives the scaled DC quant to 16
+        # and a full-range image needs category 12, which the K.3 DC
+        # table lacks (found by review: KeyError at quality 96+).
+        qluma = np.maximum(qluma, 2)
+        qchroma = np.maximum(qchroma, 2)
+    qluma = qluma * qscale
+    qchroma = qchroma * qscale
     qts = [qluma.reshape(8, 8)] + \
         ([qchroma.reshape(8, 8)] * 2 if ch == 3 else [])
 

@@ -35,6 +35,14 @@ in this environment, so three layers carry confidence notes:
   implementation of Annex F. Foreign-stream risk concentrates here
   and in Table D.3; self-produced streams (all tests, all oracle
   fixtures) are exact by construction.
+- KNOWN foreign-stream gap (disclosed per review): T.81 D.1.8 lets a
+  conformant encoder discard trailing 0x00 entropy bytes; this
+  decoder's at-marker rule then feeds 1-bits where the trimmed
+  stream meant zeros, which can exit the coding interval and
+  misdecode the final MCUs of such a file (our encoder keeps its
+  zeros, so self-produced streams are unaffected). Closing it needs
+  the exact FINALWRITES flush semantics, which require conformance
+  bytes to validate against — same env-blocked class as pco.py.
 """
 
 from __future__ import annotations
@@ -112,6 +120,7 @@ class QMDecoder:
         self._bp = pos
         self._bit = 0        # next bit index in current byte (MSB=0)
         self._at_marker = False
+        self._marker_pos = len(data)  # the terminating 0xFF, once seen
         self.a = 0x10000
         self.c = 0
         for _ in range(16):
@@ -126,10 +135,16 @@ class QMDecoder:
             self._bit = 0
             if self._bp >= len(self._d):
                 self._at_marker = True
+                self._marker_pos = min(self._bp, len(self._d))
                 return 1
             if prev_ff:
                 if self._d[self._bp] > 0x8F:  # marker, not stuffing
                     self._at_marker = True
+                    # report the 0xFF itself: jpeg_decode's marker
+                    # loop resumes from tail_pos and must land ON the
+                    # marker, not past its code byte (review finding:
+                    # overshoot desynced multi-scan SOF9 files)
+                    self._marker_pos = self._bp - 1
                     return 1
                 self._bit = 1  # skip the stuffed zero/carry-absorb bit
         b = (self._d[self._bp] >> (7 - self._bit)) & 1
@@ -189,7 +204,11 @@ class QMDecoder:
         return d
 
     def tail_pos(self) -> int:
-        return self._bp
+        """Resume position for the container's marker loop: the
+        terminating 0xFF when the lookahead reached it, else the
+        current byte (the loop skips residual entropy bytes up to
+        the next 0xFF itself)."""
+        return self._marker_pos if self._at_marker else self._bp
 
 
 class QMEncoder:

@@ -66,8 +66,6 @@ def scale_table(src: str, dst: str, name: str,
     dedup_segments segment is identical (one segment key carrying
     `5000 * replicas` occurrences) and the prefix's word bigrams are
     corpus-frequency LM-join keys."""
-    import pyarrow.compute as pc
-
     table = pq.read_table(os.path.join(src, f"{name}.parquet"))
     shifts = SHIFTS[name]
     if not shifts:  # dimension table: copy once
@@ -82,8 +80,18 @@ def scale_table(src: str, dst: str, name: str,
     # scan task do all the work (observed as a 14-of-15-idle
     # straggler in the r6 skew runs, masquerading as reducer skew).
     total = 0
-    writer = pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"),
-                              table.schema)
+    with pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"),
+                          table.schema) as writer:
+        total = _write_replicas(writer, table, name, shifts, replicas,
+                                hot_prefix)
+    return total
+
+
+def _write_replicas(writer, table, name, shifts, replicas,
+                    hot_prefix) -> int:
+    import pyarrow.compute as pc
+
+    total = 0
     for r in range(replicas):
         t = table
         for col, off in shifts.items():
@@ -107,7 +115,6 @@ def scale_table(src: str, dst: str, name: str,
                         t.schema.field("n_chars").type))
         writer.write_table(t, row_group_size=65536)
         total += t.num_rows
-    writer.close()
     return total
 
 

@@ -375,3 +375,45 @@ def test_h264_pixel_stats_operator(spark):
                                 "doc_id long, payload binary")
     row = h264_pixel_stats(bad).collect()[0]
     assert not row.valid and row.y_sum == 0
+
+
+def test_high_bit_depth_rejected_with_named_error():
+    """Review regression: a High-10 intra SPS (bit depths 10/10)
+    passed every guard and decoded with 8-bit math as valid-looking
+    garbage; it must raise the named unsupported error instead."""
+    from locustdb_spark.operators import h264
+
+    w = h264.BitWriter()
+    w.u(110, 8).u(0, 8).u(30, 8)   # High 10 profile
+    w.ue(0)                         # sps_id
+    w.ue(1)                         # chroma_format_idc 4:2:0
+    w.ue(2).ue(2)                   # bit_depth_luma/chroma = 10
+    w.u(0, 1)                       # transform bypass
+    w.u(0, 1)                       # no scaling matrix
+    w.ue(0)                         # log2_max_frame_num_minus4
+    w.ue(0)                         # poc_type 0
+    w.ue(0)                         # log2_max_poc_lsb_minus4
+    w.ue(1)                         # max_num_ref_frames
+    w.u(0, 1)                       # gaps allowed
+    w.ue(0).ue(0)                   # 1x1 macroblocks
+    w.u(1, 1)                       # frame_mbs_only
+    w.u(0, 1)                       # direct_8x8
+    w.u(0, 1)                       # no crop
+    w.u(0, 1)                       # no vui
+    w.rbsp_trailing()
+    sps = bytes([0x67]) + h264.add_emulation_prevention(w.bytes())
+    golden = _golden_stream()
+    nals = hd.split_nal_units(golden)
+    stream = h264.build_annexb_stream([sps] + nals[1:])
+    with pytest.raises(hd.H264UnsupportedError, match="10.*bit"):
+        hd.decode_i_frame(stream)
+
+
+def test_build_trie_rejects_prefix_violations():
+    """Review regression: _build_trie's conflict check was dead code;
+    prefix collisions in a reconstructed VLC table must fail at
+    build time, not resolve arbitrarily at decode time."""
+    with pytest.raises(ValueError, match="prefix"):
+        hd._build_trie({(0, 0): "01", (0, 1): "010"})
+    with pytest.raises(ValueError, match="prefix"):
+        hd._build_trie({(0, 0): "010", (0, 1): "01"})

@@ -494,3 +494,35 @@ def test_16bit_dqt_parses_with_8bit_samples():
     w, h, ch, out = jpeg_decode(bytes(new))
     _, _, _, ref = jpeg_decode(bytes(data))
     assert np.array_equal(out, ref)
+
+
+def test_12bit_full_range_survives_all_qualities():
+    """Review regression: quality >= 96 used to drive the scaled DC
+    quant to 16, pushing a full-range DC diff to category 12 — past
+    the Annex K DC table — and raising a raw KeyError. The 12-bit
+    base-table clamp keeps every magnitude category in range."""
+    import numpy as np
+
+    from locustdb_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    chk = (np.indices((16, 16)).sum(axis=0) % 2 * 4095) \
+        .astype(np.uint16)[:, :, None]
+    flat_hi = np.full((16, 16, 1), 4095, np.uint16)
+    for q in (95, 96, 97, 100):
+        for img in (chk, flat_hi):
+            _, _, _, out = jpeg_decode(jpeg_encode(img, quality=q,
+                                                   precision=12))
+            assert out.dtype == np.uint16
+
+
+def test_png_encode_rejects_non_uint8():
+    """Review regression: a 12-bit jpeg_decode result fed to
+    png_encode must raise, not wrap 256..4095 modulo 256 into a
+    structurally valid garbage PNG."""
+    import numpy as np
+    import pytest
+
+    from locustdb_spark.operators.codecs import png_encode
+
+    with pytest.raises(ValueError, match="uint8"):
+        png_encode(np.full((4, 4, 1), 4095, np.uint16))
