@@ -2704,6 +2704,27 @@ def p_multimodal_h264_pixels(spark: SparkSession,
         "y_weighted", "cb_sum", "cr_sum", "valid")
 
 
+def p_multimodal_h264_keyframes(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Container -> codec -> pixels under the value-hash oracle (r8):
+    each document becomes a real MP4 whose stss-marked sync samples
+    are complete H.264 intra streams and whose non-sync samples are
+    opaque inter-frame stand-ins; the operator must walk the real
+    sample tables (stsc/stsz/stco/stss), pick ONLY the keyframes,
+    and pixel-decode each one — the composition a video-curation
+    pipeline runs at 100 TB (keyframe sampling, then per-keyframe
+    features). DuckDB recomputes the decoded pixels per (doc, frame)
+    from the frame-salted DC-prediction recurrence and the keyframe
+    index set from the muxer's keyframe_every=2 rule."""
+    from locustdb_spark.operators.multimodal import (
+        h264_keyframe_pixels, with_h264_mp4_payload)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return h264_keyframe_pixels(with_h264_mp4_payload(docs)).select(
+        "doc_id", "frame_id", "width", "height", "y_sum", "y_min",
+        "y_max", "y_weighted", "valid")
+
+
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the REAL customer->supplier purchase
     graph (edges = distinct (o_custkey, l_suppkey) pairs through
@@ -3205,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames_mp4": p_multimodal_frames_mp4,
         "multimodal_h264_info": p_multimodal_h264,
         "multimodal_h264_pixels": p_multimodal_h264_pixels,
+        "multimodal_h264_keyframes": p_multimodal_h264_keyframes,
         "multimodal_audio_features": p_multimodal_audio,
         "multimodal_image_stats": p_multimodal_image_stats,
         # Arrow production kernels under the SAME oracles as their
@@ -3504,15 +3526,18 @@ FROM d
 """
 
 
-def _h264_pixels_oracle() -> str:
-    """Generate the multimodal_h264_pixels oracle: the spec's
-    Intra_4x4 DC-prediction recurrence over the 16 4x4 blocks of the
-    one-macroblock golden stream, unrolled as DuckDB lateral column
-    aliases (c0..c15 in raster block order), then pixel stats via
-    generate_series — exactly the closed form the fixture docstring
-    derives (operators/multimodal.py with_h264_pixel_payload)."""
+def _h264_pixels_oracle(frame_salt: str = "0") -> str:
+    """Generate the multimodal_h264_pixels / _keyframes oracle: the
+    spec's Intra_4x4 DC-prediction recurrence over the 16 4x4 blocks
+    of the one-macroblock golden stream, unrolled as DuckDB lateral
+    column aliases (c0..c15 in raster block order), then pixel stats
+    via generate_series — exactly the closed form the fixture
+    docstring derives (operators/multimodal.py
+    with_h264_pixel_payload). `frame_salt` is a SQL expression added
+    into the DC-level formula (the keyframe entry salts by
+    frame_id * 13; the single-frame entry uses 0)."""
     def d(k: int) -> str:
-        return f"(((doc_id * 7 + {5 * k}) % 9) - 4)"
+        return f"(((doc_id * 7 + {frame_salt} + {5 * k}) % 9) - 4)"
 
     cols = []
     for k in range(16):
@@ -3558,9 +3583,71 @@ def _h264_pixels_oracle() -> str:
         """
 
 
+def _h264_keyframes_oracle() -> str:
+    """multimodal_h264_keyframes: the same recurrence per (doc,
+    keyframe) — keyframes are the EVEN sample indices below each
+    doc's sample count (with_h264_mp4_payload muxes 2 + doc_id % 3
+    samples at keyframe_every=2), and the DC formula is salted by
+    frame_id * 13."""
+    def d(k: int) -> str:
+        return f"(((doc_id * 7 + f * 13 + {5 * k}) % 9) - 4)"
+
+    cols = []
+    for k in range(16):
+        by, bx = divmod(k, 4)
+        if k == 0:
+            e = f"128 + 4 * {d(k)}"
+        elif by == 0:
+            e = f"c{k - 1} + 4 * {d(k)}"
+        elif bx == 0:
+            e = f"c{k - 4} + 4 * {d(k)}"
+        else:
+            e = f"(c{k - 1} + c{k - 4} + 1) // 2 + 4 * {d(k)}"
+        cols.append(f"{e} AS c{k}")
+    c_select = ",\n                   ".join(cols)
+    whens = "\n                     ".join(
+        f"WHEN {k} THEN c{k}" for k in range(16))
+    return f"""
+            WITH fr AS (
+              SELECT doc_id, CAST(f AS INT) AS f
+              FROM (SELECT doc_id,
+                           unnest(generate_series(
+                               0, CAST(1 + doc_id % 3 AS BIGINT)))
+                             AS f
+                    FROM documents)
+              WHERE f % 2 = 0
+            ),
+            c AS (
+              SELECT doc_id, f,
+                   {c_select}
+              FROM fr
+            ),
+            px AS (
+              SELECT doc_id, f, idx,
+                     CASE ((idx // 16) // 4) * 4 + ((idx % 16) // 4)
+                     {whens}
+                     END AS v
+              FROM (SELECT c.*, unnest(generate_series(0, 255)) AS idx
+                    FROM c)
+            )
+            SELECT doc_id,
+                   f AS frame_id,
+                   CAST(16 AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS y_sum,
+                   CAST(min(v) AS INT) AS y_min,
+                   CAST(max(v) AS INT) AS y_max,
+                   CAST(sum(v * (1 + idx % 97)) AS BIGINT)
+                     AS y_weighted,
+                   TRUE AS valid
+            FROM px GROUP BY doc_id, f
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     o = {
         "multimodal_h264_pixels": _h264_pixels_oracle(),
+        "multimodal_h264_keyframes": _h264_keyframes_oracle(),
         "flagship_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS cnt,

@@ -777,3 +777,107 @@ def h264_pixel_stats(
                 "y_max", "y_weighted", "cb_sum", "cr_sum", "valid"])
 
     return df.mapInPandas(stats, schema=H264_PIXEL_STATS_SCHEMA)
+
+
+H264_KEYFRAME_SCHEMA = (
+    "doc_id long, frame_id int, width int, height int, y_sum long, "
+    "y_min int, y_max int, y_weighted long, valid boolean"
+)
+
+
+def with_h264_mp4_payload(
+    df: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic MP4 containers holding H.264 intra KEYFRAMES
+    (the container-to-codec composition fixture, r8): each doc muxes
+    `2 + doc_id % 3` samples with keyframe_every=2, so even sample
+    indices are stss-marked sync samples whose bytes are complete
+    Annex B intra streams (operators/h264_decode.py, the same
+    DC-only closed form as with_h264_pixel_payload but salted by the
+    frame index: d = ((doc_id*7 + frame_id*13 + 5k) % 9) - 4), and
+    odd indices carry opaque stand-in bytes for the inter frames a
+    real camera stream would put there — exactly the shape a
+    keyframe-sampling curation pipeline sees."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+        from .h264_decode import BLK_ZSCAN, encode_i_frame
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col].values:
+                i = int(i)
+                nf = 2 + i % 3
+                samples = []
+                for f in range(nf):
+                    if f % 2 == 0:  # keyframe: decodable intra stream
+                        luma = []
+                        for blk in range(16):
+                            bx, by = BLK_ZSCAN[blk]
+                            lv = [0] * 16
+                            lv[0] = ((i * 7 + f * 13
+                                      + 5 * (4 * by + bx)) % 9) - 4
+                            luma.append(lv)
+                        samples.append(encode_i_frame(
+                            [{"kind": "i4x4", "modes": [2] * 16,
+                              "luma": luma, "chroma_mode": 0,
+                              "cbp_chroma": 0}], 1, 1, qp=28))
+                    else:           # inter stand-in: opaque bytes
+                        samples.append(
+                            f"p-frame:{i}:{f}".encode() * 8)
+                ids.append(i)
+                blobs.append(codecs.mp4_encode(
+                    samples, width=16, height=16, codec=b"avc1",
+                    keyframe_every=2))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return df.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def h264_keyframe_pixels(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Container -> codec -> pixels, end to end: walk the MP4 sample
+    tables for stss-marked keyframes (codecs.mp4_extract_samples) and
+    pixel-decode each one as an H.264 intra stream
+    (h264_decode.decode_i_frame) — the real shape of keyframe
+    sampling over camera/video corpora, where only sync samples are
+    standalone-decodable. One row per (doc, keyframe) with integer
+    luma stats and the position-weighted checksum; corrupt containers
+    degrade to a flagged frame_id=-1 row, undecodable keyframes to
+    valid=false rows. Blobs never shuffle."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs
+        from .h264_decode import decode_i_frame
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                try:
+                    got = codecs.mp4_extract_samples(
+                        bytes(p), keyframes_only=True)
+                except Exception:  # noqa: BLE001 — corrupt container
+                    rows.append((int(i), -1, 0, 0, 0, 0, 0, 0, False))
+                    continue
+                for idx, payload, _k in got:
+                    try:
+                        fr = decode_i_frame(payload)
+                        y = fr.y.astype(np.int64)
+                        h, w = y.shape
+                        pos = (np.arange(h, dtype=np.int64)[:, None]
+                               * w + np.arange(w, dtype=np.int64))
+                        rows.append((
+                            int(i), idx, w, h, int(y.sum()),
+                            int(y.min()), int(y.max()),
+                            int((y * (1 + pos % 97)).sum()), True))
+                    except Exception:  # noqa: BLE001 — bad keyframe
+                        rows.append((int(i), idx, 0, 0, 0, 0, 0, 0,
+                                     False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_id", "width", "height", "y_sum",
+                "y_min", "y_max", "y_weighted", "valid"])
+
+    return df.mapInPandas(frames, schema=H264_KEYFRAME_SCHEMA)

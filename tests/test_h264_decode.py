@@ -417,3 +417,47 @@ def test_build_trie_rejects_prefix_violations():
         hd._build_trie({(0, 0): "01", (0, 1): "010"})
     with pytest.raises(ValueError, match="prefix"):
         hd._build_trie({(0, 0): "010", (0, 1): "01"})
+
+
+def test_h264_keyframe_pixels_operator(spark):
+    """Container -> codec composition: only stss-marked keyframes
+    decode (even sample indices), their pixels match the frame-salted
+    closed form, and corrupt containers / undecodable keyframes
+    degrade per row."""
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.operators.multimodal import (
+        h264_keyframe_pixels, with_h264_mp4_payload)
+
+    docs = spark.range(0, 9).select(F.col("id").alias("doc_id"))
+    out = h264_keyframe_pixels(with_h264_mp4_payload(docs)).collect()
+    rows = {(r.doc_id, r.frame_id): r for r in out}
+    for doc_id in range(9):
+        nf = 2 + doc_id % 3
+        want_frames = [f for f in range(nf) if f % 2 == 0]
+        got_frames = sorted(f for d, f in rows if d == doc_id)
+        assert got_frames == want_frames, (doc_id, got_frames)
+        for f in want_frames:
+            d = [((doc_id * 7 + f * 13 + 5 * k) % 9) - 4
+                 for k in range(16)]
+            c, ysum = {}, 0
+            for by in range(4):
+                for bx in range(4):
+                    if bx == 0 and by == 0:
+                        pred = 128
+                    elif by == 0:
+                        pred = c[(by, bx - 1)]
+                    elif bx == 0:
+                        pred = c[(by - 1, bx)]
+                    else:
+                        pred = (c[(by, bx - 1)]
+                                + c[(by - 1, bx)] + 1) >> 1
+                    c[(by, bx)] = pred + 4 * d[by * 4 + bx]
+                    ysum += 16 * c[(by, bx)]
+            r = rows[(doc_id, f)]
+            assert r.valid and r.y_sum == ysum, (doc_id, f)
+    # corrupt container degrades to one flagged row
+    bad = spark.createDataFrame([(99, bytearray(b"not an mp4"))],
+                                "doc_id long, payload binary")
+    row = h264_keyframe_pixels(bad).collect()[0]
+    assert row.frame_id == -1 and not row.valid
