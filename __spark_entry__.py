@@ -439,6 +439,44 @@ def p_dedup_drop_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), min_count=2)
 
 
+def p_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span detection (operators/dedup.py duplicate_spans,
+    Lee et al. 2022): maximal token ranges covered by 8-token windows
+    occurring >= 2 times corpus-wide, merged over overlap/adjacency.
+    Oracle recipe: expression windows keyed by the raw window string so
+    both engines group identically; the production default is the
+    Arrow kernel + xxhash64 keys (see the _arrow sibling)."""
+    from locustdb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_read(spark, sf_dir, "documents"),
+                           window=8, min_count=2, key="string",
+                           impl="expr")
+
+
+def p_dedup_substring_spans_arrow(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The production default of `dedup_substring_spans` — Arrow window
+    kernel — against the SAME SQL oracle (string keys keep the
+    grouping engine-portable; the kernel is pinned string-for-string
+    equal to the expression form in pytest)."""
+    from locustdb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_read(spark, sf_dir, "documents"),
+                           window=8, min_count=2, key="string",
+                           impl="arrow")
+
+
+def p_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token rollup (operators/dedup.py
+    duplicate_span_stats): n_tokens / n_spans / dup_tokens / dup_frac
+    for every document — the thresholding shape for trimming
+    heavily-duplicated pages. Arrow default, string keys."""
+    from locustdb_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_read(spark, sf_dir, "documents"),
+                                window=8, min_count=2, key="string")
+
+
 def p_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.dedup import minhash_signatures
 
@@ -3173,6 +3211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": p_dedup_exact,
         "dedup_segments": p_dedup_segments,
         "dedup_drop_frequent": p_dedup_drop_frequent,
+        "dedup_substring_spans": p_dedup_substring_spans,
+        "dedup_substring_spans_arrow": p_dedup_substring_spans_arrow,
+        "dedup_substring_stats": p_dedup_substring_stats,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
@@ -3642,6 +3683,44 @@ def _h264_keyframes_oracle() -> str:
                    TRUE AS valid
             FROM px GROUP BY doc_id, f
         """
+
+
+# ExactSubstr duplicated-span oracle (dedup_substring_spans[_arrow]):
+# replays operators/dedup.py duplicate_spans exactly — sliding 8-token
+# windows over empty-filtered space-split tokens, corpus-wide count>=2
+# marks duplicated windows, per-doc islands merged when start gaps are
+# <= 8 (overlap or adjacency), span_end = last window start + 7.
+_DUCK_SUBSTRING_SPANS = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(range(len(ws) - 8 + 1)) AS pos, ws
+      FROM t WHERE len(ws) >= 8
+    ), wins AS (
+      SELECT doc_id, pos,
+             array_to_string(ws[pos+1 : pos+8], ' ') AS win
+      FROM pos
+    ), dupw AS (
+      SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+    ), dup AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dupw USING (win)
+    ), runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                      PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ), spans AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM runs
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_windows
+    FROM spans GROUP BY doc_id, sid
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4893,6 +4972,55 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN n < 2 THEN segment END, ' '
                      ORDER BY seg_idx), '') AS text_clean
             FROM counted GROUP BY id
+        """,
+        "dedup_substring_spans": _DUCK_SUBSTRING_SPANS,
+        "dedup_substring_spans_arrow": _DUCK_SUBSTRING_SPANS,
+        "dedup_substring_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(range(len(ws) - 8 + 1)) AS pos, ws
+              FROM t WHERE len(ws) >= 8
+            ), wins AS (
+              SELECT doc_id, pos,
+                     array_to_string(ws[pos+1 : pos+8], ' ') AS win
+              FROM pos
+            ), dupw AS (
+              SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+            ), dup AS (
+              SELECT w.doc_id, w.pos FROM wins w JOIN dupw USING (win)
+            ), runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM dup
+            ), spans AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM runs
+            ), merged AS (
+              SELECT doc_id, min(pos) AS span_start,
+                     max(pos) + 7 AS span_end
+              FROM spans GROUP BY doc_id, sid
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(span_end - span_start + 1) AS BIGINT)
+                       AS dup_tokens
+              FROM merged GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                   coalesce(p.n_spans, 0) AS n_spans,
+                   coalesce(p.dup_tokens, 0) AS dup_tokens,
+                   CASE WHEN len(t.ws) > 0
+                        THEN coalesce(p.dup_tokens, 0)
+                             / CAST(len(t.ws) AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac
+            FROM t LEFT JOIN per_doc p USING (doc_id)
         """,
         "dedup_minhash": (
             _duck_minhash_cte() + " SELECT * FROM sig"

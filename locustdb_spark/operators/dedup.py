@@ -864,3 +864,177 @@ def minhash_jaccard_estimate(
         .select("id_a", "id_b",
                 (agree / F.lit(float(num_hashes))).alias("jaccard_est"))
     )
+
+
+def _token_windows(text_col: str, window: int, impl: str) -> Column:
+    """array<struct<pos:long, win:string>> of every `window`-token
+    sliding window of the whitespace-tokenized document (positions are
+    0-based token indexes; docs shorter than `window` tokens yield
+    NULL, which `explode` drops). Tokenization is split-on-space with
+    empties removed and NO case folding — exact-substring dedup is
+    case-sensitive by definition.
+
+    ``impl="arrow"`` (the production default, same reasoning as
+    `ngram_jaccard_pairs`): the expression form is a higher-order
+    `transform` that Catalyst evaluates interpreted per position, i.e.
+    O(tokens x window) interpreted string slicing per document; the
+    Arrow kernel builds the identical struct array in one Python batch
+    pass. Both forms are pinned string-for-string equal in pytest.
+    """
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<struct<pos:long,win:string>>")
+        def _wins(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                ws = [w for w in (t or "").split(" ") if w]
+                if len(ws) < window:
+                    out.append(None)
+                    continue
+                out.append([
+                    {"pos": i, "win": " ".join(ws[i:i + window])}
+                    for i in range(len(ws) - window + 1)
+                ])
+            return pd.Series(out)
+
+        return _wins(F.col(text_col))
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i + 1, window)).alias("win"),
+            ),
+        ),
+    )  # otherwise NULL -> explode() emits nothing for short docs
+
+
+def _window_key(key: str) -> Column:
+    if key == "hash":
+        return F.xxhash64(F.col("w.win"))
+    if key == "md5":
+        return portable_hash64(F.col("w.win"))
+    if key == "string":
+        return F.col("w.win")
+    raise ValueError(f"key must be 'hash', 'md5' or 'string', got {key!r}")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    key: str = "hash",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Exact substring-duplication spans (the "deduplicating training
+    data" ExactSubstr rule, Lee et al. 2022, arXiv:2107.06499): find
+    every maximal token range of a document that is covered by
+    `window`-token sliding windows occurring at least `min_count`
+    times ANYWHERE in the corpus (other documents or elsewhere in the
+    same one). Unlike the document-level dedup family above, this
+    localizes duplication *within* documents — the shape used to cut
+    repeated boilerplate spans out of otherwise-unique pages.
+
+    Output: one row per maximal span — (id_col, span_start, span_end,
+    n_windows) with 0-based inclusive token indexes; duplicated window
+    ranges are merged when they overlap or touch (start gap <= window),
+    and n_windows counts the duplicated windows inside the span.
+
+    Scale shape (three stages, none of which moves document text):
+
+    1. Window extraction is a pure projection (see `_token_windows`);
+       the explode emits (id, pos, key) rows where `key` is an 8-byte
+       xxhash64 of the window string by default — the shuffle payload
+       is ~24 bytes/window regardless of window width. `key="md5"`
+       (60-bit, engine-portable) is the oracle recipe; `key="string"`
+       shuffles the raw window text (debugging only).
+    2. Duplicated-window detection is the two-phase
+       `groupBy(key).count() >= min_count` + many-to-one join-back —
+       the same skew-safe shape as `dedup_segments` (partial agg
+       collapses a hot boilerplate window to one row per map task;
+       AQE can split the hot join partition, which a
+       `count().over(Window.partitionBy(key))` reducer cannot).
+    3. Span merging is per-document: lag/running-sum island detection
+       over (id, pos), then one groupBy — both uniform in doc ids,
+       and only DUPLICATED windows (typically a tiny fraction of the
+       corpus) reach this stage.
+    """
+    from pyspark.sql import Window as W
+
+    wins = _token_windows(text_col, window, impl)
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
+        .select("id", F.col("w.pos").alias("pos"),
+                _window_key(key).alias("k"))
+    )
+    dup_keys = (
+        exploded.groupBy("k").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("k")
+    )
+    dup = exploded.join(dup_keys, "k").select("id", "pos")
+    per_doc = W.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(per_doc) <= window, F.lit(0)
+    ).otherwise(F.lit(1))  # first row per doc: lag NULL -> 1
+    spans = (
+        dup.withColumn("_brk", brk)
+        .withColumn("_sid", F.sum("_brk").over(per_doc))
+        .groupBy("id", "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    key: str = "hash",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Per-document rollup of `duplicate_spans`: (id_col, n_tokens,
+    n_spans, dup_tokens, dup_frac) for EVERY document (zero rows for
+    clean docs), where dup_tokens sums the merged span widths — the
+    number usually thresholded to drop or trim heavily-duplicated
+    documents. dup_frac is exact: dup_tokens / n_tokens as a double
+    (0.0 for empty docs). One extra groupBy over the (small) span set
+    plus a many-to-one left join back to per-doc token counts."""
+    spans = duplicate_spans(df, text_col, id_col, window, min_count,
+                            key, impl)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .alias("dup_tokens"),
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    counts = df.select(F.col(id_col),
+                       F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        counts.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                   F.coalesce("dup_tokens", F.lit(0))
+                   / F.col("n_tokens").cast("double"))
+            .otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )

@@ -967,6 +967,102 @@ def test_drop_frequent_segments_known_values(spark):
     }
 
 
+def test_duplicate_spans_known_values(spark):
+    """ExactSubstr span detection: cross-doc shared runs, within-doc
+    self-repeats, short docs, empty docs — spans merged over
+    overlap/adjacency with exact token indexes."""
+    from locustdb_spark.operators.dedup import duplicate_spans
+
+    corpus = spark.createDataFrame(
+        [
+            # docs 1/2 share the 6-token run "a b c d e f" (w=4 ->
+            # window starts 0..2 in doc 1, 1..3 in doc 2)
+            (1, "a b c d e f u1 u2 u3"),
+            (2, "z a b c d e f"),
+            # period-4 self-repeat: every window of doc 3 repeats
+            (3, "p q r s p q r s p q r s"),
+            (4, "too short"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.span_start): (r.span_end, r.n_windows)
+           for r in duplicate_spans(corpus, window=4).collect()}
+    assert out == {
+        (1, 0): (5, 3),   # windows 0,1,2 -> tokens 0..5
+        (2, 1): (6, 3),   # windows 1,2,3 -> tokens 1..6
+        (3, 0): (11, 9),  # all 9 windows duplicated, one span
+    }
+
+
+def test_duplicate_spans_merge_boundary(spark):
+    """Two duplicated windows merge iff their start gap is <= window
+    (overlap or token-adjacency); a gap of window+1 splits spans."""
+    from locustdb_spark.operators.dedup import duplicate_spans
+
+    # doc 1 repeats "m1..m4" at positions 0 and 4 (gap 4 == window:
+    # spans touch -> merged) and "k1..k4" at position 9 (gap 5 > 4
+    # from the previous duplicated start -> separate span). Doc 2
+    # provides the second copies.
+    corpus = spark.createDataFrame(
+        [
+            (1, "m1 m2 m3 m4 m1 m2 m3 m4 x k1 k2 k3 k4"),
+            (2, "m1 m2 m3 m4 y k1 k2 k3 k4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(corpus, window=4).collect()
+    )
+    assert out == [
+        (1, 0, 7, 2),    # starts 0 and 4 merged (gap == window)
+        (1, 9, 12, 1),   # gap 5 > window -> new span
+        (2, 0, 3, 1),
+        (2, 5, 8, 1),
+    ]
+
+
+def test_duplicate_spans_arrow_matches_expr_and_hash_key(docs):
+    """The Arrow window kernel is pinned equal to the interpreted
+    expression form on the real corpus, and the production xxhash64
+    key groups identically to raw-string keys."""
+    from locustdb_spark.operators.dedup import duplicate_spans
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = canon(duplicate_spans(docs, key="string", impl="expr"))
+    assert len(base) > 0  # the corpus has duplicated runs
+    assert canon(duplicate_spans(docs, key="string", impl="arrow")) == base
+    assert canon(duplicate_spans(docs, key="hash", impl="arrow")) == base
+    assert canon(duplicate_spans(docs, key="md5", impl="expr")) == base
+
+
+def test_duplicate_span_stats_known_values(spark):
+    """Per-doc rollup covers EVERY document (zeros for clean/short/
+    empty docs) and dup_frac is exact."""
+    from locustdb_spark.operators.dedup import duplicate_span_stats
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f u1 u2 u3"),
+            (2, "z a b c d e f"),
+            (3, "clean doc nothing repeats here at all ok"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_frac)
+           for r in duplicate_span_stats(corpus, window=4).collect()}
+    assert out == {
+        1: (9, 1, 6, 6 / 9),
+        2: (7, 1, 6, 6 / 7),
+        3: (8, 0, 0, 0.0),
+        4: (0, 0, 0, 0.0),
+    }
+
+
 def test_sessionize_known_values(spark):
     from locustdb_spark.operators.events import sessionize
 
