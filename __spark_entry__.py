@@ -2763,6 +2763,32 @@ def p_multimodal_h264_keyframes(spark: SparkSession,
         "y_max", "y_weighted", "valid")
 
 
+def p_multimodal_h264_gop(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """REAL H.264 INTER (P-frame) PIXEL DECODE under the value-hash
+    oracle (operators/h264_inter.py, r8 — the first slice of the
+    "inter" known-limit): each document becomes a four-picture
+    2x2-macroblock GOP — an Intra_4x4 IDR whose flat-block DC
+    recurrence now crosses macroblock edges, two P pictures whose
+    every macroblock is P_L0_16x16 with a doc-derived FULL-PEL
+    vector and zero residual, and an all-P_Skip picture. The decoder
+    must run real P slice headers, mb_skip_run slice data, median
+    mvp + mvd chains, the P_Skip zero rule, inter CBP, and
+    edge-clamped motion compensation — and land on pixels DuckDB
+    recomputes as clamped shifts of the closed-form IDR plane.
+    Fractional (quarter/half-sample) vectors and residual-bearing P
+    macroblocks are pinned by encode->decode->reference equality in
+    tests/test_h264_inter.py (the 6-tap/bilinear interpolators there
+    are checked against an independent scalar reimplementation)."""
+    from locustdb_spark.operators.multimodal import (
+        h264_gop_stats, with_h264_gop_payload)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return h264_gop_stats(with_h264_gop_payload(docs)).select(
+        "doc_id", "frame_id", "width", "height", "y_sum", "y_min",
+        "y_max", "y_weighted", "cb_sum", "cr_sum", "valid")
+
+
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the REAL customer->supplier purchase
     graph (edges = distinct (o_custkey, l_suppkey) pairs through
@@ -3268,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_h264_info": p_multimodal_h264,
         "multimodal_h264_pixels": p_multimodal_h264_pixels,
         "multimodal_h264_keyframes": p_multimodal_h264_keyframes,
+        "multimodal_h264_gop": p_multimodal_h264_gop,
         "multimodal_audio_features": p_multimodal_audio,
         "multimodal_image_stats": p_multimodal_image_stats,
         # Arrow production kernels under the SAME oracles as their
@@ -3685,6 +3712,90 @@ def _h264_keyframes_oracle() -> str:
         """
 
 
+def _h264_gop_oracle() -> str:
+    """multimodal_h264_gop: the Intra_4x4 flat-block DC recurrence
+    over the GLOBAL 8x8 block grid of the 2x2-macroblock IDR (64
+    lateral aliases in raster block order — prediction crosses MB
+    edges exactly like the decoder's pixel path), then each P frame
+    as a clamped full-pel shift of its reference (P1, P2 with the
+    doc-derived vectors from operators/multimodal.py _gop_mvs; the
+    all-skip P3 must equal P2 because every skip mv derives to zero).
+    Stats per (doc, frame); chroma stays flat 128 (bilinear MC of a
+    constant plane is that constant).
+
+    The 64-block recurrence is a RECURSIVE CTE accumulating a LIST of
+    block values (one block per iteration) rather than the 16-block
+    oracle's lateral column aliases: alias inlining expands the
+    left/top averaging recurrence into one expression tree per alias
+    whose size is the number of lattice paths to block 0 — C(6,3)=20
+    for a 4x4 grid but C(14,7)=3432 for 8x8, which made DuckDB's
+    planner explode (measured: >240 s to even start 5 docs)."""
+    # next block n: d from (doc_id, MB index, in-MB block index), all
+    # arithmetic on n; left neighbor = 1-indexed vals[n], top =
+    # vals[n-7]
+    d_n = ("(((doc_id * 7 + (((n // 8) // 4) * 2 + (n % 8) // 4) * 11"
+           " + (((n // 8) % 4) * 4 + (n % 8) % 4) * 3) % 5) - 2)")
+    mv1x = "((a.doc_id % 7) - 3)"
+    mv1y = "(((a.doc_id // 7) % 7) - 3)"
+    mv2x = "(((a.doc_id * 3 + 1) % 7) - 3)"
+    mv2y = "(((a.doc_id * 5 + 2) % 7) - 3)"
+
+    def shift(src: str, dst: str, mx: str, my: str) -> str:
+        return f"""
+            {dst} AS (
+              SELECT a.doc_id, a.idx, b.v
+              FROM {src} a JOIN {src} b
+                ON b.doc_id = a.doc_id
+               AND b.idx =
+                   LEAST(GREATEST(a.idx // 32 + {my}, 0), 31) * 32
+                 + LEAST(GREATEST(a.idx % 32 + {mx}, 0), 31)
+            )"""
+
+    def stats(src: str, fid: int) -> str:
+        return f"""
+            SELECT doc_id, CAST({fid} AS INT) AS frame_id,
+                   CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS y_sum,
+                   CAST(min(v) AS INT) AS y_min,
+                   CAST(max(v) AS INT) AS y_max,
+                   CAST(sum(v * (1 + idx % 97)) AS BIGINT)
+                     AS y_weighted,
+                   CAST(128 * 256 AS BIGINT) AS cb_sum,
+                   CAST(128 * 256 AS BIGINT) AS cr_sum,
+                   TRUE AS valid
+            FROM {src} GROUP BY doc_id"""
+
+    return f"""
+            WITH RECURSIVE blocks AS (
+              SELECT doc_id, 0 AS g,
+                     [128 + 4 * (((doc_id * 7) % 5) - 2)] AS vals
+              FROM documents
+              UNION ALL
+              SELECT doc_id, n AS g,
+                     list_append(vals, CASE
+                       WHEN n // 8 = 0 THEN vals[n] + 4 * {d_n}
+                       WHEN n % 8 = 0 THEN vals[n - 7] + 4 * {d_n}
+                       ELSE (vals[n] + vals[n - 7] + 1) // 2
+                            + 4 * {d_n}
+                     END) AS vals
+              FROM (SELECT doc_id, g + 1 AS n, vals FROM blocks
+                    WHERE g < 63)
+            ),
+            px0 AS (
+              SELECT doc_id, idx,
+                     vals[((idx // 32) // 4) * 8
+                          + ((idx % 32) // 4) + 1] AS v
+              FROM (SELECT doc_id, vals FROM blocks WHERE g = 63),
+                   (SELECT unnest(generate_series(0, 1023)) AS idx)
+            ),{shift("px0", "px1", mv1x, mv1y)},{shift(
+                "px1", "px2", mv2x, mv2y)}
+            {stats("px0", 0)}
+            UNION ALL {stats("px1", 1)}
+            UNION ALL {stats("px2", 2)}
+            UNION ALL {stats("px2", 3)}
+        """
+
+
 # ExactSubstr duplicated-span oracle (dedup_substring_spans[_arrow]):
 # replays operators/dedup.py duplicate_spans exactly — sliding 8-token
 # windows over empty-filtered space-split tokens, corpus-wide count>=2
@@ -3727,6 +3838,7 @@ def oracle_sql() -> dict[str, str]:
     o = {
         "multimodal_h264_pixels": _h264_pixels_oracle(),
         "multimodal_h264_keyframes": _h264_keyframes_oracle(),
+        "multimodal_h264_gop": _h264_gop_oracle(),
         "flagship_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS cnt,

@@ -11,10 +11,11 @@ decoded stream in tests and oracles is spec-derived, never captured.
 Reference parity note: the reference engine stores video as opaque
 blobs (SURVEY §2.3) — this module is "beyond the reference" training-
 data-pipeline capability, the decode step behind the multimodal
-column plumbing (operators/multimodal.py). Inter (P/B motion
-compensation), CABAC, and deblocking remain out of scope and raise
-named errors; a curation pipeline samples keyframes, and keyframes
-are exactly the intra-only streams handled here.
+column plumbing (operators/multimodal.py). P-slice inter decode
+(P_L0_16x16 + P_Skip, quarter-sample motion compensation) lives in
+operators/h264_inter.py on top of this layer; B slices, sub-16x16
+partitions, CABAC, and deblocking remain out of scope and raise
+named errors.
 
 Offline-spec discipline (same as sources/pco.py and operators/
 jpeg.py): no conformance bitstreams exist in this environment, so

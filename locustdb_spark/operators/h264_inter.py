@@ -1,0 +1,774 @@
+"""H.264 / AVC baseline-profile INTER pixel decode (P slices, CAVLC),
+extending the intra layer (operators/h264_decode.py) with the pieces a
+GOP needs: P slice headers and mb_skip_run slice data (§7.3.3-7.3.4),
+P_L0_16x16 macroblocks and P_Skip (Table 7-13, §7.3.5.1), luma
+quarter-sample / chroma eighth-sample motion compensation (§8.4.2.2),
+median motion-vector prediction with the P_Skip zero rule (§8.4.1),
+the inter coded_block_pattern me(v) column (Table 9-4), and the
+matching ENCODER so every decoded GOP in tests and oracles is
+spec-derived, never captured. The reference engine stores video as
+opaque blobs (SURVEY §2.3); this closes the "inter" item of the r7
+known-limits list for the 16x16-partition subset.
+
+Supported P toolset (everything else raises H264UnsupportedError by
+name): P_L0_16x16 partitions, P_Skip, intra macroblocks inside P
+slices, ONE reference picture (the previously decoded frame — SPS
+max_num_ref_frames=1, no list modification, no MMCO), CAVLC, no
+weighted prediction, deblocking disabled. 16x8 / 8x16 / 8x8
+partitions and B slices are out of scope: a curation pipeline that
+decodes beyond keyframes wants "the next frames of this shot", and
+single-partition P frames express exactly that motion model while
+keeping every syntax element under the same offline-spec discipline.
+
+Offline-spec confidence notes (same discipline as h264_decode.py):
+- HIGH: slice-data skip-run structure, P_L0_16x16 syntax order
+  (mvd_l0 then CBP), the quarter-sample interpolation (§8.4.2.2.1
+  6-tap (1,-5,20,20,-5,1) halves with (x+16)>>5 / center (x+512)>>10
+  and quarter averaging, eighth-sample bilinear chroma with the
+  ((8-xF)(8-yF)A + ...+32)>>6 kernel, sample clamping at picture
+  edges), median MV prediction incl. the single-matching-refIdx and
+  A-only fallbacks, and the P_Skip zero conditions.
+- MODERATE: the INTER column of Table 9-4 (CBP_INTER below) beyond
+  codeNum 0 <-> cbp 0 — reconstructed from memory of the published
+  table; its intra column matched h264_decode.CBP_INTRA exactly,
+  which calibrates but does not prove the tail. Encoder and decoder
+  share only the table, and the oracle-gated entry
+  (multimodal_h264_gop) restricts itself to cbp==0 P macroblocks
+  (codeNum 0) + integer motion vectors, where decoded pixels are a
+  closed-form clamped shift of the I frame that DuckDB recomputes
+  independently. Residual-bearing and fractional-mv P macroblocks
+  are pinned by encode->decode->reference_reconstruction tests
+  (bit-layer accountable to a spec-side pixel path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .h264 import (BitReader, BitWriter, H264ParseError,
+                   add_emulation_prevention, build_sps, parse_sps,
+                   split_nal_units, strip_emulation_prevention)
+from .h264_decode import (BLK_ZSCAN, CHROMA_BLKS, DecodedFrame,
+                          H264UnsupportedError, _clip1,
+                          _more_rbsp_data, _IntraDecoder,
+                          _IntraEncoder, build_pps_pixels, chroma_qp,
+                          decode_residual_block, dequant_4x4,
+                          dequant_chroma_dc, encode_residual_block,
+                          hadamard_2x2, idct_4x4, parse_pps_full)
+
+# Table 9-4, coded_block_pattern me(v), INTER (non-intra prediction
+# mode) column: codeNum -> cbp. See the MODERATE confidence note in
+# the module docstring; prefix-freeness is inherited from ue(v).
+CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+             14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43,
+             45, 46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30,
+             22, 25, 38, 41]
+CBP_INTER_INV = {cbp: i for i, cbp in enumerate(CBP_INTER)}
+
+
+# ---------------------------------------------------------------------
+# motion-vector prediction (§8.4.1.3) and the P_Skip rule (§8.4.1.1)
+# ---------------------------------------------------------------------
+
+def _neighbor(mb_ref: dict, mb_mv: dict, nx: int, ny: int,
+              mbs_w: int) -> tuple[bool, int, tuple[int, int]]:
+    """(mb_available, refIdx, mv) for neighbor macroblock (nx, ny) in
+    raster decode order. Intra/unavailable neighbors carry refIdx -1
+    and mv (0,0) per §8.4.1.3.2 — but MB availability itself is a
+    separate bit (the A-only fallback and P_Skip test it)."""
+    if nx < 0 or ny < 0 or nx >= mbs_w or (nx, ny) not in mb_ref:
+        return False, -1, (0, 0)
+    ref = mb_ref[(nx, ny)]
+    if ref < 0:  # intra-coded
+        return True, -1, (0, 0)
+    return True, ref, mb_mv[(nx, ny)]
+
+
+def predict_mv_16x16(mb_ref: dict, mb_mv: dict, mbx: int, mby: int,
+                     mbs_w: int) -> tuple[int, int]:
+    """§8.4.1.3 for a 16x16 partition with refIdxL0 = 0: A = left MB,
+    B = above, C = above-right (D = above-left substitutes when C is
+    unavailable). If B, C, D are all unavailable and A is available,
+    the predictor is mvA; if exactly one neighbor's refIdx matches,
+    its mv; otherwise the component-wise median of A, B, C."""
+    a_av, a_ref, a_mv = _neighbor(mb_ref, mb_mv, mbx - 1, mby, mbs_w)
+    b_av, b_ref, b_mv = _neighbor(mb_ref, mb_mv, mbx, mby - 1, mbs_w)
+    c_av, c_ref, c_mv = _neighbor(mb_ref, mb_mv, mbx + 1, mby - 1,
+                                  mbs_w)
+    d_av, d_ref, d_mv = _neighbor(mb_ref, mb_mv, mbx - 1, mby - 1,
+                                  mbs_w)
+    if not c_av:
+        c_av, c_ref, c_mv = d_av, d_ref, d_mv
+    if a_av and not b_av and not c_av:
+        return a_mv
+    matches = [mv for ref, mv in
+               ((a_ref, a_mv), (b_ref, b_mv), (c_ref, c_mv))
+               if ref == 0]
+    if len(matches) == 1:
+        return matches[0]
+    xs = sorted((a_mv[0], b_mv[0], c_mv[0]))
+    ys = sorted((a_mv[1], b_mv[1], c_mv[1]))
+    return xs[1], ys[1]
+
+
+def skip_mv(mb_ref: dict, mb_mv: dict, mbx: int, mby: int,
+            mbs_w: int) -> tuple[int, int]:
+    """§8.4.1.1: P_Skip takes the 16x16 predictor, forced to (0,0)
+    when mbA or mbB is unavailable or is an inter MB with refIdx 0
+    and a zero vector."""
+    a_av, a_ref, a_mv = _neighbor(mb_ref, mb_mv, mbx - 1, mby, mbs_w)
+    b_av, b_ref, b_mv = _neighbor(mb_ref, mb_mv, mbx, mby - 1, mbs_w)
+    if not a_av or not b_av:
+        return 0, 0
+    if a_ref == 0 and a_mv == (0, 0):
+        return 0, 0
+    if b_ref == 0 and b_mv == (0, 0):
+        return 0, 0
+    return predict_mv_16x16(mb_ref, mb_mv, mbx, mby, mbs_w)
+
+
+# ---------------------------------------------------------------------
+# motion compensation (§8.4.2.2) — vectorized over one 16x16 / 8x8
+# ---------------------------------------------------------------------
+
+def _gather(plane: np.ndarray, y0: int, x0: int, h: int,
+            w: int) -> np.ndarray:
+    """Window read with §8.4.2.2.1 edge clamping: out-of-picture
+    sample coordinates clip to the nearest border sample."""
+    rows = np.clip(np.arange(y0, y0 + h), 0, plane.shape[0] - 1)
+    cols = np.clip(np.arange(x0, x0 + w), 0, plane.shape[1] - 1)
+    return plane[np.ix_(rows, cols)].astype(np.int32)
+
+
+def _tap6(a: np.ndarray, axis: int) -> np.ndarray:
+    """(1,-5,20,20,-5,1) along `axis`, output length reduced by 5."""
+    def s(i):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(i, a.shape[axis] - 5 + i)
+        return a[tuple(sl)]
+    return s(0) - 5 * s(1) + 20 * s(2) + 20 * s(3) - 5 * s(4) + s(5)
+
+
+def interpolate_luma(ref: np.ndarray, x0: int, y0: int, mvx: int,
+                     mvy: int, size: int = 16) -> np.ndarray:
+    """Quarter-sample luma prediction block (§8.4.2.2.1-2): 6-tap
+    half-sample filters ((v+16)>>5, center (v+512)>>10 on un-rounded
+    intermediates) and quarter positions as rounded averages of the
+    two nearest integer/half samples."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    xf, yf = mvx & 3, mvy & 3
+    n = size
+    W = _gather(ref, yi - 2, xi - 2, n + 6, n + 6)  # int32
+    G = W[2:2 + n, 2:2 + n]
+    if xf == 0 and yf == 0:
+        return G.astype(np.uint8)
+    # horizontal halves b1[r, c]: between W cols (c+2, c+3), all rows
+    b1 = _tap6(W, 1)                       # (n+6, n+1)
+    b = np.clip((b1[2:2 + n, 0:n] + 16) >> 5, 0, 255)
+    s_ = np.clip((b1[3:3 + n, 0:n] + 16) >> 5, 0, 255)
+    # vertical halves h1[r, c]: between W rows (r+2, r+3), all cols
+    h1 = _tap6(W, 0)                       # (n+1, n+6)
+    h = np.clip((h1[0:n, 2:2 + n] + 16) >> 5, 0, 255)
+    m = np.clip((h1[0:n, 3:3 + n] + 16) >> 5, 0, 255)
+    j = None
+    if xf in (1, 2, 3) and yf in (1, 2, 3):
+        j1 = _tap6(b1, 0)                  # (n+1, n+1)
+        j = np.clip((j1[0:n, 0:n] + 512) >> 10, 0, 255)
+    H = W[2:2 + n, 3:3 + n]
+    M = W[3:3 + n, 2:2 + n]
+
+    def avg(p, q):
+        return ((p + q + 1) >> 1).astype(np.uint8)
+
+    table = {
+        (1, 0): lambda: avg(G, b), (2, 0): lambda: b.astype(np.uint8),
+        (3, 0): lambda: avg(b, H),
+        (0, 1): lambda: avg(G, h), (1, 1): lambda: avg(b, h),
+        (2, 1): lambda: avg(b, j), (3, 1): lambda: avg(b, m),
+        (0, 2): lambda: h.astype(np.uint8), (1, 2): lambda: avg(h, j),
+        (2, 2): lambda: j.astype(np.uint8), (3, 2): lambda: avg(j, m),
+        (0, 3): lambda: avg(h, M), (1, 3): lambda: avg(h, s_),
+        (2, 3): lambda: avg(j, s_), (3, 3): lambda: avg(m, s_),
+    }
+    return table[(xf, yf)]()
+
+
+def interpolate_chroma(ref: np.ndarray, x0: int, y0: int, mvx: int,
+                       mvy: int, size: int = 8) -> np.ndarray:
+    """Eighth-sample bilinear chroma prediction (§8.4.2.2.2); the
+    luma quarter-sample vector is an eighth-sample chroma vector at
+    4:2:0 without rescaling."""
+    xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+    n = size
+    W = _gather(ref, yi, xi, n + 1, n + 1)
+    A = W[0:n, 0:n]
+    B = W[0:n, 1:n + 1]
+    C = W[1:n + 1, 0:n]
+    D = W[1:n + 1, 1:n + 1]
+    v = ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
+         + (8 - xf) * yf * C + xf * yf * D + 32) >> 6
+    return v.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------
+# P-picture decoder
+# ---------------------------------------------------------------------
+
+class _InterDecoder(_IntraDecoder):
+    """One P picture's decode state: the intra machinery (for intra
+    MBs inside P slices) plus the reference planes and per-MB
+    (refIdx, mv) bookkeeping the predictors read."""
+
+    def __init__(self, sps, pps, ref_y: np.ndarray, ref_cb: np.ndarray,
+                 ref_cr: np.ndarray):
+        super().__init__(sps, pps)
+        self.ref_y, self.ref_cb, self.ref_cr = ref_y, ref_cb, ref_cr
+        self.mb_ref: dict[tuple[int, int], int] = {}
+        self.mb_mv: dict[tuple[int, int], tuple[int, int]] = {}
+
+    # -- macroblocks ----------------------------------------------------
+    def decode_skip(self, mbx: int, mby: int) -> None:
+        mv = skip_mv(self.mb_ref, self.mb_mv, mbx, mby, self.mbs_w)
+        self._mc_16x16(mbx, mby, mv)
+        self.mb_ref[(mbx, mby)] = 0
+        self.mb_mv[(mbx, mby)] = mv
+        self.mb_kind[(mbx, mby)] = "skip"
+        self.mb_types.append("skip")
+        for bx, by in BLK_ZSCAN:  # §9.2.1: skipped MBs count as 0
+            self.luma_tc[(mbx * 4 + bx, mby * 4 + by)] = 0
+        for comp in (0, 1):
+            for bx, by in CHROMA_BLKS:
+                self.chroma_tc[comp][(mbx * 2 + bx, mby * 2 + by)] = 0
+
+    def decode_p_mb(self, r: BitReader, mbx: int, mby: int,
+                    qp: int) -> int:
+        mb_type = r.ue()
+        if mb_type >= 5:  # intra MB inside a P slice (Table 7-13)
+            qp = self.decode_mb_with(r, mbx, mby, qp, mb_type - 5)
+            self.mb_ref[(mbx, mby)] = -1
+            self.mb_mv[(mbx, mby)] = (0, 0)
+            return qp
+        if mb_type != 0:
+            raise H264UnsupportedError(
+                f"P mb_type {mb_type}: only P_L0_16x16 (and P_Skip) "
+                "partitions are pixel-decoded")
+        # P_L0_16x16: single list-0 ref (not signalled with one
+        # active reference), mvd_l0, then inter CBP
+        mvp = predict_mv_16x16(self.mb_ref, self.mb_mv, mbx, mby,
+                               self.mbs_w)
+        mv = (mvp[0] + r.se(), mvp[1] + r.se())
+        code_num = r.ue()
+        if code_num >= len(CBP_INTER):
+            raise H264ParseError("coded_block_pattern out of range")
+        cbp = CBP_INTER[code_num]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp > 0:
+            qp = (qp + r.se() + 52) % 52
+        luma_coeffs: list[list[int]] = []
+        for blk in range(16):
+            bx, by = BLK_ZSCAN[blk]
+            gbx, gby = mbx * 4 + bx, mby * 4 + by
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.luma_tc, gbx, gby)
+                coeffs = decode_residual_block(r, nc, 16)
+                tc = sum(1 for c in coeffs if c)
+            else:
+                coeffs, tc = [0] * 16, 0
+            luma_coeffs.append(coeffs)
+            self.luma_tc[(gbx, gby)] = tc
+        chroma = self._parse_chroma_residual(r, mbx, mby, cbp_chroma)
+        self.mb_ref[(mbx, mby)] = 0
+        self.mb_mv[(mbx, mby)] = mv
+        self.mb_kind[(mbx, mby)] = "p16x16"
+        self.mb_types.append("p16x16")
+        self._mc_16x16(mbx, mby, mv)
+        self._add_luma_residual(mbx, mby, luma_coeffs, qp)
+        self._add_chroma_residual(mbx, mby, chroma, qp)
+        return qp
+
+    def decode_mb_with(self, r: BitReader, mbx: int, mby: int,
+                       qp: int, intra_mb_type: int) -> int:
+        """Intra macroblock_layer with mb_type already consumed and
+        remapped (P-slice intra MBs): dispatch on the I mb_type."""
+        if intra_mb_type == 25:
+            self._decode_pcm(r, mbx, mby)
+            self.mb_types.append("pcm")
+            return qp
+        if intra_mb_type == 0:
+            qp = self._decode_i4x4(r, mbx, mby, qp)
+            self.mb_types.append("i4x4")
+            return qp
+        if 1 <= intra_mb_type <= 24:
+            qp = self._decode_i16x16(r, mbx, mby, qp, intra_mb_type)
+            self.mb_types.append("i16x16")
+            return qp
+        raise H264ParseError(f"bad intra mb_type {intra_mb_type}")
+
+    # -- reconstruction helpers ------------------------------------------
+    def _mc_16x16(self, mbx: int, mby: int,
+                  mv: tuple[int, int]) -> None:
+        y0, x0 = mby * 16, mbx * 16
+        self.y[y0:y0 + 16, x0:x0 + 16] = interpolate_luma(
+            self.ref_y, x0, y0, mv[0], mv[1], 16)
+        cy0, cx0 = mby * 8, mbx * 8
+        self.cb[cy0:cy0 + 8, cx0:cx0 + 8] = interpolate_chroma(
+            self.ref_cb, cx0, cy0, mv[0], mv[1], 8)
+        self.cr[cy0:cy0 + 8, cx0:cx0 + 8] = interpolate_chroma(
+            self.ref_cr, cx0, cy0, mv[0], mv[1], 8)
+
+    def _add_luma_residual(self, mbx: int, mby: int,
+                           luma_coeffs: list[list[int]],
+                           qp: int) -> None:
+        for blk in range(16):
+            if not any(luma_coeffs[blk]):
+                continue
+            bx, by = BLK_ZSCAN[blk]
+            x0, y0 = mbx * 16 + bx * 4, mby * 16 + by * 4
+            res = idct_4x4(dequant_4x4(luma_coeffs[blk], qp))
+            for i in range(4):
+                for j in range(4):
+                    self.y[y0 + i, x0 + j] = _clip1(
+                        int(self.y[y0 + i, x0 + j]) + res[i][j])
+
+    def _add_chroma_residual(self, mbx: int, mby: int, chroma,
+                             qp: int) -> None:
+        dc_scan, ac = chroma
+        qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        x0, y0 = mbx * 8, mby * 8
+        for comp, plane in ((0, self.cb), (1, self.cr)):
+            f = hadamard_2x2([[dc_scan[comp][0], dc_scan[comp][1]],
+                              [dc_scan[comp][2], dc_scan[comp][3]]])
+            dc = dequant_chroma_dc(f, qpc)
+            for b, (bx, by) in enumerate(CHROMA_BLKS):
+                if not (any(ac[comp][b]) or dc[by][bx]):
+                    continue
+                d = dequant_4x4([0] + ac[comp][b], qpc, skip_dc=True)
+                d[0][0] = dc[by][bx]
+                res = idct_4x4(d)
+                for i in range(4):
+                    for j in range(4):
+                        plane[y0 + by * 4 + i, x0 + bx * 4 + j] = \
+                            _clip1(int(plane[y0 + by * 4 + i,
+                                             x0 + bx * 4 + j])
+                                   + res[i][j])
+
+
+# ---------------------------------------------------------------------
+# slice-level drivers
+# ---------------------------------------------------------------------
+
+def _parse_p_slice_header(rbsp: bytes, nal_type: int,
+                          nal_ref_idc: int, sps, pps):
+    """§7.3.3 for P slices under the supported toolset; returns
+    (first_mb, qp, reader-at-slice-data)."""
+    if pps.cabac:
+        raise H264UnsupportedError("CABAC entropy not supported")
+    r = BitReader(rbsp)
+    first_mb = r.ue()
+    st = r.ue()
+    if st % 5 != 0:
+        raise H264ParseError(f"not a P slice (slice_type {st})")
+    r.ue()  # pps_id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    if nal_type == 5:
+        raise H264ParseError("IDR NAL with P slice_type")
+    if sps.pic_order_cnt_type == 0:
+        r.u(sps.log2_max_poc_lsb)
+    elif sps.pic_order_cnt_type == 1:
+        raise H264UnsupportedError("poc_type 1 slice headers")
+    if r.u(1):  # num_ref_idx_active_override_flag
+        if r.ue() != 0:  # num_ref_idx_l0_active_minus1
+            raise H264UnsupportedError(
+                "more than one active reference picture")
+    if r.u(1):  # ref_pic_list_modification_flag_l0
+        raise H264UnsupportedError("ref pic list modification")
+    # weighted_pred_flag is 0 in every supported PPS (build_pps*),
+    # so no pred_weight_table follows
+    if nal_ref_idc != 0:
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise H264UnsupportedError("adaptive ref pic marking")
+    qp = pps.pic_init_qp + r.se()
+    if pps.deblocking_control_present:
+        if r.ue() != 1:
+            raise H264UnsupportedError(
+                "in-loop deblocking not implemented; streams must "
+                "set disable_deblocking_filter_idc = 1")
+    else:
+        raise H264UnsupportedError(
+            "PPS leaves the deblocking filter on (control flag 0)")
+    return first_mb, qp, r
+
+
+def _decode_p_slice_data(dec: _InterDecoder, r: BitReader, addr: int,
+                         qp: int, n_mbs: int) -> int:
+    """§7.3.4 CAVLC slice_data for P slices: alternating mb_skip_run
+    / macroblock_layer until the rbsp or the picture is exhausted."""
+    while addr < n_mbs:
+        if not _more_rbsp_data(r):
+            break
+        run = r.ue()
+        if addr + run > n_mbs:
+            raise H264ParseError("mb_skip_run past end of picture")
+        for _ in range(run):
+            dec.decode_skip(addr % dec.mbs_w, addr // dec.mbs_w)
+            addr += 1
+        if addr >= n_mbs or not _more_rbsp_data(r):
+            break
+        qp = dec.decode_p_mb(r, addr % dec.mbs_w, addr // dec.mbs_w,
+                             qp)
+        addr += 1
+    return addr
+
+
+def decode_gop(payload: bytes,
+               length_size: int | None = None) -> list[DecodedFrame]:
+    """Decode an IDR + P* group of pictures (CAVLC, single reference):
+    every coded picture in bitstream order, each P picture predicting
+    from the previously decoded one. Returns the cropped frames.
+    Raises H264ParseError on corrupt input, H264UnsupportedError on
+    out-of-scope features."""
+    nals = split_nal_units(payload, length_size)
+    sps = None
+    pps = None
+    frames: list[DecodedFrame] = []
+    prev = None  # (y, cb, cr) UNcropped planes of the last picture
+    for nal in nals:
+        if not nal:
+            continue
+        if nal[0] & 0x80:
+            raise H264ParseError("forbidden_zero_bit set")
+        ntype = nal[0] & 0x1F
+        ref_idc = (nal[0] >> 5) & 3
+        body = strip_emulation_prevention(nal[1:])
+        if ntype == 7:
+            sps = parse_sps(body)
+            continue
+        if ntype == 8:
+            pps = parse_pps_full(body)
+            continue
+        if ntype not in (1, 5):
+            continue
+        if sps is None or pps is None:
+            raise H264ParseError("slice before SPS/PPS")
+        # peek slice_type to route (first_mb ue, then slice_type ue)
+        peek = BitReader(body)
+        peek.ue()
+        st = peek.ue() % 5
+        n_mbs_w = (sps.width + 15) // 16
+        n_mbs_h = (sps.height + 15) // 16
+        n_mbs = n_mbs_w * n_mbs_h
+        if st == 2:  # I / IDR picture
+            from .h264_decode import _parse_i_slice_header
+            dec = _IntraDecoder(sps, pps)
+            start = _parse_i_slice_header(body, ntype, ref_idc, sps,
+                                          pps)
+            addr, qp, r = start.first_mb, start.qp, start.reader
+            if addr != 0:
+                raise H264UnsupportedError(
+                    "multi-slice pictures not supported in GOP decode")
+            while addr < n_mbs:
+                qp = dec.decode_mb(r, addr % n_mbs_w, addr // n_mbs_w,
+                                   qp)
+                addr += 1
+                if addr < n_mbs and not _more_rbsp_data(r):
+                    raise H264ParseError(
+                        f"picture truncated: {addr}/{n_mbs}")
+        elif st == 0:  # P picture
+            if prev is None:
+                raise H264ParseError("P picture without a reference")
+            dec = _InterDecoder(sps, pps, *prev)
+            first_mb, qp, r = _parse_p_slice_header(body, ntype,
+                                                    ref_idc, sps, pps)
+            if first_mb != 0:
+                raise H264UnsupportedError(
+                    "multi-slice pictures not supported in GOP decode")
+            addr = _decode_p_slice_data(dec, r, 0, qp, n_mbs)
+            if addr < n_mbs:
+                raise H264ParseError(
+                    f"picture truncated: {addr}/{n_mbs}")
+        else:
+            raise H264UnsupportedError(
+                f"slice_type {st}: only I and P pictures")
+        prev = (dec.y, dec.cb, dec.cr)
+        frames.append(DecodedFrame(
+            sps.width, sps.height,
+            dec.y[:sps.height, :sps.width],
+            dec.cb[:(sps.height + 1) // 2, :(sps.width + 1) // 2],
+            dec.cr[:(sps.height + 1) // 2, :(sps.width + 1) // 2],
+            dec.mb_types))
+    if not frames:
+        raise H264ParseError("stream holds no coded pictures")
+    return frames
+
+
+# ---------------------------------------------------------------------
+# GOP encoder — P MbSpec shapes (raster order, one dict per MB):
+#   {"kind": "skip"}
+#   {"kind": "p16x16", "mv": (mvx, mvy) quarter-luma units,
+#    "luma": [16 lists of 16 zig-zag levels] | None,
+#    "cbp_chroma": 0|1|2, "chroma_dc": [[4],[4]],
+#    "chroma_ac": [[4x[15]],[4x[15]]]}
+#   any intra MbSpec from h264_decode (i4x4 / i16x16 / pcm)
+# ---------------------------------------------------------------------
+
+class _InterEncoder(_IntraEncoder):
+    """Mirror of _InterDecoder's bookkeeping, writing bits; shares
+    only the VLC/CBP tables and the MV predictors with the decoder."""
+
+    def __init__(self, width_mbs: int, height_mbs: int):
+        super().__init__(width_mbs, height_mbs)
+        self.mb_ref: dict[tuple[int, int], int] = {}
+        self.mb_mv: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def note_skip(self, mbx: int, mby: int) -> None:
+        mv = skip_mv(self.mb_ref, self.mb_mv, mbx, mby, self.mbs_w)
+        self.mb_ref[(mbx, mby)] = 0
+        self.mb_mv[(mbx, mby)] = mv
+        self.mb_kind[(mbx, mby)] = "skip"
+        for bx, by in BLK_ZSCAN:
+            self.luma_tc[(mbx * 4 + bx, mby * 4 + by)] = 0
+        for comp in (0, 1):
+            for bx, by in CHROMA_BLKS:
+                self.chroma_tc[comp][(mbx * 2 + bx, mby * 2 + by)] = 0
+
+    def encode_p_mb(self, w: BitWriter, spec: dict, mbx: int,
+                    mby: int, cur_qp: int, target_qp: int) -> int:
+        kind = spec["kind"]
+        if kind in ("i4x4", "i16x16", "pcm"):
+            # Table 7-13: intra mb_types shift by 5 in P slices. The
+            # intra encoder writes ue(mb_type) itself, so splice the
+            # offset by writing the remapped code here and replaying
+            # the rest of the MB through the parent with the type
+            # consumed — simplest as a small shim:
+            cur_qp = self._encode_intra_in_p(w, spec, mbx, mby,
+                                             cur_qp, target_qp)
+            self.mb_ref[(mbx, mby)] = -1
+            self.mb_mv[(mbx, mby)] = (0, 0)
+            return cur_qp
+        if kind != "p16x16":
+            raise ValueError(f"unknown P MbSpec kind {kind!r}")
+        w.ue(0)  # P_L0_16x16
+        mv = tuple(spec["mv"])
+        mvp = predict_mv_16x16(self.mb_ref, self.mb_mv, mbx, mby,
+                               self.mbs_w)
+        w.se(mv[0] - mvp[0])
+        w.se(mv[1] - mvp[1])
+        luma = spec.get("luma")
+        cbp_luma = 15 if luma and any(any(b) for b in luma) else 0
+        cbp_chroma = spec.get("cbp_chroma", 0)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        if cbp not in CBP_INTER_INV:
+            raise H264ParseError(f"unencodable inter cbp {cbp}")
+        w.ue(CBP_INTER_INV[cbp])
+        if cbp > 0:
+            w.se(target_qp - cur_qp)
+            cur_qp = target_qp
+        for blk in range(16):
+            bx, by = BLK_ZSCAN[blk]
+            gbx, gby = mbx * 4 + bx, mby * 4 + by
+            if cbp_luma:
+                nc = self._nc(self.luma_tc, gbx, gby)
+                tc = encode_residual_block(w, luma[blk], nc)
+            else:
+                tc = 0
+            self.luma_tc[(gbx, gby)] = tc
+        self._encode_chroma(w, spec, mbx, mby, cbp_chroma)
+        self.mb_ref[(mbx, mby)] = 0
+        self.mb_mv[(mbx, mby)] = mv
+        self.mb_kind[(mbx, mby)] = "p16x16"
+        return cur_qp
+
+    def _encode_intra_in_p(self, w: BitWriter, spec: dict, mbx: int,
+                           mby: int, cur_qp: int,
+                           target_qp: int) -> int:
+        """Write the +5-shifted mb_type, then delegate the rest of the
+        intra MB to the parent encoder by capturing its own ue(type)
+        write. The parent writes mb_type first, so emit into a scratch
+        writer and re-emit with the first ue remapped."""
+        if spec["kind"] == "pcm":
+            # I_PCM's alignment padding depends on the ABSOLUTE bit
+            # position, which a scratch-writer splice cannot know;
+            # the decoder handles PCM-in-P, the spec-stream builder
+            # does not need it.
+            raise ValueError("pcm MbSpecs are not supported inside "
+                             "P slices by encode_gop")
+        scratch = BitWriter()
+        qp = super().encode_mb(scratch, spec, mbx, mby, cur_qp,
+                               target_qp)
+        bits = scratch._bits
+        # decode the leading ue(v) bit length written by the parent
+        lead = 0
+        while bits[lead] == 0:
+            lead += 1
+        ue_len = 2 * lead + 1
+        code_num = 0
+        for b in bits[:ue_len]:
+            code_num = (code_num << 1) | b
+        code_num -= 1
+        w.ue(code_num + 5)
+        for b in bits[ue_len:]:
+            w.u(b, 1)
+        return qp
+
+
+def encode_gop(pictures: list[tuple[str, list[dict]]], width_mbs: int,
+               height_mbs: int, qp: int = 28) -> bytes:
+    """Assemble a complete Annex B GOP: SPS + PPS + one IDR slice +
+    one P slice per P picture. `pictures` is [("idr", intra MbSpecs),
+    ("p", P MbSpecs), ...] in decode order; every slice disables the
+    deblocking filter so decode_gop is pixel-exact."""
+    if not pictures or pictures[0][0] != "idr":
+        raise ValueError("GOP must start with an IDR picture")
+    n_mbs = width_mbs * height_mbs
+    out = [build_sps(width_mbs, height_mbs), build_pps_pixels()]
+    for pic_idx, (ptype, mbs) in enumerate(pictures):
+        if len(mbs) != n_mbs:
+            raise ValueError("MbSpec count != macroblock count")
+        w = BitWriter()
+        if ptype == "idr":
+            if pic_idx != 0:
+                raise ValueError("IDR allowed only as the first "
+                                 "picture of the GOP")
+            w.ue(0)            # first_mb_in_slice
+            w.ue(7)            # slice_type I (all-picture)
+            w.ue(0)            # pps_id
+            w.u(0, 4)          # frame_num
+            w.ue(0)            # idr_pic_id
+            w.u(0, 4)          # pic_order_cnt_lsb
+            w.u(0, 2)          # no_output_of_prior_pics + long_term
+            w.se(0)            # slice_qp_delta
+            w.ue(1)            # disable_deblocking_filter_idc
+            enc = _IntraEncoder(width_mbs, height_mbs)
+            cur_qp = 26
+            for addr, spec in enumerate(mbs):
+                cur_qp = enc.encode_mb(w, spec, addr % width_mbs,
+                                       addr // width_mbs, cur_qp, qp)
+            w.rbsp_trailing()
+            nal = bytes([0x65]) + add_emulation_prevention(w.bytes())
+        elif ptype == "p":
+            w.ue(0)                    # first_mb_in_slice
+            w.ue(5)                    # slice_type P (all-picture)
+            w.ue(0)                    # pps_id
+            w.u(pic_idx % 16, 4)       # frame_num
+            w.u((2 * pic_idx) % 16, 4)  # pic_order_cnt_lsb
+            w.u(0, 1)  # num_ref_idx_active_override_flag
+            w.u(0, 1)  # ref_pic_list_modification_flag_l0
+            w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+            w.se(0)                    # slice_qp_delta
+            w.ue(1)                    # disable_deblocking_filter_idc
+            enc = _InterEncoder(width_mbs, height_mbs)
+            cur_qp = 26
+            skip_run = 0
+            for addr, spec in enumerate(mbs):
+                mbx, mby = addr % width_mbs, addr // width_mbs
+                if spec["kind"] == "skip":
+                    enc.note_skip(mbx, mby)
+                    skip_run += 1
+                    continue
+                w.ue(skip_run)
+                skip_run = 0
+                cur_qp = enc.encode_p_mb(w, spec, mbx, mby, cur_qp,
+                                         qp)
+            if skip_run:
+                w.ue(skip_run)  # trailing skips close the picture
+            w.rbsp_trailing()
+            nal = bytes([0x21]) + add_emulation_prevention(w.bytes())
+        else:
+            raise ValueError(f"unknown picture type {ptype!r}")
+        out.append(nal)
+    return b"".join(b"\x00\x00\x00\x01" + n for n in out)
+
+
+def reference_gop_reconstruction(
+        pictures: list[tuple[str, list[dict]]], width_mbs: int,
+        height_mbs: int, qp: int = 28,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Spec-side expected planes for encode_gop's output, computed
+    WITHOUT parsing any bits: intra pictures through h264_decode's
+    reference_reconstruction, P pictures by driving the shared MC /
+    MV-prediction / transform primitives directly from the MbSpecs.
+    The encode->decode->compare tests hold the bit layer (skip runs,
+    mvd coding, inter CBP, nC bookkeeping) accountable to this."""
+    from .h264_decode import reference_reconstruction
+    out: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    prev = None
+    for ptype, mbs in pictures:
+        if ptype == "idr":
+            y, cb, cr = reference_reconstruction(mbs, width_mbs,
+                                                 height_mbs, qp)
+            prev = (y, cb, cr)
+            out.append(prev)
+            continue
+        ry, rcb, rcr = prev
+        y = np.zeros_like(ry)
+        cb = np.zeros_like(rcb)
+        cr = np.zeros_like(rcr)
+        mb_ref: dict = {}
+        mb_mv: dict = {}
+        qpc = chroma_qp(qp)
+        for addr, spec in enumerate(mbs):
+            mbx, mby = addr % width_mbs, addr // width_mbs
+            kind = spec["kind"]
+            if kind in ("i4x4", "i16x16", "pcm"):
+                # reuse the intra reference path on a one-MB canvas is
+                # not possible (prediction reads neighbors), so keep
+                # intra-in-P out of the reference reconstructor's
+                # scope; tests cover intra-in-P via all-intra frames
+                # decoded against the intra reference.
+                raise NotImplementedError(
+                    "reference_gop_reconstruction covers skip/p16x16 "
+                    "P pictures; intra-in-P is pinned by decode tests")
+            if kind == "skip":
+                mv = skip_mv(mb_ref, mb_mv, mbx, mby, width_mbs)
+                luma = None
+                cbp_chroma = 0
+            else:
+                mv = tuple(spec["mv"])
+                luma = spec.get("luma")
+                cbp_chroma = spec.get("cbp_chroma", 0)
+            y0, x0 = mby * 16, mbx * 16
+            y[y0:y0 + 16, x0:x0 + 16] = interpolate_luma(
+                ry, x0, y0, mv[0], mv[1], 16)
+            cy0, cx0 = mby * 8, mbx * 8
+            cb[cy0:cy0 + 8, cx0:cx0 + 8] = interpolate_chroma(
+                rcb, cx0, cy0, mv[0], mv[1], 8)
+            cr[cy0:cy0 + 8, cx0:cx0 + 8] = interpolate_chroma(
+                rcr, cx0, cy0, mv[0], mv[1], 8)
+            mb_ref[(mbx, mby)] = 0
+            mb_mv[(mbx, mby)] = mv
+            if luma and any(any(b) for b in luma):
+                for blk in range(16):
+                    if not any(luma[blk]):
+                        continue
+                    bx, by = BLK_ZSCAN[blk]
+                    bx0, by0 = x0 + bx * 4, y0 + by * 4
+                    res = idct_4x4(dequant_4x4(luma[blk], qp))
+                    for i in range(4):
+                        for j in range(4):
+                            y[by0 + i, bx0 + j] = _clip1(
+                                int(y[by0 + i, bx0 + j]) + res[i][j])
+            if cbp_chroma:
+                dcl = spec["chroma_dc"]
+                acl = spec.get("chroma_ac") if cbp_chroma == 2 else None
+                for comp, plane in ((0, cb), (1, cr)):
+                    f = hadamard_2x2([[dcl[comp][0], dcl[comp][1]],
+                                      [dcl[comp][2], dcl[comp][3]]])
+                    dc = dequant_chroma_dc(f, qpc)
+                    for b, (bx, by) in enumerate(CHROMA_BLKS):
+                        ac = acl[comp][b] if acl else [0] * 15
+                        if not (any(ac) or dc[by][bx]):
+                            continue
+                        d = dequant_4x4([0] + ac, qpc, skip_dc=True)
+                        d[0][0] = dc[by][bx]
+                        res = idct_4x4(d)
+                        for i in range(4):
+                            for j in range(4):
+                                plane[cy0 + by * 4 + i,
+                                      cx0 + bx * 4 + j] = _clip1(
+                                    int(plane[cy0 + by * 4 + i,
+                                              cx0 + bx * 4 + j])
+                                    + res[i][j])
+        prev = (y, cb, cr)
+        out.append(prev)
+    return out

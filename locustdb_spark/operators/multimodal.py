@@ -881,3 +881,127 @@ def h264_keyframe_pixels(
                 "y_min", "y_max", "y_weighted", "valid"])
 
     return df.mapInPandas(frames, schema=H264_KEYFRAME_SCHEMA)
+
+
+H264_GOP_SCHEMA = (
+    "doc_id long, frame_id int, width int, height int, y_sum long, "
+    "y_min int, y_max int, y_weighted long, cb_sum long, cr_sum long, "
+    "valid boolean"
+)
+
+
+def _gop_mvs(doc_id: int) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Doc-derived FULL-PEL motion vectors for the two moving P
+    frames of the GOP fixture (components in [-3, 3], so edge
+    clamping is exercised on every border)."""
+    return (((doc_id % 7) - 3, (doc_id // 7 % 7) - 3),
+            (((doc_id * 3 + 1) % 7) - 3, ((doc_id * 5 + 2) % 7) - 3))
+
+
+def with_h264_gop_payload(
+    df: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic golden H.264 GOPs whose decoded pixels are a
+    closed-form function of doc_id (the fixture side of the
+    `multimodal_h264_gop` oracle loop — operators/h264_inter.py).
+
+    Each doc becomes a 2x2-macroblock (32x32) four-picture GOP:
+
+    - IDR: four Intra_4x4 DC-predicted macroblocks with DC-only
+      levels d = ((doc_id*7 + m*11 + k*3) % 5) - 2 (m = MB index,
+      k = 4x4 block index), QP 28 — the same flat-block recurrence as
+      with_h264_pixel_payload but over the GLOBAL 8x8 block grid
+      (prediction crosses macroblock edges), with |d| <= 2 keeping
+      every value in [8, 248]: no clipping, closed form exact.
+    - P1, P2: every MB P_L0_16x16 with the doc-derived FULL-PEL
+      vector from _gop_mvs and zero residual (inter cbp 0, the
+      HIGH-confidence codeNum 0), so decoded pixels are exactly
+      ref[clip(y+mvy), clip(x+mvx)] — SQL-recomputable. Uniform mvs
+      still put the mvd/mvp chain in the bits: MB0 codes the full
+      vector, MB1-3 code zero differentials against real predictors.
+    - P3: all P_Skip — one trailing mb_skip_run covers the picture
+      and the skip-mv derivation must land on (0,0), i.e. a copy of
+      P2. The bits in between are real skip runs, signed Exp-Golomb
+      mvds, inter CBP and CAVLC — a decoder wrong about ANY of it
+      lands on different pixels."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264_decode import BLK_ZSCAN
+        from .h264_inter import encode_gop
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col].values:
+                i = int(i)
+                idr = []
+                for m in range(4):
+                    luma = []
+                    for blk in range(16):
+                        bx, by = BLK_ZSCAN[blk]
+                        lv = [0] * 16
+                        lv[0] = ((i * 7 + m * 11
+                                  + (4 * by + bx) * 3) % 5) - 2
+                        luma.append(lv)
+                    idr.append({"kind": "i4x4", "modes": [2] * 16,
+                                "luma": luma, "chroma_mode": 0,
+                                "cbp_chroma": 0})
+                mv1, mv2 = _gop_mvs(i)
+                p1 = [{"kind": "p16x16",
+                       "mv": (mv1[0] * 4, mv1[1] * 4),
+                       "luma": None, "cbp_chroma": 0}] * 4
+                p2 = [{"kind": "p16x16",
+                       "mv": (mv2[0] * 4, mv2[1] * 4),
+                       "luma": None, "cbp_chroma": 0}] * 4
+                p3 = [{"kind": "skip"}] * 4
+                ids.append(i)
+                blobs.append(encode_gop(
+                    [("idr", idr), ("p", p1), ("p", p2), ("p", p3)],
+                    2, 2, qp=28))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return df.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def h264_gop_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL H.264 GOP pixel decode per payload (operators/
+    h264_inter.py: P slice headers, skip runs, mvd/mvp chains,
+    quarter-sample motion compensation, inter CBP, on top of the
+    intra layer) — one row per (doc, frame) with integer pixel stats
+    and the position-weighted checksum. Corrupt or out-of-scope
+    payloads degrade to a flagged valid=false row, never fail the
+    batch; the blobs never shuffle — only this summary leaves the
+    stage."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .h264_inter import decode_gop
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                try:
+                    frames = decode_gop(bytes(p))
+                except Exception:  # noqa: BLE001 — corrupt blob
+                    rows.append((int(i), -1, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 False))
+                    continue
+                for f, fr in enumerate(frames):
+                    y = fr.y.astype(np.int64)
+                    h, w = y.shape
+                    pos = (np.arange(h, dtype=np.int64)[:, None] * w
+                           + np.arange(w, dtype=np.int64)[None, :])
+                    rows.append((
+                        int(i), f, w, h, int(y.sum()), int(y.min()),
+                        int(y.max()),
+                        int((y * (1 + pos % 97)).sum()),
+                        int(fr.cb.astype(np.int64).sum()),
+                        int(fr.cr.astype(np.int64).sum()), True))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_id", "width", "height", "y_sum",
+                "y_min", "y_max", "y_weighted", "cb_sum", "cr_sum",
+                "valid"])
+
+    return df.mapInPandas(stats, schema=H264_GOP_SCHEMA)
