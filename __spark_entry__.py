@@ -466,6 +466,19 @@ def p_dedup_substring_spans_arrow(spark: SparkSession,
                            impl="arrow")
 
 
+def p_dedup_substring_removed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup ACTION (operators/dedup.py
+    remove_duplicate_spans): each duplicated 8-token window keeps its
+    global first occurrence and later occurrences' merged spans are
+    cut from their documents; one row per doc with the cleaned text.
+    Arrow window kernel, string keys (engine-portable grouping)."""
+    from locustdb_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_read(spark, sf_dir, "documents"),
+                                  window=8, min_count=2, key="string")
+
+
 def p_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-token rollup (operators/dedup.py
     duplicate_span_stats): n_tokens / n_spans / dup_tokens / dup_frac
@@ -3240,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": p_dedup_substring_spans,
         "dedup_substring_spans_arrow": p_dedup_substring_spans_arrow,
         "dedup_substring_stats": p_dedup_substring_stats,
+        "dedup_substring_removed": p_dedup_substring_removed,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
@@ -5087,6 +5101,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_substring_spans": _DUCK_SUBSTRING_SPANS,
         "dedup_substring_spans_arrow": _DUCK_SUBSTRING_SPANS,
+        "dedup_substring_removed": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(range(len(ws) - 8 + 1)) AS pos, ws
+              FROM t WHERE len(ws) >= 8
+            ), wins AS (
+              SELECT doc_id, pos,
+                     array_to_string(ws[pos+1 : pos+8], ' ') AS win
+              FROM pos
+            ), marked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY win) AS n,
+                     row_number() OVER (
+                       PARTITION BY win ORDER BY doc_id, pos) AS rn
+              FROM wins
+            ), later AS (
+              SELECT doc_id, pos FROM marked WHERE n >= 2 AND rn > 1
+            ), runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM later
+            ), spans AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM runs
+            ), merged AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM spans GROUP BY doc_id, sid
+            ), tok AS (
+              SELECT doc_id, unnest(range(len(ws))) AS ti, ws
+              FROM t
+            ), kept AS (
+              SELECT k.doc_id, k.ti, k.ws[k.ti + 1] AS w
+              FROM tok k LEFT JOIN merged m
+                ON m.doc_id = k.doc_id AND k.ti BETWEEN m.s AND m.e
+              WHERE m.doc_id IS NULL
+            ), agg AS (
+              SELECT doc_id, count(*) AS c,
+                     string_agg(w, ' ' ORDER BY ti) AS txt
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                   CAST(len(t.ws) - coalesce(a.c, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(a.txt, '') AS text_clean
+            FROM t LEFT JOIN agg a USING (doc_id)
+        """,
         "dedup_substring_stats": """
             WITH t AS (
               SELECT doc_id,

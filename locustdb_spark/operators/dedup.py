@@ -999,6 +999,85 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    key: str = "hash",
+    impl: str = "arrow",
+) -> DataFrame:
+    """The ACTION to `duplicate_spans`' detection (Lee et al. 2022's
+    ExactSubstr dedup): every `window`-token sliding window occurring
+    >= `min_count` times corpus-wide keeps its globally FIRST
+    occurrence (min (doc_id, pos)) and every LATER occurrence's token
+    range is cut from its document, with overlapping/adjacent cut
+    ranges merged before removal. Returns one row per document:
+    (id_col, n_tokens, n_removed, text_clean) — text_clean is the
+    surviving tokens rejoined with single spaces.
+
+    Scale shape: stages 1-2 are `duplicate_spans`' projection +
+    two-phase groupBy/join-back, with the group carrying an extra
+    min(struct(id, pos)) so "is the first occurrence" is decided by
+    the same skew-safe partial aggregation as `dedup_segments`. Span
+    merging touches only later-occurrence windows; the final
+    reassembly is one groupBy(id) over cut ranges (an array bounded
+    by doc length) joined back to the corpus, and the token filter is
+    a per-row projection — no shuffle carries document text."""
+    from pyspark.sql import Window as W
+
+    wins = _token_windows(text_col, window, impl)
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
+        .select("id", F.col("w.pos").alias("pos"),
+                _window_key(key).alias("k"))
+    )
+    agg = (
+        exploded.groupBy("k").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("id", "pos")).alias("_first"))
+        .filter(F.col("_n") >= min_count)
+        .select("k", "_first")
+    )
+    later = (
+        exploded.join(agg, "k")
+        .filter(~((F.col("id") == F.col("_first.id"))
+                  & (F.col("pos") == F.col("_first.pos"))))
+        .select("id", "pos")
+    )
+    per_doc = W.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(per_doc) <= window, F.lit(0)
+    ).otherwise(F.lit(1))
+    cuts = (
+        later.withColumn("_brk", brk)
+        .withColumn("_sid", F.sum("_brk").over(per_doc))
+        .groupBy("id", "_sid")
+        .agg(F.min("pos").alias("s"),
+             (F.max("pos") + F.lit(window - 1)).alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_cuts"))
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    joined = docs.join(cuts, "id", "left").withColumn(
+        "_cuts", F.coalesce("_cuts", F.expr(
+            "array()").cast("array<struct<s:long,e:long>>")))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (i.cast("long") >= c.s) & (i.cast("long") <= c.e)),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -1039,6 +1039,48 @@ def test_duplicate_spans_arrow_matches_expr_and_hash_key(docs):
     assert canon(duplicate_spans(docs, key="md5", impl="expr")) == base
 
 
+def test_remove_duplicate_spans_known_values(spark):
+    """ExactSubstr ACTION: the key's global first occurrence
+    survives, later occurrences' merged spans are cut, self-repeats
+    collapse to one period, short/empty docs pass through."""
+    from locustdb_spark.operators.dedup import remove_duplicate_spans
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f u1 u2 u3"),    # holds the firsts -> kept
+            (2, "z a b c d e f tail"),      # later copy -> cut
+            (3, "p q r s p q r s p q r s"),  # self-repeat
+            (4, "short doc"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+           for r in remove_duplicate_spans(corpus, window=4).collect()}
+    assert out == {
+        1: (9, 0, "a b c d e f u1 u2 u3"),
+        2: (8, 6, "z tail"),
+        3: (12, 8, "p q r s"),
+        4: (2, 0, "short doc"),
+        5: (0, 0, ""),
+    }
+
+
+def test_remove_duplicate_spans_impl_and_key_parity(docs):
+    from locustdb_spark.operators.dedup import remove_duplicate_spans
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = canon(remove_duplicate_spans(docs, key="string",
+                                        impl="expr"))
+    assert any(r[2] > 0 for r in base)  # some tokens actually removed
+    assert canon(remove_duplicate_spans(docs, key="string",
+                                        impl="arrow")) == base
+    assert canon(remove_duplicate_spans(docs, key="hash",
+                                        impl="arrow")) == base
+
+
 def test_duplicate_span_stats_known_values(spark):
     """Per-doc rollup covers EVERY document (zeros for clean/short/
     empty docs) and dup_frac is exact."""
