@@ -924,6 +924,32 @@ def _window_key(key: str) -> Column:
     raise ValueError(f"key must be 'hash', 'md5' or 'string', got {key!r}")
 
 
+def _merge_islands(positions: DataFrame, window: int) -> DataFrame:
+    """Merge duplicated-window start positions (id, pos) into maximal
+    spans: a new island starts when the gap to the previous start
+    exceeds `window` (anything closer overlaps or touches in token
+    space). One row per span: (id, span_start, span_end, n_windows).
+    This predicate is the semantic core mirrored by every substring
+    oracle's runs/spans CTEs — it lives in exactly one place here."""
+    from pyspark.sql import Window as W
+
+    per_doc = W.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(per_doc) <= window, F.lit(0)
+    ).otherwise(F.lit(1))  # first row per doc: lag NULL -> 1
+    return (
+        positions.withColumn("_brk", brk)
+        .withColumn("_sid", F.sum("_brk").over(per_doc))
+        .groupBy("id", "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_sid")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -966,8 +992,6 @@ def duplicate_spans(
        and only DUPLICATED windows (typically a tiny fraction of the
        corpus) reach this stage.
     """
-    from pyspark.sql import Window as W
-
     wins = _token_windows(text_col, window, impl)
     exploded = (
         df.select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
@@ -980,21 +1004,7 @@ def duplicate_spans(
         .select("k")
     )
     dup = exploded.join(dup_keys, "k").select("id", "pos")
-    per_doc = W.partitionBy("id").orderBy("pos")
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(per_doc) <= window, F.lit(0)
-    ).otherwise(F.lit(1))  # first row per doc: lag NULL -> 1
-    spans = (
-        dup.withColumn("_brk", brk)
-        .withColumn("_sid", F.sum("_brk").over(per_doc))
-        .groupBy("id", "_sid")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
-        )
-    )
-    return spans.select(
+    return _merge_islands(dup, window).select(
         F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
     )
 
@@ -1025,8 +1035,6 @@ def remove_duplicate_spans(
     reassembly is one groupBy(id) over cut ranges (an array bounded
     by doc length) joined back to the corpus, and the token filter is
     a per-row projection — no shuffle carries document text."""
-    from pyspark.sql import Window as W
-
     wins = _token_windows(text_col, window, impl)
     exploded = (
         df.select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
@@ -1046,18 +1054,12 @@ def remove_duplicate_spans(
                   & (F.col("pos") == F.col("_first.pos"))))
         .select("id", "pos")
     )
-    per_doc = W.partitionBy("id").orderBy("pos")
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(per_doc) <= window, F.lit(0)
-    ).otherwise(F.lit(1))
     cuts = (
-        later.withColumn("_brk", brk)
-        .withColumn("_sid", F.sum("_brk").over(per_doc))
-        .groupBy("id", "_sid")
-        .agg(F.min("pos").alias("s"),
-             (F.max("pos") + F.lit(window - 1)).alias("e"))
+        _merge_islands(later, window)
         .groupBy("id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("_cuts"))
+        .agg(F.collect_list(F.struct(
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"))).alias("_cuts"))
     )
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))

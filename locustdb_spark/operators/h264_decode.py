@@ -889,11 +889,12 @@ class FullPPS:
     deblocking_control_present: bool
     constrained_intra: bool
     redundant_pic_cnt_present: bool
+    weighted_pred: bool = False
 
 
 def parse_pps_full(rbsp: bytes) -> FullPPS:
     """§7.3.2.2 through redundant_pic_cnt_present_flag (everything
-    the intra decode path consumes)."""
+    the intra + inter decode paths consume)."""
     r = BitReader(rbsp)
     pps_id, sps_id = r.ue(), r.ue()
     cabac = bool(r.u(1))
@@ -902,7 +903,7 @@ def parse_pps_full(rbsp: bytes) -> FullPPS:
         raise H264UnsupportedError("slice groups (FMO) not supported")
     r.ue()
     r.ue()  # num_ref_idx_l0/l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    weighted = bool(r.u(1))  # weighted_pred_flag
     r.u(2)  # weighted_bipred_idc
     pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs_minus26
@@ -911,7 +912,7 @@ def parse_pps_full(rbsp: bytes) -> FullPPS:
     constrained = bool(r.u(1))
     redundant = bool(r.u(1))
     return FullPPS(pps_id, sps_id, cabac, pic_init_qp, chroma_qp_off,
-                   deblock, constrained, redundant)
+                   deblock, constrained, redundant, weighted)
 
 
 @dataclass
@@ -942,6 +943,10 @@ def _parse_i_slice_header(rbsp: bytes, nal_type: int,
         r.u(sps.log2_max_poc_lsb)  # pic_order_cnt_lsb
     elif sps.pic_order_cnt_type == 1:
         raise H264UnsupportedError("poc_type 1 slice headers")
+    if pps.redundant_pic_cnt_present:
+        # a redundant_pic_cnt ue(v) would sit here and shift every
+        # following field — reject by name, never misparse
+        raise H264UnsupportedError("redundant pictures not supported")
     if nal_ref_idc != 0:
         if nal_type == 5:
             r.u(2)  # no_output_of_prior_pics + long_term_reference

@@ -162,18 +162,32 @@ def interpolate_luma(ref: np.ndarray, x0: int, y0: int, mvx: int,
     G = W[2:2 + n, 2:2 + n]
     if xf == 0 and yf == 0:
         return G.astype(np.uint8)
-    # horizontal halves b1[r, c]: between W cols (c+2, c+3), all rows
-    b1 = _tap6(W, 1)                       # (n+6, n+1)
-    b = np.clip((b1[2:2 + n, 0:n] + 16) >> 5, 0, 255)
-    s_ = np.clip((b1[3:3 + n, 0:n] + 16) >> 5, 0, 255)
-    # vertical halves h1[r, c]: between W rows (r+2, r+3), all cols
-    h1 = _tap6(W, 0)                       # (n+1, n+6)
-    h = np.clip((h1[0:n, 2:2 + n] + 16) >> 5, 0, 255)
-    m = np.clip((h1[0:n, 3:3 + n] + 16) >> 5, 0, 255)
-    j = None
-    if xf in (1, 2, 3) and yf in (1, 2, 3):
-        j1 = _tap6(b1, 0)                  # (n+1, n+1)
-        j = np.clip((j1[0:n, 0:n] + 512) >> 10, 0, 255)
+    # compute only the half-sample planes this (xf, yf) position
+    # reads (the review pass measured the eager form ~doubling MC
+    # cost for the common pure-half positions)
+    need_b = xf > 0 and yf <= 1           # a b c e f g
+    need_s = xf > 0 and yf == 3           # p q r
+    need_h = xf <= 1 and yf > 0           # d e h i n p
+    need_m = xf == 3 and yf > 0           # g k r
+    need_j = (xf == 2 and yf > 0) or (yf == 2 and xf > 0)  # f i j k q
+    b = s_ = h = m = j = None
+    if need_b or need_s or need_j:
+        # horizontal halves b1[r, c]: between W cols (c+2, c+3)
+        b1 = _tap6(W, 1)                   # (n+6, n+1)
+        if need_b:
+            b = np.clip((b1[2:2 + n, 0:n] + 16) >> 5, 0, 255)
+        if need_s:
+            s_ = np.clip((b1[3:3 + n, 0:n] + 16) >> 5, 0, 255)
+        if need_j:
+            j1 = _tap6(b1, 0)              # (n+1, n+1)
+            j = np.clip((j1[0:n, 0:n] + 512) >> 10, 0, 255)
+    if need_h or need_m:
+        # vertical halves h1[r, c]: between W rows (r+2, r+3)
+        h1 = _tap6(W, 0)                   # (n+1, n+6)
+        if need_h:
+            h = np.clip((h1[0:n, 2:2 + n] + 16) >> 5, 0, 255)
+        if need_m:
+            m = np.clip((h1[0:n, 3:3 + n] + 16) >> 5, 0, 255)
     H = W[2:2 + n, 3:3 + n]
     M = W[3:3 + n, 2:2 + n]
 
@@ -364,6 +378,18 @@ def _parse_p_slice_header(rbsp: bytes, nal_type: int,
     (first_mb, qp, reader-at-slice-data)."""
     if pps.cabac:
         raise H264UnsupportedError("CABAC entropy not supported")
+    if pps.weighted_pred:
+        # weighted_pred_flag=1 puts a pred_weight_table in every P
+        # slice header — reject by name, never misparse the bits
+        # after it as marking/QP fields
+        raise H264UnsupportedError("weighted prediction not supported")
+    if pps.redundant_pic_cnt_present:
+        raise H264UnsupportedError("redundant pictures not supported")
+    if pps.constrained_intra:
+        # intra-in-P under constrained_intra_pred_flag must treat
+        # inter neighbors as unavailable; this decoder does not
+        raise H264UnsupportedError(
+            "constrained intra prediction not supported in P slices")
     r = BitReader(rbsp)
     first_mb = r.ue()
     st = r.ue()
@@ -383,8 +409,6 @@ def _parse_p_slice_header(rbsp: bytes, nal_type: int,
                 "more than one active reference picture")
     if r.u(1):  # ref_pic_list_modification_flag_l0
         raise H264UnsupportedError("ref pic list modification")
-    # weighted_pred_flag is 0 in every supported PPS (build_pps*),
-    # so no pred_weight_table follows
     if nal_ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise H264UnsupportedError("adaptive ref pic marking")

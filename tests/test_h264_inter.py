@@ -331,6 +331,47 @@ def test_unsupported_p_partitions_raise_by_name():
         decode_gop(head + b"\x00\x00\x00\x01" + nal)
 
 
+def test_out_of_scope_pps_features_raise_by_name():
+    """weighted_pred / redundant_pic_cnt / constrained_intra PPS
+    flags put unread fields in (or change the semantics of) P slice
+    headers — the decoder must reject by name, never misparse
+    (review finding: the weighted_pred bits would otherwise be read
+    as marking/QP fields and decode valid-looking garbage)."""
+    from locustdb_spark.operators.h264 import (BitWriter,
+                                               add_emulation_prevention)
+    from locustdb_spark.operators.h264_decode import parse_pps_full
+
+    def pps_with(weighted=0, redundant=0, constrained=0):
+        w = BitWriter()
+        w.ue(0).ue(0)
+        w.u(0, 1)              # CAVLC
+        w.u(0, 1)
+        w.ue(0)
+        w.ue(0).ue(0)
+        w.u(weighted, 1)       # weighted_pred_flag
+        w.u(0, 2)
+        w.se(0).se(0).se(0)
+        w.u(1, 1)              # deblocking control present
+        w.u(constrained, 1)
+        w.u(redundant, 1)
+        w.rbsp_trailing()
+        return bytes([0x68]) + add_emulation_prevention(w.bytes())
+
+    assert parse_pps_full(pps_with(weighted=1)[1:]).weighted_pred
+    idr = [_i_mb(5)]
+    base = encode_gop([("idr", idr), ("p", [{"kind": "skip"}])], 1, 1)
+    nals = base.split(b"\x00\x00\x00\x01")[1:]  # SPS, PPS, IDR, P
+    for kwargs, msg in [({"weighted": 1}, "weighted"),
+                        ({"redundant": 1}, "redundant"),
+                        ({"constrained": 1}, "constrained")]:
+        swapped = b"".join(
+            b"\x00\x00\x00\x01" + (pps_with(**kwargs)
+                                   if i == 1 else n)
+            for i, n in enumerate(nals))
+        with pytest.raises(H264UnsupportedError, match=msg):
+            decode_gop(swapped)
+
+
 def test_multi_reference_override_raises():
     from locustdb_spark.operators.h264 import (BitWriter,
                                                add_emulation_prevention)
