@@ -1302,6 +1302,26 @@ def p_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_FROZEN_NPROBE, centroids=cents, assign="expr")
 
 
+def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup, Abbas et al.
+    2023): frozen-centroid cluster assignment, within-cluster cosine
+    near-dup groups at threshold 0.3 (the synthetic corpus's max
+    pairwise cosine is ~0.48, same reasoning as
+    dedup_embedding_cosine's 0.1), keep the lowest-centroid-cosine
+    member. One row per vector with its cluster, centroid cosine,
+    and keep verdict — all sequential-fold double arithmetic, so the
+    whole pipeline sits under the value-hash oracle."""
+    from locustdb_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(emb, cents, threshold=0.3)
+
+
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import label_centroids
 
@@ -3254,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans_arrow": p_dedup_substring_spans_arrow,
         "dedup_substring_stats": p_dedup_substring_stats,
         "dedup_substring_removed": p_dedup_substring_removed,
+        "dedup_semantic": p_semantic_dedup,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
@@ -4628,51 +4649,51 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY rule
         """,
         "x_pagerank": """
-            WITH edges AS (
+            WITH edges AS MATERIALIZED (
               SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            nodes AS (SELECT src AS node FROM edges
+            nodes AS MATERIALIZED (SELECT src AS node FROM edges
                       UNION SELECT dst FROM edges),
-            deg AS (SELECT src, count(*) AS outdeg FROM edges
+            deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges
                     GROUP BY src),
-            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr_rank
+            r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS pr_rank
                    FROM nodes),
-            c1 AS (
+            c1 AS MATERIALIZED (
               SELECT dst, sum(pr_rank // outdeg) AS s
               FROM edges JOIN deg USING (src)
               JOIN r0 ON r0.node = edges.src
               GROUP BY dst),
-            r1 AS (
+            r1 AS MATERIALIZED (
               SELECT nodes.node,
                      CAST(150000 + (850 * coalesce(s, 0)) // 1000
                           AS BIGINT) AS pr_rank
               FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node),
-            c2 AS (
+            c2 AS MATERIALIZED (
               SELECT dst, sum(pr_rank // outdeg) AS s
               FROM edges JOIN deg USING (src)
               JOIN r1 ON r1.node = edges.src
               GROUP BY dst),
-            r2 AS (
+            r2 AS MATERIALIZED (
               SELECT nodes.node,
                      CAST(150000 + (850 * coalesce(s, 0)) // 1000
                           AS BIGINT) AS pr_rank
               FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node),
-            c3 AS (
+            c3 AS MATERIALIZED (
               SELECT dst, sum(pr_rank // outdeg) AS s
               FROM edges JOIN deg USING (src)
               JOIN r2 ON r2.node = edges.src
               GROUP BY dst),
-            r3 AS (
+            r3 AS MATERIALIZED (
               SELECT nodes.node,
                      CAST(150000 + (850 * coalesce(s, 0)) // 1000
                           AS BIGINT) AS pr_rank
               FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node),
-            c4 AS (
+            c4 AS MATERIALIZED (
               SELECT dst, sum(pr_rank // outdeg) AS s
               FROM edges JOIN deg USING (src)
               JOIN r3 ON r3.node = edges.src
               GROUP BY dst),
-            r4 AS (
+            r4 AS MATERIALIZED (
               SELECT nodes.node,
                      CAST(150000 + (850 * coalesce(s, 0)) // 1000
                           AS BIGINT) AS pr_rank
@@ -5202,6 +5223,53 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(t.ws) AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
             FROM t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "dedup_semantic": """
+            WITH c AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), sims_vc AS (
+              SELECT e.vec_id, c.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, c
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster,
+                     (array_agg(cos ORDER BY cos DESC, cid))[1]
+                         AS ccos
+              FROM sims_vc GROUP BY vec_id
+            ), base AS (
+              SELECT e.vec_id AS id, a.cluster, a.ccos,
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings e JOIN assign a USING (vec_id)
+            ), dropped AS (
+              SELECT DISTINCT x.id
+              FROM base x JOIN base y
+                ON x.cluster = y.cluster AND x.id <> y.id
+              WHERE (list_sum(list_transform(
+                         generate_series(1, len(x.v)),
+                         i -> x.v[i] * y.v[i]))
+                     / (sqrt(list_sum(list_transform(x.v,
+                            t -> t * t)))
+                        * sqrt(list_sum(list_transform(y.v,
+                            t -> t * t))))) >= 0.3
+                AND (y.ccos < x.ccos
+                     OR (y.ccos = x.ccos AND y.id < x.id))
+            )
+            SELECT b.id AS vec_id, CAST(b.cluster AS INT) AS cluster,
+                   round(b.ccos, 6) AS centroid_cos,
+                   (d.id IS NULL) AS keep
+            FROM base b LEFT JOIN dropped d ON d.id = b.id
         """,
         "dedup_minhash": (
             _duck_minhash_cte() + " SELECT * FROM sig"

@@ -411,6 +411,82 @@ def ann_ivf_topk(
     return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column. Each vector is
+    assigned to its nearest centroid; within a cluster, vectors whose
+    pairwise cosine meets `threshold` form near-dup groups, and the
+    member with the LOWEST cosine to the cluster centroid survives
+    (the paper's keep-the-most-extremal rule; ties break to the
+    smaller id). At the paper's operating point (threshold near 1)
+    near-dup groups are effectively cliques, so the pairwise rule
+    "drop v iff some in-cluster near-dup u is a better keeper" equals
+    the group rule without a transitive-closure pass.
+
+    Output: one row per input vector — (id_col, cluster,
+    centroid_cos, keep) — so keep-rates and cluster histograms fall
+    out of one aggregation.
+
+    Scale shape: assignment and centroid cosine are pure projections
+    against broadcast literal centroids (`ivf_assign_expr` — the
+    bit-reproducible sequential-fold arithmetic that keeps this
+    operator oracle-checkable; `kmeans_centroids` is the production
+    centroid source). The only shuffle is the within-cluster
+    self-join, and SemDeDup's design is precisely what bounds it: k
+    is chosen proportional to corpus size (the paper uses ~n/100
+    clusters), so cluster populations — and each join block — stay
+    O(avg cluster), never O(corpus).
+    """
+    assigned = ivf_assign_expr(df, centroids, vec_col, id_col)
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    vec = F.col(vec_col).cast("array<double>")
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col("cluster"),
+        vec.alias("_v"),
+        cosine(vec, F.element_at(cent_arr, F.col("cluster") + 1))
+        .alias("_ccos"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "cluster",
+                    F.col("_v").alias("_va"), F.col("_ccos").alias("_ca"))
+    b = base.select(F.col("id").alias("id_b"), "cluster",
+                    F.col("_v").alias("_vb"), F.col("_ccos").alias("_cb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter((F.col("_cb") < F.col("_ca"))
+                | ((F.col("_cb") == F.col("_ca"))
+                   & (F.col("id_b") < F.col("id_a"))))
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    ccos = F.col("_ccos")
+    if round_to is not None:
+        ccos = F.round(ccos, round_to)
+    return (
+        base.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            ccos.alias("centroid_cos"),
+            F.coalesce(F.col("_drop"), F.lit(False)).alias("dropped"),
+        )
+        .withColumn("keep", ~F.col("dropped"))
+        .drop("dropped")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -692,6 +692,39 @@ def test_label_centroids_known_values(spark):
     assert out == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
 
 
+def test_semantic_dedup_known_values(spark):
+    """SemDeDup keep rule: within a cluster, near-dups (cos >=
+    threshold) keep the member with the LOWEST centroid cosine (ties
+    break to the smaller id); cross-cluster similarity never
+    interacts; lone vectors always survive."""
+    import math
+
+    from locustdb_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    deg = {1: 5.0, 2: 10.0, 3: 44.0, 4: 85.0, 5: 80.0}
+    rows = [(i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+            for i, a in deg.items()]
+    # ids 1,2 -> cluster 0, near-dup pair (cos 5deg apart ~0.996):
+    #   id 2 has the lower centroid cos -> keeps; id 1 dropped.
+    # id 3 -> cluster 0 (44deg), far from 1/2 (39deg, cos ~0.78 < .9)
+    # ids 4,5 -> cluster 1, near-dups; centroid cos at 85deg vs 80deg
+    #   from x-axis = 5deg vs 10deg from y-axis -> id 5 (10deg away,
+    #   LOWER centroid cos) keeps; id 4 dropped.
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.keep)
+           for r in semantic_dedup(d, cents, threshold=0.9).collect()}
+    assert out == {1: (0, False), 2: (0, True), 3: (0, True),
+                   4: (1, False), 5: (1, True)}
+    # exact tie on centroid cosine -> smaller id survives
+    tie = spark.createDataFrame(
+        [(7, [1.0, 0.2]), (9, [1.0, 0.2])],
+        "vec_id long, embedding array<double>")
+    out2 = {r.vec_id: r.keep
+            for r in semantic_dedup(tie, cents, threshold=0.99).collect()}
+    assert out2 == {7: True, 9: False}
+
+
 def test_ann_ivf_exact_when_probing_all(emb):
     """nprobe == n_clusters must degrade IVF to exact brute force."""
     from locustdb_spark.operators.similarity import (
