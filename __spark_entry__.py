@@ -1348,6 +1348,26 @@ def p_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_read(spark, sf_dir, "documents"))
 
 
+# Deterministic demo weight table for the classifier gate entry —
+# a production fastText model drops in as this list.
+_CLF_DIMS = 64
+_CLF_WEIGHTS = [((i * 37) % 21 - 10) / 10.0 for i in range(_CLF_DIMS)]
+
+
+def p_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-BoW linear quality classifier
+    (operators/text.py linear_classifier_score): mean-pooled bucket
+    weights + bias, floor-truncated logit, thresholded label — the
+    classifier-based filtering stage of CCNet/GPT-3-era pipelines
+    under the value-hash oracle (Arrow fold default; the expression
+    sibling is pinned bit-equal in pytest)."""
+    from locustdb_spark.operators.text import linear_classifier_score
+
+    return linear_classifier_score(
+        _read(spark, sf_dir, "documents"), _CLF_WEIGHTS, bias=0.05,
+        threshold=0.0)
+
+
 def p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.text import quality_score
 
@@ -3275,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_stats": p_dedup_substring_stats,
         "dedup_substring_removed": p_dedup_substring_removed,
         "dedup_semantic": p_semantic_dedup,
+        "text_quality_classifier": p_quality_classifier,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
@@ -5223,6 +5244,28 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(t.ws) AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
             FROM t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "text_quality_classifier": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 w -> w <> '') AS ws,
+                     {_CLF_WEIGHTS}::DOUBLE[] AS wts
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   floor((0.05 + coalesce(list_sum(list_transform(
+                       ws, tk -> wts[CAST(('0x' || substr(md5(tk), 1,
+                           15))::BIGINT % {_CLF_DIMS} AS INT) + 1])),
+                       0.0) / greatest(len(ws), 1)) * 1000000)
+                     / 1000000 AS logit,
+                   (floor((0.05 + coalesce(list_sum(list_transform(
+                       ws, tk -> wts[CAST(('0x' || substr(md5(tk), 1,
+                           15))::BIGINT % {_CLF_DIMS} AS INT) + 1])),
+                       0.0) / greatest(len(ws), 1)) * 1000000)
+                     / 1000000) >= 0.0 AS label
+            FROM t
         """,
         "dedup_semantic": """
             WITH c AS (

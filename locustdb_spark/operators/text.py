@@ -577,6 +577,98 @@ def fingerprint(
     )
 
 
+def linear_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "arrow",
+) -> DataFrame:
+    """fastText-style linear quality-classifier scoring (the
+    hashed-bag-of-words averaged linear model behind CCNet/GPT-3-era
+    quality filtering, Joulin et al. 2016): each token hashes into a
+    `len(weights)`-bucket feature table (the engine-portable 60-bit
+    md5 hash), the document feature is the MEAN of its tokens' bucket
+    weights, and logit = bias + mean. Returns one row per document:
+    (id_col, n_tokens, logit, label) with label = logit >= threshold;
+    empty documents score the bias alone. The logit is
+    floor-truncated to 6 decimals (same rationale as quality_score's
+    trunc6), and every accumulation is a LEFT-TO-RIGHT double fold,
+    so the score is bit-reproducible across engines — production
+    models drop in as the `weights` list (a real fastText model is
+    exactly this after quantization: hashed unigram bucket weights +
+    a linear layer).
+
+    Scale shape: pure projection against a broadcast literal weight
+    table — zero shuffles, embarrassingly parallel at any corpus
+    size. ``impl="arrow"`` (default) folds each batch in Python
+    (identical IEEE double order); ``impl="expr"`` is the
+    all-expression oracle recipe (interpreted per token).
+    """
+    dims = len(weights)
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+
+    def trunc6(c: Column) -> Column:
+        return F.floor(c * 1000000) / 1000000
+
+    if impl == "expr":
+        w_arr = F.array(*[F.lit(float(w)) for w in weights])
+        feat_sum = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda a, t: a + F.element_at(
+                w_arr,
+                (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                 .cast("long") % dims + 1).cast("int"),
+            ),
+        )
+        logit = trunc6(
+            (F.lit(float(bias))
+             + feat_sum / F.greatest(n_tokens, F.lit(1)).cast("double"))
+        )
+        scored = df.select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            logit.alias("logit"),
+        )
+    elif impl == "arrow":
+        import hashlib
+        import math
+
+        from pyspark.sql.functions import pandas_udf
+
+        wts = [float(w) for w in weights]
+        b = float(bias)
+
+        @pandas_udf("double")
+        def _logit(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                ws = [w for w in (t or "").split(" ") if w]
+                acc = 0.0  # left-to-right, same order as the fold
+                for w in ws:
+                    h = int(hashlib.md5(w.encode()).hexdigest()[:15],
+                            16)
+                    acc = acc + wts[h % dims]
+                v = b + acc / max(len(ws), 1)
+                out.append(math.floor(v * 1000000) / 1000000)
+            return pd.Series(out)
+
+        scored = df.select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            _logit(text).alias("logit"),
+        )
+    else:
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    return scored.withColumn(
+        "label", F.col("logit") >= F.lit(float(threshold)))
+
+
 LONG_DIGIT_RUN_REGEX = "[0-9]{6,}"  # phone/account/ssn-shaped runs
 
 

@@ -692,6 +692,46 @@ def test_label_centroids_known_values(spark):
     assert out == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
 
 
+def test_linear_classifier_score_known_values_and_parity(spark, docs):
+    """Hashed-BoW linear scoring: hand-computed logits on a tiny
+    corpus (mean-pooled bucket weights + bias, floor-truncated), the
+    empty-doc bias-only case, and Arrow/expression bit-equality on
+    the real corpus."""
+    import hashlib
+    import math
+
+    from locustdb_spark.operators.text import linear_classifier_score
+
+    W = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "")],
+        "doc_id long, text string")
+
+    def expect(text):
+        ws = [w for w in text.split(" ") if w]
+        acc = 0.0
+        for w in ws:
+            acc += W[int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                     % 64]
+        v = 0.05 + acc / max(len(ws), 1)
+        return math.floor(v * 1000000) / 1000000
+
+    out = {r.doc_id: (r.n_tokens, r.logit, r.label)
+           for r in linear_classifier_score(
+               corpus, W, bias=0.05).collect()}
+    for i, t in ((1, "alpha beta gamma"), (2, "alpha alpha"), (3, "")):
+        e = expect(t)
+        assert out[i] == (len([w for w in t.split() if w]), e, e >= 0.0)
+    assert out[3][1] == 0.05  # empty doc scores the bias alone
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert canon(linear_classifier_score(docs, W, bias=0.05,
+                                         impl="arrow")) == \
+        canon(linear_classifier_score(docs, W, bias=0.05, impl="expr"))
+
+
 def test_semantic_dedup_known_values(spark):
     """SemDeDup keep rule: within a cluster, near-dups (cos >=
     threshold) keep the member with the LOWEST centroid cosine (ties
