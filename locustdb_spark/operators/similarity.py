@@ -449,21 +449,29 @@ def semantic_dedup(
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
     vec = F.col(vec_col).cast("array<double>")
+    # the per-row norm is hoisted out of the O(pairs) join below —
+    # the pairwise check then folds ONE dot per pair instead of a
+    # dot plus two redundant norms (same fold, same bits, third of
+    # the interpreted work on the quadratic stage)
     base = assigned.select(
         F.col(id_col).alias("id"),
         F.col("cluster"),
         vec.alias("_v"),
+        norm(vec).alias("_n"),
         cosine(vec, F.element_at(cent_arr, F.col("cluster") + 1))
         .alias("_ccos"),
     )
     a = base.select(F.col("id").alias("id_a"), "cluster",
-                    F.col("_v").alias("_va"), F.col("_ccos").alias("_ca"))
+                    F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+                    F.col("_ccos").alias("_ca"))
     b = base.select(F.col("id").alias("id_b"), "cluster",
-                    F.col("_v").alias("_vb"), F.col("_ccos").alias("_cb"))
+                    F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+                    F.col("_ccos").alias("_cb"))
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")) >= threshold)
         .filter((F.col("_cb") < F.col("_ca"))
                 | ((F.col("_cb") == F.col("_ca"))
                    & (F.col("id_b") < F.col("id_a"))))

@@ -607,9 +607,16 @@ def linear_classifier_score(
     (identical IEEE double order); ``impl="expr"`` is the
     all-expression oracle recipe (interpreted per token).
     """
+    from .dedup import portable_hash64
+
     dims = len(weights)
     text = F.col(text_col)
-    toks = _tokens(text)
+    # raw (case-preserving) tokens — NOT _tokens(), which lowercases:
+    # the Arrow fold and the SQL oracle hash the raw token, and a
+    # review pass caught the expr path silently lowercasing first
+    # (invisible on the all-lowercase synthetic corpus, a flipped
+    # bucket on any real one)
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
     n_tokens = F.size(toks)
 
     def trunc6(c: Column) -> Column:
@@ -621,9 +628,7 @@ def linear_classifier_score(
             toks,
             F.lit(0.0),
             lambda a, t: a + F.element_at(
-                w_arr,
-                (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-                 .cast("long") % dims + 1).cast("int"),
+                w_arr, (portable_hash64(t) % dims + 1).cast("int"),
             ),
         )
         logit = trunc6(
@@ -651,6 +656,8 @@ def linear_classifier_score(
                 ws = [w for w in (t or "").split(" ") if w]
                 acc = 0.0  # left-to-right, same order as the fold
                 for w in ws:
+                    # Python twin of dedup.portable_hash64 (60-bit
+                    # md5 prefix) — keep the two in sync
                     h = int(hashlib.md5(w.encode()).hexdigest()[:15],
                             16)
                     acc = acc + wts[h % dims]

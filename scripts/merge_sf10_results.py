@@ -27,12 +27,16 @@ def main() -> None:
         skips_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     out_path, oracle_log, pairs_log = args[:3]
-    sys.argv = [sys.argv[0]] + args  # extra jsonl logs follow
+    extra_logs = args[3:]
     entries: dict[str, dict] = {}
     text = open(oracle_log, errors="replace").read()
+    # ^-anchored per line: a FAIL line's error payload can contain
+    # multi-line exception text that itself says "OK <word>" /
+    # "FAIL <word>" — only check_oracle's own status lines (which
+    # start the line) may create or overwrite entries
     for m in re.finditer(
-            r"(OK|FAIL) +(\w+)(?: \((\d+) rows, ([0-9.]+)s spark\))?"
-            r"(?:: (.*))?", text):
+            r"^(OK|FAIL) +(\w+)(?: \((\d+) rows, ([0-9.]+)s spark\))?"
+            r"(?:: (.*))?", text, re.MULTILINE):
         status, name, rows, sec, err = m.groups()
         entries[name] = {
             "ok": status == "OK",
@@ -42,7 +46,7 @@ def main() -> None:
         }
         if err:
             entries[name]["err"] = err.strip()[:300]
-    for log in (pairs_log,) + tuple(sys.argv[4:]):
+    for log in (pairs_log, *extra_logs):
         for line in open(log, errors="replace"):
             line = line.strip()
             if not line.startswith("{"):

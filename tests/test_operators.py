@@ -704,7 +704,10 @@ def test_linear_classifier_score_known_values_and_parity(spark, docs):
 
     W = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
     corpus = spark.createDataFrame(
-        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "")],
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, ""),
+         # mixed case: hashing is case-SENSITIVE (review finding —
+         # the expr path once lowercased first and diverged here)
+         (4, "Alpha ALPHA alpha")],
         "doc_id long, text string")
 
     def expect(text):
@@ -716,13 +719,18 @@ def test_linear_classifier_score_known_values_and_parity(spark, docs):
         v = 0.05 + acc / max(len(ws), 1)
         return math.floor(v * 1000000) / 1000000
 
-    out = {r.doc_id: (r.n_tokens, r.logit, r.label)
-           for r in linear_classifier_score(
-               corpus, W, bias=0.05).collect()}
-    for i, t in ((1, "alpha beta gamma"), (2, "alpha alpha"), (3, "")):
-        e = expect(t)
-        assert out[i] == (len([w for w in t.split() if w]), e, e >= 0.0)
-    assert out[3][1] == 0.05  # empty doc scores the bias alone
+    for impl in ("arrow", "expr"):
+        out = {r.doc_id: (r.n_tokens, r.logit, r.label)
+               for r in linear_classifier_score(
+                   corpus, W, bias=0.05, impl=impl).collect()}
+        for i, t in ((1, "alpha beta gamma"), (2, "alpha alpha"),
+                     (3, ""), (4, "Alpha ALPHA alpha")):
+            e = expect(t)
+            assert out[i] == (len([w for w in t.split() if w]), e,
+                              e >= 0.0), (impl, i)
+        assert out[3][1] == 0.05  # empty doc scores the bias alone
+    # the mixed-case doc must NOT score like its lowercased form
+    assert expect("Alpha ALPHA alpha") != expect("alpha alpha alpha")
 
     def canon(df):
         return sorted(map(tuple, df.collect()))
