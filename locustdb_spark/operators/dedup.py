@@ -158,6 +158,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     collapse_exact: bool = True,
     max_bucket: int | None = None,
+    audit_bucket: int | None = 50_000,
 ) -> DataFrame:
     """LSH banding over a MinHash signature table -> candidate pairs.
 
@@ -189,6 +190,16 @@ def lsh_candidate_pairs(
       documents is boilerplate, and its members overwhelmingly share
       other, smaller buckets). Documented recall trade-off; None
       keeps every bucket.
+    - ``audit_bucket`` (naive path only, default 50k): before the
+      quadratic self-join executes, ONE cheap aggregation measures the
+      largest band bucket; if it exceeds this bound a warning names
+      the bucket size and the projected pair count and points at the
+      two mitigations above. Rationale (r8 sf10 sweep): a real salted
+      corpus produced a single 73k-doc bucket — ~2.7B pairs, one task
+      pinned for 20+ CPU-minutes — and nothing surfaced the wall until
+      the job was already running. The collapsed path never audits
+      (its band source is signature-distinct reps and its per-group
+      blowup is an O(n) star by construction); ``None`` disables.
 
     The signature/representative table is persisted: it is id +
     num_hashes longs per document (a sliver of the corpus), and it is
@@ -235,6 +246,30 @@ def lsh_candidate_pairs(
             .drop("_bn")
         )
         all_bands = all_bands.join(ok, ["band", "band_val"])
+    if not collapse_exact and audit_bucket is not None:
+        # plan-time mega-bucket audit (see docstring): one aggregation
+        # over the persisted band source, before the O(bucket^2) join
+        # is committed to
+        row = (
+            all_bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .agg(F.max("_bn").alias("mx"))
+            .collect()[0]
+        )
+        top = row["mx"]
+        if top is not None and top > audit_bucket:
+            import warnings
+
+            warnings.warn(
+                f"lsh_candidate_pairs(collapse_exact=False): largest "
+                f"band bucket holds {top} documents -> the band "
+                f"self-join will emit ~{top * (top - 1) // 2} pairs "
+                f"from that bucket alone (audit_bucket={audit_bucket})."
+                f" Use collapse_exact=True (O(n) star pairs per "
+                f"exact-signature group) or max_bucket=<bound> to drop "
+                f"boilerplate buckets before the join.",
+                stacklevel=2,
+            )
     left = all_bands.alias("l")
     right = all_bands.alias("r")
     banded = (

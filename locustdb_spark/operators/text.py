@@ -651,16 +651,27 @@ def linear_classifier_score(
 
         @pandas_udf("double")
         def _logit(texts: pd.Series) -> pd.Series:
+            # per-batch token->weight memo: web text repeats tokens
+            # heavily, so hashing each DISTINCT token once per Arrow
+            # batch (instead of every occurrence) cuts the md5 work
+            # 5-20x; the value added to the fold is identical, and the
+            # left-to-right order is unchanged, so output bits are too
+            memo: dict[str, float] = {}
             out = []
             for t in texts:
                 ws = [w for w in (t or "").split(" ") if w]
                 acc = 0.0  # left-to-right, same order as the fold
                 for w in ws:
-                    # Python twin of dedup.portable_hash64 (60-bit
-                    # md5 prefix) — keep the two in sync
-                    h = int(hashlib.md5(w.encode()).hexdigest()[:15],
+                    wv = memo.get(w)
+                    if wv is None:
+                        # Python twin of dedup.portable_hash64 (60-bit
+                        # md5 prefix) — keep the two in sync
+                        h = int(
+                            hashlib.md5(w.encode()).hexdigest()[:15],
                             16)
-                    acc = acc + wts[h % dims]
+                        wv = wts[h % dims]
+                        memo[w] = wv
+                    acc = acc + wv
                 v = b + acc / max(len(ws), 1)
                 out.append(math.floor(v * 1000000) / 1000000)
             return pd.Series(out)

@@ -1582,6 +1582,54 @@ def test_lsh_max_bucket_drops_oversized_buckets(spark):
     assert uncapped.count() == 50 * 49 // 2 + 1
 
 
+def test_lsh_naive_mega_bucket_audit_warns(spark):
+    """audit_bucket guardrail (r8 sf10 finding: one 73k-doc band
+    bucket ~ 2.7B pairs, discovered only mid-job): the naive path
+    measures the largest band bucket BEFORE committing to the
+    quadratic self-join and warns above the bound, naming the bucket
+    and projected pair count; the collapsed path (O(n) star pairs by
+    construction) and an under-bound naive corpus stay silent."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    n = 300
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate document body repeated")
+        .alias("text"))
+    sigs = minhash_signatures(dup, num_hashes=8).persist()
+
+    def band_warnings(caught):
+        return [str(w.message) for w in caught
+                if "band bucket" in str(w.message)]
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
+                            collapse_exact=False, audit_bucket=100)
+        msgs = band_warnings(caught)
+    assert len(msgs) == 1
+    assert f"{n} documents" in msgs[0]
+    assert str(n * (n - 1) // 2) in msgs[0]  # projected pair count
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
+                            collapse_exact=True, audit_bucket=100).count()
+        assert not band_warnings(caught)  # collapsed: silent
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
+                            collapse_exact=False, audit_bucket=n)
+        assert not band_warnings(caught)  # under the bound: silent
+    sigs.unpersist()
+
+
 def test_simhash_near_dup_pairs_recall_guarantee(spark):
     """Pigeonhole recall: with bands=4 over 32 bits, every pair within
     Hamming distance 3 MUST be found; far pairs must not appear."""
