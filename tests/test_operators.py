@@ -1160,6 +1160,10 @@ def test_remove_duplicate_spans_impl_and_key_parity(docs):
                                         impl="arrow")) == base
     assert canon(remove_duplicate_spans(docs, key="hash",
                                         impl="arrow")) == base
+    # the 128-bit removal key (collision-safe destructive path) must
+    # group exactly like raw strings on a collision-free corpus
+    assert canon(remove_duplicate_spans(docs, key="md5full",
+                                        impl="arrow")) == base
 
 
 def test_duplicate_span_stats_known_values(spark):
