@@ -581,19 +581,49 @@ def p_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", k=50).select("doc_id", "source")
 
 
+def _ngram_jaccard_blocked_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs for the dedup_ngram_jaccard gate entries: block
+    on (n_chars, minhash lane 0). r8 sf10 finding: blocking on n_chars
+    ALONE degenerates quadratically on replica-mixed corpora — every
+    id-shifted replica of a document shares its n_chars, so blocks
+    chain across replicas and the verify join spilled 71 GB. Adding
+    one md5-minhash lane to the key breaks that chain (word-salted
+    replicas hash differently) while still being a production-shaped
+    blocking recipe (mh0 equality ~ Jaccard similarity, the 1-band
+    LSH bound) AND bit-reproducible in the DuckDB oracle. The
+    operator's real production contract takes LSH-band candidates;
+    this block is the gate's oracle-expressible stand-in."""
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    # keep_cols carries n_chars through the signature projection —
+    # one map-side pass, no corpus-corpus join back on doc_id
+    blocked = minhash_signatures(
+        docs, num_hashes=NUM_MINHASHES, keep_cols=["n_chars"])
+    a = blocked.select(F.col("doc_id").alias("id_a"),
+                       F.col("n_chars").alias("nc"),
+                       F.col("mh0").alias("b0"))
+    b = blocked.select(F.col("doc_id").alias("id_b"),
+                       F.col("n_chars").alias("nc"),
+                       F.col("mh0").alias("b0"))
+    # persisted: ngram_jaccard_pairs references the pair table once
+    # per gram join-back side — without this the corpus re-shingles
+    # and re-hashes twice (same rationale as lsh_candidate_pairs'
+    # signature persist); the pair table is two longs per candidate
+    return (
+        a.join(b, ["nc", "b0"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    ).persist()
+
+
 def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked near-dup scan: block on equal n_chars, exact 3-gram
-    Jaccard within blocks."""
+    """Blocked near-dup scan: block on (n_chars, minhash lane 0),
+    exact 3-gram Jaccard within blocks."""
     from locustdb_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("id_a"),
-                    F.col("n_chars").alias("nc_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"),
-                    F.col("n_chars").alias("nc_b"))
-    pairs = a.join(b, (F.col("nc_a") == F.col("nc_b"))
-                   & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
-    out = ngram_jaccard_pairs(docs, pairs, impl="expr")
+    out = ngram_jaccard_pairs(docs, _ngram_jaccard_blocked_pairs(docs),
+                              impl="expr")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1310,7 +1340,13 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_cosine's 0.1), keep the lowest-centroid-cosine
     member. One row per vector with its cluster, centroid cosine,
     and keep verdict — all sequential-fold double arithmetic, so the
-    whole pipeline sits under the value-hash oracle."""
+    whole pipeline sits under the value-hash oracle.
+
+    NB: 0.3 is an ORACLE-GATE operating point (the paper runs near
+    1.0, where groups are cliques); at this threshold groups are
+    chains and the pairwise rule's chain over-pruning is accepted —
+    `dedup_semantic_cc` is the connected-components sibling that
+    keeps exactly one member per component instead."""
     from locustdb_spark.operators.similarity import semantic_dedup
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1320,6 +1356,28 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id").collect()
     ]
     return semantic_dedup(emb, cents, threshold=0.3)
+
+
+def p_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with grouping="components" (similarity.semantic_dedup;
+    r8 ADVICE): connected components of the within-cluster near-dup
+    graph (dedup.connected_component_labels' O(log n) min-label
+    rounds), one survivor per component — the lowest-centroid-cosine
+    member. The right rule far below the paper's threshold, where
+    near-dup groups are chains and the pairwise rule either
+    over-prunes (drops members whose 'better keeper' was itself
+    dropped) or keeps both chain ends. Same schema and assignment as
+    dedup_semantic, so the two entries diff cleanly."""
+    from locustdb_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(emb, cents, threshold=0.3,
+                          grouping="components")
 
 
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,14 +1539,8 @@ def p_ngram_jaccard_arrow(spark: SparkSession,
     from locustdb_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("id_a"),
-                    F.col("n_chars").alias("nc_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"),
-                    F.col("n_chars").alias("nc_b"))
-    pairs = a.join(b, (F.col("nc_a") == F.col("nc_b"))
-                   & (F.col("id_a") < F.col("id_b"))) \
-        .select("id_a", "id_b")
-    out = ngram_jaccard_pairs(docs, pairs, impl="arrow")
+    out = ngram_jaccard_pairs(docs, _ngram_jaccard_blocked_pairs(docs),
+                              impl="arrow")
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
 
@@ -3295,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_stats": p_dedup_substring_stats,
         "dedup_substring_removed": p_dedup_substring_removed,
         "dedup_semantic": p_semantic_dedup,
+        "dedup_semantic_cc": p_semantic_dedup_cc,
         "text_quality_classifier": p_quality_classifier,
         "dedup_minhash": p_minhash,
         "dedup_lsh_pairs": p_lsh_pairs,
@@ -3500,6 +3553,52 @@ def _duck_cc_rounds(k: int) -> str:
     parts.append(f"""
     cc AS (SELECT id AS node, label FROM {prev})""")
     return "," + ",".join(parts)
+
+
+def _duck_pair_cos(x: str, y: str) -> str:
+    """Pairwise cosine between `base` rows x and y (hoisted-vector
+    form shared by the dedup_semantic and dedup_semantic_cc oracles —
+    must mirror similarity.semantic_dedup's dot/norm fold)."""
+    return (
+        f"(list_sum(list_transform(generate_series(1, len({x}.v)), "
+        f"i -> {x}.v[i] * {y}.v[i])) "
+        f"/ (sqrt(list_sum(list_transform({x}.v, t -> t * t))) "
+        f"* sqrt(list_sum(list_transform({y}.v, t -> t * t)))))"
+    )
+
+
+# Shared SemDeDup oracle prefix: frozen centroids (vec_id < 16),
+# max-cosine cluster assignment, per-vector centroid cosine — mirrors
+# similarity.ivf_assign_expr + semantic_dedup's `base` projection.
+_DUCK_SEMDEDUP_CTES = """
+            WITH c AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), sims_vc AS (
+              SELECT e.vec_id, c.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, c
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster,
+                     (array_agg(cos ORDER BY cos DESC, cid))[1]
+                         AS ccos
+              FROM sims_vc GROUP BY vec_id
+            ), base AS (
+              SELECT e.vec_id AS id, a.cluster, a.ccos,
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings e JOIN assign a USING (vec_id)
+            )"""
 
 
 _DUCK_LSH_CLUSTER_CTES = """,
@@ -5267,45 +5366,11 @@ def oracle_sql() -> dict[str, str]:
                      / 1000000) >= 0.0 AS label
             FROM t
         """,
-        "dedup_semantic": """
-            WITH c AS (
-              SELECT vec_id AS cid,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE))
-                         AS cv
-              FROM embeddings WHERE vec_id < 16
-            ), sims_vc AS (
-              SELECT e.vec_id, c.cid,
-                (list_sum(list_transform(
-                     generate_series(1, len(e.embedding)),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
-                 / (sqrt(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
-                    AS cos
-              FROM embeddings e, c
-            ), assign AS (
-              SELECT vec_id,
-                     (array_agg(cid ORDER BY cos DESC, cid))[1]
-                         AS cluster,
-                     (array_agg(cos ORDER BY cos DESC, cid))[1]
-                         AS ccos
-              FROM sims_vc GROUP BY vec_id
-            ), base AS (
-              SELECT e.vec_id AS id, a.cluster, a.ccos,
-                     list_transform(e.embedding,
-                                    x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings e JOIN assign a USING (vec_id)
-            ), dropped AS (
+        "dedup_semantic": _DUCK_SEMDEDUP_CTES + """, dropped AS (
               SELECT DISTINCT x.id
               FROM base x JOIN base y
                 ON x.cluster = y.cluster AND x.id <> y.id
-              WHERE (list_sum(list_transform(
-                         generate_series(1, len(x.v)),
-                         i -> x.v[i] * y.v[i]))
-                     / (sqrt(list_sum(list_transform(x.v,
-                            t -> t * t)))
-                        * sqrt(list_sum(list_transform(y.v,
-                            t -> t * t))))) >= 0.3
+              WHERE """ + _duck_pair_cos("x", "y") + """ >= 0.3
                 AND (y.ccos < x.ccos
                      OR (y.ccos = x.ccos AND y.id < x.id))
             )
@@ -5313,6 +5378,28 @@ def oracle_sql() -> dict[str, str]:
                    round(b.ccos, 6) AS centroid_cos,
                    (d.id IS NULL) AS keep
             FROM base b LEFT JOIN dropped d ON d.id = b.id
+        """,
+        "dedup_semantic_cc": _DUCK_SEMDEDUP_CTES + """, e0 AS MATERIALIZED (
+              SELECT x.id AS src, y.id AS dst
+              FROM base x JOIN base y
+                ON x.cluster = y.cluster AND x.id < y.id
+              WHERE """ + _duck_pair_cos("x", "y") + """ >= 0.3
+            ),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM e0
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM e0
+            ),
+            l0 AS MATERIALIZED (SELECT id, id AS label FROM base)
+        """ + _duck_cc_rounds(24) + """, keepers AS (
+              SELECT (array_agg(node ORDER BY b.ccos, node))[1] AS kid
+              FROM cc JOIN base b ON b.id = cc.node
+              GROUP BY label
+            )
+            SELECT b.id AS vec_id, CAST(b.cluster AS INT) AS cluster,
+                   round(b.ccos, 6) AS centroid_cos,
+                   (k.kid IS NOT NULL) AS keep
+            FROM base b LEFT JOIN keepers k ON k.kid = b.id
         """,
         "dedup_minhash": (
             _duck_minhash_cte() + " SELECT * FROM sig"
@@ -5497,16 +5584,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rn <= 50
         """,
-        "dedup_ngram_jaccard": """
-            WITH g AS (
-              SELECT doc_id, n_chars,
+        "dedup_ngram_jaccard": (
+            # blocking key is (n_chars, minhash lane 0) — see
+            # _ngram_jaccard_blocked_pairs for why n_chars alone
+            # degenerates on replica-mixed corpora (r8 sf10 finding)
+            _duck_minhash_cte()
+            + """,
+            g AS (
+              SELECT t.doc_id, t.n_chars, s.mh0,
                 list_distinct([
                   array_to_string(toks[i:i+2], ' ')
                   for i in generate_series(1, greatest(len(toks) - 2, 1))
                 ]) AS grams
               FROM (SELECT doc_id, n_chars,
                     list_filter(string_split(lower(text), ' '), t -> t != '')
-                    AS toks FROM documents)
+                    AS toks FROM documents) t
+              JOIN sig s ON s.doc_id = t.doc_id
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               round(
@@ -5515,8 +5608,9 @@ def oracle_sql() -> dict[str, str]:
                        - len(list_filter(a.grams, x -> list_contains(b.grams, x))),
                        1) AS DOUBLE), 6) AS jaccard
             FROM g a JOIN g b
-              ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-        """,
+              ON a.n_chars = b.n_chars AND a.mh0 = b.mh0
+             AND a.doc_id < b.doc_id
+        """),
         "dedup_embedding_cosine": (
             # vec_id % 4 = 0 mirrors the entry's doc cap (r7 task 4)
             f"WITH b AS (SELECT * FROM ({_duck_buckets()}) "

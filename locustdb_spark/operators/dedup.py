@@ -67,11 +67,17 @@ def minhash_signatures(
     shingle_k: int = 5,
     lowercase: bool = True,
     hash_fn: str = "md5",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature, one column per hash lane.
 
     Zero-shuffle: shingling and the k min-hash lanes are all column
     expressions evaluated in one projection over the scan.
+
+    ``keep_cols`` carries extra input columns through the projection
+    (e.g. a blocking attribute like doc length) — strictly cheaper
+    than joining the signature table back to the corpus afterwards,
+    which would shuffle the corpus twice on id.
 
     ``hash_fn``:
     - ``"md5"`` (default): every lane derives from an md5 digest, so the
@@ -106,13 +112,15 @@ def minhash_signatures(
     # cheaper than hashing per lane; the multiply-add stays within i64
     # even under ANSI mode (h < 2^56, j < 128).
     mask = (1 << 56) - 1
+    kept = [F.col(c) for c in (keep_cols or [])]
     if hash_fn == "xxhash64":
         # two independent 56-bit hashes straight from the native 64-bit
         # hash (different seed inputs), no hex string round-trip; the
         # shingle array is materialized once so substrings aren't
         # generated per hash lane
-        pre = df.select(F.col(id_col), sh.alias("_sh")).select(
+        pre = df.select(F.col(id_col), *kept, sh.alias("_sh")).select(
             F.col(id_col),
+            *kept,
             F.transform(
                 "_sh", lambda s: F.xxhash64(s).bitwiseAND(F.lit(mask))
             ).alias("_h1"),
@@ -124,10 +132,12 @@ def minhash_signatures(
     elif hash_fn == "md5":
         shingled = df.select(
             F.col(id_col),
+            *kept,
             F.transform(sh, lambda s: F.md5(s)).alias("_hs"),
         )
         pre = shingled.select(
             F.col(id_col),
+            *kept,
             F.transform(
                 "_hs",
                 lambda h: F.conv(F.substring(h, 1, 14), 16, 10).cast("long"),
@@ -139,7 +149,7 @@ def minhash_signatures(
         )
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col), *kept]
     for j in range(num_hashes):
         lane = F.array_min(
             F.zip_with(
@@ -544,6 +554,26 @@ def dedup_clusters(
       O(nodes) action per round.
     """
     ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    labels = connected_component_labels(ids, pairs, max_iterations)
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_keep"),
+    )
+
+
+def connected_component_labels(
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Core of `dedup_clusters` (see its docstring for the algorithm
+    and scale notes), reusable wherever an edge set needs collapsing
+    to components: `ids` is a one-column DataFrame of long `id`s,
+    `pairs` has (id_a, id_b); returns (id, label) with `label` the
+    minimum id reachable through the pair graph. Also the grouping
+    engine behind `similarity.semantic_dedup(grouping="components")`.
+    """
     edges = (
         pairs.select(F.col("id_a").cast("long").alias("src"),
                      F.col("id_b").cast("long").alias("dst"))
@@ -580,11 +610,7 @@ def dedup_clusters(
         labels = jumped
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).alias("is_keep"),
-    )
+    return labels
 
 
 def ngram_jaccard_pairs(

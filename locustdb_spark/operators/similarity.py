@@ -418,6 +418,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    grouping: str = "pairwise",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column. Each vector is
@@ -429,6 +430,23 @@ def semantic_dedup(
     near-dup groups are effectively cliques, so the pairwise rule
     "drop v iff some in-cluster near-dup u is a better keeper" equals
     the group rule without a transitive-closure pass.
+
+    ``grouping`` picks the rule:
+
+    - ``"pairwise"`` (default, the paper's regime): the local drop
+      rule above — one within-cluster join, no iteration. At LOW
+      thresholds, where near-dup groups are chains rather than
+      cliques, this OVER-prunes: v can be dropped because of a
+      "better keeper" u that is itself dropped, so a chain
+      a—b—c can lose both b and c even though c is not a near-dup
+      of the survivor a (r8 ADVICE finding).
+    - ``"components"``: take connected components of the
+      within-cluster near-dup graph (`dedup.
+      connected_component_labels` — O(log n) min-label rounds over
+      (id, label) longs) and keep exactly ONE member per component,
+      the lowest-centroid-cosine one (ties to the smaller id). Never
+      over-prunes a chain; each component keeps its most extremal
+      member. Use this when running far below the paper's threshold.
 
     Output: one row per input vector — (id_col, cluster,
     centroid_cos, keep) — so keep-rates and cluster histograms fall
@@ -467,6 +485,43 @@ def semantic_dedup(
     b = base.select(F.col("id").alias("id_b"), "cluster",
                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
                     F.col("_ccos").alias("_cb"))
+    ccos = F.col("_ccos")
+    if round_to is not None:
+        ccos = F.round(ccos, round_to)
+    if grouping == "components":
+        from .dedup import connected_component_labels
+
+        # near-dup edges (each pair once); components can't cross
+        # clusters, so the graph is a union of per-cluster graphs and
+        # the edge count is bounded by the same within-cluster join
+        edges = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")) >= threshold)
+            .select("id_a", "id_b")
+        )
+        labels = connected_component_labels(base.select("id"), edges)
+        keepers = (
+            base.join(labels, "id")
+            .groupBy("label")
+            .agg(F.min(F.struct(F.col("_ccos").alias("c"),
+                                F.col("id").alias("i"))).alias("_k"))
+            .select(F.col("_k.i").alias("id"),
+                    F.lit(True).alias("_keep"))
+        )
+        return (
+            base.join(keepers, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "cluster",
+                ccos.alias("centroid_cos"),
+                F.coalesce(F.col("_keep"), F.lit(False)).alias("keep"),
+            )
+        )
+    if grouping != "pairwise":
+        raise ValueError(
+            f"grouping must be 'pairwise' or 'components', got {grouping!r}")
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -479,9 +534,6 @@ def semantic_dedup(
         .distinct()
         .withColumn("_drop", F.lit(True))
     )
-    ccos = F.col("_ccos")
-    if round_to is not None:
-        ccos = F.round(ccos, round_to)
     return (
         base.join(dropped, "id", "left")
         .select(

@@ -19,13 +19,21 @@ import re
 import sys
 
 
+USAGE = ("usage: python scripts/merge_sf10_results.py out.json "
+         "oracle.log pairs.log [more.jsonl ...] [--skips skips.json]")
+
+
 def main() -> None:
     args = sys.argv[1:]
     skips_path = None
     if "--skips" in args:
         i = args.index("--skips")
+        if i + 1 >= len(args):
+            sys.exit(f"--skips needs a file argument\n{USAGE}")
         skips_path = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) < 3:
+        sys.exit(USAGE)
     out_path, oracle_log, pairs_log = args[:3]
     extra_logs = args[3:]
     entries: dict[str, dict] = {}
@@ -47,25 +55,35 @@ def main() -> None:
         if err:
             entries[name]["err"] = err.strip()[:300]
     for log in (pairs_log, *extra_logs):
-        for line in open(log, errors="replace"):
+        for lineno, line in enumerate(open(log, errors="replace"), 1):
             line = line.strip()
             if not line.startswith("{"):
                 continue
-            rec = json.loads(line)
-            out = {
-                "ok": rec["ok"],
-                "rows": rec["rows"],
-                "spark_sec": rec["spark_sec"],
-                "duck_sec": rec.get("duck_sec"),
-                "method": rec.get(
-                    "method", "value-compare (standalone rerun)"),
-            }
+            # '{'-prefixed lines are usually check_pairs_at_scale
+            # records, but stray JSON (Spark log fragments, partial
+            # writes) must not kill the whole merge — warn with the
+            # offending file:line and keep going
+            try:
+                rec = json.loads(line)
+                out = {
+                    "ok": rec["ok"],
+                    "rows": rec["rows"],
+                    "spark_sec": rec["spark_sec"],
+                    "duck_sec": rec.get("duck_sec"),
+                    "method": rec.get(
+                        "method", "value-compare (standalone rerun)"),
+                }
+                entry = rec["entry"]
+            except (json.JSONDecodeError, KeyError, TypeError) as e:
+                print(f"warning: {log}:{lineno}: skipping malformed "
+                      f"record ({e})", file=sys.stderr)
+                continue
             if "spark" in rec:
                 out["spark_triple"] = rec["spark"]
                 out["duckdb_triple"] = rec["duckdb"]
             if "note" in rec:
                 out["note"] = rec["note"]
-            entries[rec["entry"]] = out
+            entries[entry] = out
     n_skipped = 0
     if skips_path:
         for name, rec in json.load(open(skips_path)).items():

@@ -58,6 +58,24 @@ def test_minhash_matches_python(docs, spark):
         assert row[f"mh{j}"] == expected
 
 
+def test_minhash_keep_cols_carries_attributes(docs):
+    """keep_cols threads blocking attributes through the signature
+    projection (one map pass, no corpus join-back); lanes unchanged."""
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    base = {r.doc_id: (r.mh0, r.mh1)
+            for r in minhash_signatures(docs, num_hashes=2).collect()}
+    kept = minhash_signatures(docs, num_hashes=2,
+                              keep_cols=["n_chars", "lang"])
+    assert set(kept.columns) == {"doc_id", "n_chars", "lang",
+                                 "mh0", "mh1"}
+    src = {r.doc_id: (r.n_chars, r.lang)
+           for r in docs.select("doc_id", "n_chars", "lang").collect()}
+    for r in kept.collect():
+        assert (r.mh0, r.mh1) == base[r.doc_id]
+        assert (r.n_chars, r.lang) == src[r.doc_id]
+
+
 def test_lsh_pairs_symmetric_and_ordered(docs):
     from locustdb_spark.operators.dedup import (
         lsh_candidate_pairs, minhash_signatures)
@@ -771,6 +789,57 @@ def test_semantic_dedup_known_values(spark):
     out2 = {r.vec_id: r.keep
             for r in semantic_dedup(tie, cents, threshold=0.99).collect()}
     assert out2 == {7: True, 9: False}
+
+
+def test_semantic_dedup_components_vs_pairwise_on_chain(spark):
+    """grouping="components" (r8 ADVICE): at low thresholds near-dup
+    groups are CHAINS, not cliques. On a—b—c with b the worst keeper
+    of both edges, the pairwise rule keeps BOTH chain ends (each end's
+    only neighbor is worse), while components keeps exactly one member
+    per component — the lowest-centroid-cosine one. Lone vectors in
+    other clusters survive under both rules."""
+    from locustdb_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    d = spark.createDataFrame(
+        [
+            # cluster 0 chain: cos(a,b)~.905, cos(b,c)~.879 >= 0.85;
+            # cos(a,c)=0.6 < 0.85. centroid cos: a=.800, b~.899,
+            # c=.750 -> b is the worst keeper of every edge.
+            (1, [0.8, 0.6, 0.0]),            # a
+            (2, [0.9, 0.31, 0.31]),          # b
+            (3, [0.75, 0.0, 0.661438]),      # c (lowest ccos)
+            (4, [0.0, 1.0, 0.0]),            # lone, cluster 1
+        ],
+        "vec_id long, embedding array<double>")
+    pw = {r.vec_id: r.keep
+          for r in semantic_dedup(d, cents, threshold=0.85).collect()}
+    # pairwise: b dropped (both neighbors better), both ENDS kept —
+    # two survivors in one connected component
+    assert pw == {1: True, 2: False, 3: True, 4: True}
+    cc = {r.vec_id: r.keep
+          for r in semantic_dedup(d, cents, threshold=0.85,
+                                  grouping="components").collect()}
+    # components: one survivor per component, the most extremal (c)
+    assert cc == {1: False, 2: False, 3: True, 4: True}
+    # cluster assignment and centroid_cos are identical across rules
+    pw_rows = {r.vec_id: (r.cluster, r.centroid_cos)
+               for r in semantic_dedup(d, cents, threshold=0.85).collect()}
+    cc_rows = {r.vec_id: (r.cluster, r.centroid_cos)
+               for r in semantic_dedup(d, cents, threshold=0.85,
+                                       grouping="components").collect()}
+    assert pw_rows == cc_rows
+    # at a clique-regime threshold the two rules agree exactly
+    import pytest
+
+    hi_pw = {r.vec_id: r.keep
+             for r in semantic_dedup(d, cents, threshold=0.99).collect()}
+    hi_cc = {r.vec_id: r.keep
+             for r in semantic_dedup(d, cents, threshold=0.99,
+                                     grouping="components").collect()}
+    assert hi_pw == hi_cc == {1: True, 2: True, 3: True, 4: True}
+    with pytest.raises(ValueError, match="grouping"):
+        semantic_dedup(d, cents, grouping="nope")
 
 
 def test_ann_ivf_exact_when_probing_all(emb):
