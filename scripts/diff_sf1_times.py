@@ -1,0 +1,56 @@
+"""Per-entry sf1 regression diff (r8 verdict task 2: "the per-entry
+times ARE the baseline"): compare two CORRECTNESS_sf1_r*.json
+artifacts' spark_sec and report entries slower than a threshold
+ratio, plus entries present in only one artifact. Sub-second entries
+are noise-dominated (JVM dispatch floor), so the ratio check applies
+only when either side is >= min_sec. Usage:
+
+    python scripts/diff_sf1_times.py old.json new.json [ratio] [min_sec]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+USAGE = ("usage: python scripts/diff_sf1_times.py old.json new.json "
+         "[ratio=1.5] [min_sec=2.0]")
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(USAGE)
+    old = json.load(open(sys.argv[1]))["entries"]
+    new = json.load(open(sys.argv[2]))["entries"]
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    min_sec = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    slower, faster = [], []
+    for k in sorted(set(old) & set(new)):
+        a, b = old[k].get("spark_sec"), new[k].get("spark_sec")
+        if not a or not b or max(a, b) < min_sec:
+            continue
+        r = b / a
+        if r > ratio:
+            slower.append((r, k, a, b))
+        elif r < 1 / ratio:
+            faster.append((r, k, a, b))
+    tot_old = sum(r.get("spark_sec") or 0 for r in old.values())
+    tot_new = sum(r.get("spark_sec") or 0 for r in new.values())
+    print(f"entries: {len(old)} -> {len(new)}; total spark "
+          f"{tot_old:.0f}s -> {tot_new:.0f}s")
+    if only_old:
+        print("only in old:", only_old)
+    if only_new:
+        print("only in new:", only_new)
+    for title, rows in (("SLOWER", sorted(slower, reverse=True)),
+                        ("faster", sorted(faster))):
+        print(f"{title} than {ratio}x (>= {min_sec}s):"
+              if rows else f"{title}: none")
+        for r, k, a, b in rows:
+            print(f"  {r:5.2f}x  {k}: {a:.1f}s -> {b:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -465,6 +465,37 @@ def test_shuffle_counts_do_not_regress(spark):
     assert not missing, f"regenerate the shuffle audit for: {missing}"
 
 
+def test_every_registry_entry_has_an_sf1_sweep_row():
+    """Artifact-rot net (r9, from the r8 judge finding:
+    CORRECTNESS_sf1_r8.json silently held 178 of 179 registry keys and
+    only a manual diff caught it): every queries() key must have a row
+    in the NEWEST committed sf1 sweep artifact. A new entry therefore
+    cannot ship without an sf1 sweep — same pattern as the shuffle
+    audit above. Regenerate with scripts/make_sf1.py +
+    scripts/check_oracle.py + scripts/merge_sf1_results.py."""
+    import glob
+    import json
+    import os as _os
+    import re
+
+    import __spark_entry__ as entry
+
+    pat = _os.path.join(_os.path.dirname(__file__), "..",
+                        "bench_results", "CORRECTNESS_sf1_r*.json")
+    arts = sorted(
+        glob.glob(pat),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    assert arts, "no committed sf1 sweep artifact"
+    newest = json.load(open(arts[-1]))
+    missing = sorted(set(entry.queries()) - set(newest["entries"]))
+    assert not missing, (
+        f"{_os.path.basename(arts[-1])} lacks sf1 rows for: {missing} "
+        "— sweep them at sf1 and commit the updated artifact")
+    bad = sorted(k for k, v in newest["entries"].items()
+                 if v.get("ok") is False)
+    assert not bad, f"newest sf1 artifact records failures: {bad}"
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Fleet-wide scale guard: no queries() entry may compile to a
     row-at-a-time Python UDF (BatchEvalPython). Python is allowed only
