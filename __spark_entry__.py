@@ -1380,6 +1380,53 @@ def p_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                           grouping="components")
 
 
+# Product quantization gate geometry: 64-dim embeddings -> 8
+# subspaces x 16 codewords (frozen from the corpus, same convention
+# as IVF_FROZEN_CLUSTERS).
+PQ_M, PQ_K = 8, 16
+
+
+def _pq_books(emb: DataFrame) -> list:
+    from locustdb_spark.operators.similarity import (
+        pq_codebooks_from_corpus)
+
+    return pq_codebooks_from_corpus(emb, m=PQ_M, k=PQ_K)
+
+
+def p_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (similarity.pq_encode, Jegou et
+    al. 2011): every vector -> 8 codeword indexes (nearest squared-L2
+    codeword per contiguous subvector, frozen corpus codebooks),
+    posexploded to (vec_id, m, code) scalars for the value-hash
+    oracle. Zero-shuffle projection against broadcast literal
+    codebooks; the codes table is the 32x-smaller representation the
+    ADC entry scores without touching the vectors."""
+    from locustdb_spark.operators.similarity import pq_encode
+
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _pq_books(emb))
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "code"))
+
+
+def p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (similarity.pq_adc_topk): the
+    unquantized query's m x K squared-L2 distance table is broadcast
+    as a literal and each corpus row's approximate distance is the
+    ordered sum of its 8 table lookups — the memory-bound ANN scoring
+    path (reads codes, never vectors). Query = vec_id 0; top-10
+    ascending, ties to the smaller id."""
+    from locustdb_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = _pq_books(emb)
+    codes = pq_encode(emb, books)
+    q = [float(x)
+         for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    return pq_adc_topk(codes, books, q, k=10)
+
+
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import label_centroids
 
@@ -3380,6 +3427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": p_lsh_buckets,
         "sim_label_centroids": p_label_centroids,
         "sim_quantize": p_quantize,
+        "sim_pq_codes": p_pq_codes,
+        "sim_pq_adc_topk": p_pq_adc_topk,
         "sim_random_projection": p_random_projection,
         "text_langid": p_langid,
         "text_quality": p_quality,
@@ -3598,6 +3647,33 @@ _DUCK_SEMDEDUP_CTES = """
                      list_transform(e.embedding,
                                     x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings e JOIN assign a USING (vec_id)
+            )"""
+
+
+# Shared product-quantization oracle prefix (must mirror
+# similarity.pq_codebooks_from_corpus + pq_encode at PQ_M=8, PQ_K=16
+# over 64-dim embeddings): `sub` is every vector's 8-dim subvector
+# per subspace, `cw` the frozen codebooks (vec_id < 16), `d2` the
+# squared-L2 table, `codes` the per-subspace argmin (ties to the
+# smaller codeword index).
+_DUCK_PQ_CTES = """
+            WITH sub AS (
+              SELECT e.vec_id, t.m,
+                     list_transform(generate_series(1, 8),
+                         i -> CAST(e.embedding[t.m * 8 + i] AS DOUBLE))
+                         AS s
+              FROM embeddings e, generate_series(0, 7) AS t(m)
+            ), cw AS (
+              SELECT m, vec_id AS j, s AS c FROM sub WHERE vec_id < 16
+            ), d2 AS (
+              SELECT v.vec_id, v.m, cw.j,
+                     list_sum(list_transform(generate_series(1, 8),
+                         i -> (v.s[i] - cw.c[i]) * (v.s[i] - cw.c[i])))
+                         AS d
+              FROM sub v JOIN cw USING (m)
+            ), codes AS (
+              SELECT vec_id, m, (array_agg(j ORDER BY d, j))[1] AS code
+              FROM d2 GROUP BY vec_id, m
             )"""
 
 
@@ -6077,6 +6153,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_lsh_buckets": _duck_buckets(),
         "sim_random_projection": _duck_random_projection(),
+        "sim_pq_codes": _DUCK_PQ_CTES + """
+            SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+            FROM codes
+        """,
+        "sim_pq_adc_topk": _DUCK_PQ_CTES + """, qt AS (
+              SELECT m, j, d FROM d2 WHERE vec_id = 0
+            )
+            SELECT c.vec_id,
+                   round(list_sum(array_agg(q.d ORDER BY c.m)), 6)
+                       AS adc_dist
+            FROM codes c JOIN qt q ON q.m = c.m AND q.j = c.code
+            GROUP BY c.vec_id
+            ORDER BY adc_dist, c.vec_id
+            LIMIT 10
+        """,
         "sim_quantize": """
             WITH x AS (
               SELECT vec_id, embedding,

@@ -657,6 +657,132 @@ def quantize_embeddings(
     )
 
 
+def pq_codebooks_from_corpus(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Frozen product-quantization codebooks taken directly from the
+    corpus: codeword `j` of subspace `s` is the `s`-th contiguous
+    subvector of the vector with the `j`-th smallest id — the same
+    deterministic frozen-quantizer convention as the IVF gate entries
+    (train-once-and-freeze is the production pattern; k-means-trained
+    codebooks drop in as the same list-of-lists). Returns
+    codebooks[s][j] = list[d/m floats]."""
+    rows = (df.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+            .orderBy(id_col).limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} vectors, need >= {k}")
+    dims = len(rows[0]._v)
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    return [
+        [[float(x) for x in r._v[s * dsub:(s + 1) * dsub]]
+         for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    `m` contiguous subvectors; each subvector becomes the index of its
+    nearest codeword (minimum squared L2; ties to the smaller index)
+    in that subspace's codebook. Output: (id_col, codes array<int>) —
+    m small ints per vector, a 32x+ compression of a float64 embedding
+    store, and the representation `pq_adc_topk` scores WITHOUT ever
+    touching the original vectors.
+
+    Scale shape: pure projection against broadcast literal codebooks —
+    zero shuffles, embarrassingly parallel; at 100 TB the codes table
+    (m bytes/vector) is what ships to the ANN tier, not embeddings.
+    Every distance is an ordered sequential fold (zip_with squared
+    diffs, left-to-right aggregate), so codes are bit-reproducible in
+    any engine with sequential list arithmetic — what puts the whole
+    PQ pipeline under the SQL value-hash oracle (`sim_pq_codes`)."""
+    vec = F.col(vec_col).cast("array<double>")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        d2s = []
+        for cw in book:
+            arr = F.array(*[F.lit(float(x)) for x in cw])
+            d2s.append(F.aggregate(
+                F.zip_with(sub, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        dists = F.array(*d2s)
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int"))
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    query stays un-quantized; a driver-side m x K table of squared L2
+    distances between each query subvector and each codeword is
+    broadcast as a literal, and every corpus vector's approximate
+    distance is the sequential sum of its m table lookups — no
+    original vectors are read at query time. Returns (id_col,
+    adc_dist) ascending, ties to the smaller id.
+
+    Scale shape: the scan reads m small ints per row and does m array
+    lookups — this is the memory-bound ANN regime (RAM ~ codes, not
+    vectors); compose with the IVF partition pruning
+    (`build_ivf_index`) for IVF-PQ, the canonical billion-vector
+    layout. The distance table is built with plain left-to-right
+    Python float arithmetic so it is bit-identical to an oracle
+    recomputing the same lookups in SQL."""
+    mm = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != mm * dsub:
+        raise ValueError(
+            f"query dims {len(query_vec)} != m*dsub {mm * dsub}")
+    table = []
+    for s, book in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
+        row = []
+        for cw in book:
+            d = 0.0
+            for a, b in zip(qs, cw):  # left-to-right, matches the fold
+                d = d + (a - b) * (a - b)
+            row.append(d)
+        table.append(row)
+    tbl = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in table
+    ])
+    dist = F.aggregate(
+        F.zip_with(F.col(codes_col), tbl,
+                   lambda c, trow: F.element_at(trow, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------
 # persisted IVF index layout: cluster-partitioned parquet
 # ---------------------------------------------------------------------

@@ -842,6 +842,57 @@ def test_semantic_dedup_components_vs_pairwise_on_chain(spark):
         semantic_dedup(d, cents, grouping="nope")
 
 
+def test_pq_encode_and_adc_known_values(spark):
+    """PQ encode: per-subspace squared-L2 argmin with ties to the
+    smaller codeword index; ADC: sum of query-to-codeword table
+    lookups, ascending, ties to the smaller id."""
+    from locustdb_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+
+    books = [[[0.0, 0.0], [1.0, 1.0]],   # subspace 0
+             [[0.0, 1.0], [2.0, 2.0]]]   # subspace 1
+    d = spark.createDataFrame(
+        [(1, [0.1, 0.0, 0.0, 1.0]),   # codes [0, 0]
+         (2, [0.9, 1.2, 1.9, 2.1]),   # codes [1, 1]
+         (3, [0.5, 0.5, 0.0, 1.0])],  # sub0 equidistant -> tie -> 0
+        "vec_id long, embedding array<double>")
+    codes = {r.vec_id: r.codes for r in pq_encode(d, books).collect()}
+    assert codes == {1: [0, 0], 2: [1, 1], 3: [0, 0]}
+    # query [0,0,0,1]: table sub0 = [0.0, 2.0], sub1 = [0.0, 5.0]
+    out = pq_adc_topk(pq_encode(d, books), books,
+                      [0.0, 0.0, 0.0, 1.0], k=3).collect()
+    assert [(r.vec_id, r.adc_dist) for r in out] == [
+        (1, 0.0), (3, 0.0), (2, 7.0)]  # 1 and 3 tie -> id order
+
+
+def test_pq_corpus_codebooks_shapes_and_self_hit(emb):
+    """Frozen corpus codebooks have shape m x k x (dims/m); a corpus
+    vector whose subvectors ARE codewords (vec_id < k) encodes to
+    itself and ADC-scores 0 at rank 1 for its own query."""
+    import pytest
+
+    from locustdb_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks_from_corpus, pq_encode)
+
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(cw) == 8 for b in books for cw in b)
+    codes = pq_encode(emb, books)
+    row0 = {r.vec_id: r.codes for r in
+            codes.filter("vec_id < 16").collect()}
+    for j in range(16):  # vec j's subvectors are codeword j everywhere
+        assert row0[j] == [j] * 8, (j, row0[j])
+    q = [float(x)
+         for x in emb.filter("vec_id = 0").head().embedding]
+    top = pq_adc_topk(codes, books, q, k=1).collect()
+    assert top[0].vec_id == 0 and top[0].adc_dist == 0.0
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks_from_corpus(emb, m=7, k=16)
+    with pytest.raises(ValueError, match="query dims"):
+        pq_adc_topk(codes, books, q[:8], k=1)
+
+
 def test_ann_ivf_exact_when_probing_all(emb):
     """nprobe == n_clusters must degrade IVF to exact brute force."""
     from locustdb_spark.operators.similarity import (
