@@ -1630,6 +1630,43 @@ def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, ev, n=3, impl="expr")
 
 
+# Bloom decontamination gate geometry: 2^18-bit filter (32 KB — what
+# ships to every executor regardless of eval-suite size), 4 hashes.
+BLOOM_M_BITS, BLOOM_K = 1 << 18, 4
+
+
+def p_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (text.contamination_check_bloom):
+    eval docs (doc_id % 100 == 0) collapse into a 32 KB literal
+    bitset; the train side (doc_id % 20 != 0) probes it as a pure
+    scan->project plan — zero joins/shuffles, unlike the broadcast
+    n-gram join of text_decontaminate. One-sided error (no false
+    negatives); the md5 double-hash makes the filter — including its
+    false positives — bit-reproducible in the SQL oracle."""
+    from locustdb_spark.operators.text import contamination_check_bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination_check_bloom(
+        train, ev, n=3, m_bits=BLOOM_M_BITS, k=BLOOM_K, impl="expr")
+
+
+def p_decontaminate_bloom_arrow(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """contamination_check_bloom's Arrow probe (memoized per-batch
+    gram->verdict kernel) under the same value-hash oracle as the
+    expression recipe — identical gram strings, identical integer
+    hash math."""
+    from locustdb_spark.operators.text import contamination_check_bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination_check_bloom(
+        train, ev, n=3, m_bits=BLOOM_M_BITS, k=BLOOM_K, impl="arrow")
+
+
 def x_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (rejected by the reference dialect): nations having
     both customers and suppliers."""
@@ -3439,6 +3476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": p_gopher,
         "text_repetition": p_repetition,
         "text_decontaminate": p_decontaminate,
+        "text_decontaminate_bloom": p_decontaminate_bloom,
+        "text_decontaminate_bloom_arrow": p_decontaminate_bloom_arrow,
         "text_redact": p_redact,
         "text_lm_score": p_lm_score,
         "text_bpe_counts": p_bpe_counts,
@@ -6443,6 +6482,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
             LEFT JOIN m USING (doc_id)
         """,
+        "text_decontaminate_bloom": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct([
+                array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks) - 3, 0) + 1)
+              ])) AS gram
+              FROM t),
+            gp AS (
+              -- k bloom positions per gram: md5 double hash, same
+              -- 56-bit split as the minhash oracle
+              SELECT doc_id, gram, j,
+                ((('0x'||substr(md5(gram),1,14))::BIGINT
+                  + j * ('0x'||substr(md5(gram),15,14))::BIGINT)
+                 % {BLOOM_M_BITS}) AS pos
+              FROM g, generate_series(0, {BLOOM_K - 1}) AS s(j)),
+            bits AS (
+              SELECT DISTINCT pos FROM gp WHERE doc_id % 100 = 0),
+            hit AS (
+              SELECT doc_id, gram
+              FROM (SELECT gp.doc_id, gp.gram,
+                           b.pos IS NOT NULL AS ok
+                    FROM gp LEFT JOIN bits b USING (pos)
+                    WHERE gp.doc_id % 20 <> 0)
+              GROUP BY doc_id, gram
+              HAVING bool_and(ok)),
+            m AS (SELECT doc_id, count(*) AS nm FROM hit
+                  GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(m.nm, 0) AS BIGINT) AS n_flagged_ngrams,
+              coalesce(m.nm, 0) > 0 AS flagged
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN m USING (doc_id)
+        """,
         "multimodal_decode": """
             SELECT doc_id,
               CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -6587,6 +6660,7 @@ def oracle_sql() -> dict[str, str]:
         ("text_decontaminate_arrow", "text_decontaminate"),
         ("dedup_embedding_cosine_arrow", "dedup_embedding_cosine"),
         ("dedup_ngram_jaccard_arrow", "dedup_ngram_jaccard"),
+        ("text_decontaminate_bloom_arrow", "text_decontaminate_bloom"),
     ):
         o[arrow_key] = o[expr_key]
     return o

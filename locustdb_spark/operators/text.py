@@ -408,6 +408,160 @@ def _distinct_gram_arrays_arrow(text_col: str, n: int) -> Column:
     return _grams(F.col(text_col))
 
 
+def _distinct_gram_arrays_expr(text_col: str, n: int) -> Column:
+    """Expression form of the distinct word-n-gram array (the
+    interpreted twin of `_distinct_gram_arrays_arrow`; identical gram
+    strings, pytest-pinned through contamination_check parity)."""
+    toks = _tokens(F.col(text_col))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def _bloom_positions(gram: str, m_bits: int, k: int) -> list[int]:
+    """Python twin of the bloom-position expression below (and the
+    oracle SQL): one md5 per gram, Kirsch-Mitzenmacher double hashing
+    — pos_j = (h1 + j*h2) % m_bits with h1/h2 the two 56-bit halves
+    of the digest (the same split minhash_signatures uses). Keep the
+    three in sync."""
+    import hashlib
+
+    h = hashlib.md5(gram.encode()).hexdigest()
+    h1, h2 = int(h[:14], 16), int(h[14:28], 16)
+    return [(h1 + j * h2) % m_bits for j in range(k)]
+
+
+def build_bloom_bitset(grams: list[str], m_bits: int = 1 << 18,
+                       k: int = 4) -> list[int]:
+    """Driver-side Bloom filter build over a (small) string set:
+    returns the bitset as m_bits/64 signed 64-bit words, ready to
+    broadcast as a literal array. Eval benchmarks are KBs-MBs by
+    definition — the set that must NOT be large here is the one that
+    is small by construction."""
+    words = [0] * ((m_bits + 63) // 64)
+    for g in grams:
+        for pos in _bloom_positions(g, m_bits, k):
+            words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement into signed int64 range for F.lit / Spark long
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_contains(gram: Column, words: list[int], m_bits: int,
+                    k: int) -> Column:
+    """All k positions of `gram` set in the literal bitset — a pure
+    expression (one md5, k modular position checks, k AND-masks)."""
+    pow2 = F.array(*[
+        F.lit(v - (1 << 64) if v >= (1 << 63) else v)
+        for v in (1 << b for b in range(64))
+    ])
+    warr = F.array(*[F.lit(int(w)) for w in words])
+    h1 = F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(gram), 15, 14), 16, 10).cast("long")
+    cond = None
+    for j in range(k):
+        pos = (h1 + F.lit(j) * h2) % m_bits
+        word = F.element_at(warr, (pos / 64).cast("int") + 1)
+        mask = F.element_at(pow2, (pos % 64).cast("int") + 1)
+        bit = word.bitwiseAND(mask) != 0
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def contamination_check_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Bloom-filter decontamination — the zero-join sibling of
+    :func:`contamination_check` for when even a broadcast of the raw
+    eval n-gram strings is too heavy (a 10M-gram eval suite broadcasts
+    ~hundreds of MB of strings to every executor; this ships
+    m_bits/8 bytes — 32 KB at the default — regardless of eval size).
+
+    Build: the eval side's distinct n-grams are collected driver-side
+    (bounded by the same "eval suites are small" contract the
+    broadcast path relies on) and folded into an m_bits Bloom bitset,
+    k md5-derived positions per gram. Probe: a pure per-row projection
+    over the train side — each document's distinct grams are tested
+    against the literal bitset; NO join, NO shuffle anywhere in the
+    probe (the plan is scan -> project, same family as the quality
+    filters).
+
+    Error is one-sided: flagged=False is exact (Bloom filters have no
+    false negatives), flagged=True is contaminated-or-false-positive
+    at the standard (1 - e^{-kG/m})^k rate for G eval grams — callers
+    route flagged docs through the exact `contamination_check` on the
+    (tiny) flagged subset, the classic two-tier layout. Every hash is
+    the engine-portable md5 double-hash, so the whole filter —
+    including its false positives — is reproducible in the SQL oracle.
+
+    Output: (id_col, n_flagged_ngrams, flagged) — n_flagged_ngrams
+    counts the document's DISTINCT grams that hit the filter.
+
+    ``impl="arrow"`` (default, the production probe) runs the whole
+    per-document test in one Arrow batch pass with a gram->verdict
+    memo (boilerplate grams repeat corpus-wide, so each distinct gram
+    per batch hashes once); ``impl="expr"`` is the all-expression
+    oracle recipe (one interpreted md5 + k modular lookups per gram).
+    Identical gram strings and identical integer hash math, so the
+    two are bit-equal (pytest-pinned).
+    """
+    gram_rows = (
+        eval_df.select(
+            F.explode(_distinct_gram_arrays_expr(text_col, n))
+            .alias("gram"))
+        .distinct().collect()
+    )
+    words = build_bloom_bitset([r.gram for r in gram_rows], m_bits, k)
+    if impl == "expr":
+        grams = _distinct_gram_arrays_expr(text_col, n)
+        hits = F.size(F.filter(
+            grams, lambda g: _bloom_contains(g, words, m_bits, k)))
+    elif impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        uwords = [w + (1 << 64) if w < 0 else w for w in words]
+
+        @pandas_udf("long")
+        def _hits(texts: pd.Series) -> pd.Series:
+            memo: dict[str, bool] = {}
+            out = []
+            for t in texts:
+                ws = [w for w in (t or "").lower().split(" ") if w]
+                kk = max(len(ws) - n, 0)
+                gs = dict.fromkeys(
+                    " ".join(ws[i:i + n]) for i in range(kk + 1))
+                c = 0
+                for g in gs:
+                    v = memo.get(g)
+                    if v is None:
+                        v = all(
+                            uwords[p >> 6] >> (p & 63) & 1
+                            for p in _bloom_positions(g, m_bits, k))
+                        memo[g] = v
+                    c += v
+                out.append(c)
+            return pd.Series(out)
+
+        hits = _hits(F.col(text_col))
+    else:
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    return train_df.select(
+        F.col(id_col),
+        hits.cast("long").alias("n_flagged_ngrams"),
+        (hits > 0).alias("flagged"),
+    )
+
+
 def contamination_check(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -435,14 +589,7 @@ def contamination_check(
         if impl == "arrow":
             g = _distinct_gram_arrays_arrow(text_col, n)
         else:
-            toks = _tokens(F.col(text_col))
-            g = F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0),
-                               F.greatest(F.size(toks) - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                )
-            )
+            g = _distinct_gram_arrays_expr(text_col, n)
         return d.select(*extra, F.explode(g).alias("gram"))
 
     ev = grams(eval_df).distinct()

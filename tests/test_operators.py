@@ -480,6 +480,52 @@ def test_contamination_check_known_values(spark):
     assert out[3].contaminated
 
 
+def test_contamination_bloom_one_sided_and_superset(spark, docs):
+    """Bloom decontamination: no false negatives (every exactly
+    contaminated doc is flagged, with per-doc flagged-gram counts >=
+    exact match counts), no false positives at a roomy m_bits on a
+    tiny gram set, and a saturated 64-bit filter flags everything —
+    the documented one-sided error, visible end to end."""
+    from locustdb_spark.operators.text import (
+        contamination_check, contamination_check_bloom)
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "zeta eta theta iota"),
+         (3, "x y alpha beta gamma")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma zulu")], "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_check_bloom(
+        train, ev, n=3, m_bits=1 << 18, k=4).collect()}
+    assert out[1].flagged and out[1].n_flagged_ngrams == 1
+    assert not out[2].flagged and out[2].n_flagged_ngrams == 0
+    assert out[3].flagged
+    # saturated filter (4 bits, all set by the eval grams): every doc
+    # flags, including the clean one — the documented one-sided error
+    sat = {r.doc_id: r.flagged for r in contamination_check_bloom(
+        train, ev, n=3, m_bits=4, k=4).collect()}
+    assert sat == {1: True, 2: True, 3: True}
+    # superset invariant on the real corpus: bloom(flagged) >= exact
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    ev2 = docs.filter(F.col("doc_id") % 100 == 0)
+    exact = {r.doc_id: r.n_matched_ngrams
+             for r in contamination_check(tr, ev2, n=3).collect()}
+    bloom = {r.doc_id: r.n_flagged_ngrams
+             for r in contamination_check_bloom(
+                 tr, ev2, n=3, m_bits=1 << 18, k=4).collect()}
+    assert set(exact) == set(bloom)
+    assert all(bloom[i] >= exact[i] for i in exact)
+    assert any(exact[i] > 0 for i in exact)  # non-trivial corpus
+    # Arrow probe (memoized kernel) is bit-equal to the expression
+    # recipe on the real corpus
+    expr = sorted(map(tuple, contamination_check_bloom(
+        tr, ev2, n=3, m_bits=1 << 18, k=4, impl="expr").collect()))
+    arrow = sorted(map(tuple, contamination_check_bloom(
+        tr, ev2, n=3, m_bits=1 << 18, k=4, impl="arrow").collect()))
+    assert arrow == expr
+
+
 def test_fingerprint_deterministic(docs):
     from locustdb_spark.operators.text import fingerprint
 
