@@ -1182,6 +1182,17 @@ IVF_FROZEN_CLUSTERS = 16
 IVF_FROZEN_NPROBE = 4
 
 
+def _frozen_cents(emb: DataFrame) -> list[list[float]]:
+    """The frozen-centroid convention shared by every IVF/SemDeDup
+    gate entry (and mirrored by their oracles' `vec_id < 16` CTEs):
+    the first IVF_FROZEN_CLUSTERS vectors by id, as float lists."""
+    return [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
+        .orderBy("vec_id").collect()
+    ]
+
+
 def p_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed k-NN JOIN (similarity.ann_knn_join) under the
     value-hash oracle: the embeddings corpus is materialized as a
@@ -1199,11 +1210,7 @@ def p_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_knn_join, build_ivf_index)
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
-        .orderBy("vec_id").collect()
-    ]
+    cents = _frozen_cents(emb)
     path = tempfile.mkdtemp(prefix="ivf_knn_oracle_")
     try:
         build_ivf_index(emb, path, centroids=cents, assign="expr")
@@ -1236,11 +1243,7 @@ def p_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index, ivf_drift)
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
-        .orderBy("vec_id").collect()
-    ]
+    cents = _frozen_cents(emb)
     path = tempfile.mkdtemp(prefix="ivf_drift_oracle_")
     try:
         build_ivf_index(emb, path, centroids=cents, assign="expr")
@@ -1270,11 +1273,7 @@ def p_ivf_append_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_ivf_index, build_ivf_index, ivf_drift)
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
-        .orderBy("vec_id").collect()
-    ]
+    cents = _frozen_cents(emb)
     path = tempfile.mkdtemp(prefix="ivf_append_oracle_")
     try:
         build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path,
@@ -1322,11 +1321,7 @@ def p_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import ann_ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
-        .orderBy("vec_id").collect()
-    ]
+    cents = _frozen_cents(emb)
     return ann_ivf_topk(
         emb, _query_vec(spark, sf_dir), k=10,
         nprobe=IVF_FROZEN_NPROBE, centroids=cents, assign="expr")
@@ -1350,11 +1345,7 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import semantic_dedup
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
-        .orderBy("vec_id").collect()
-    ]
+    cents = _frozen_cents(emb)
     return semantic_dedup(emb, cents, threshold=0.3)
 
 
@@ -1371,11 +1362,7 @@ def p_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import semantic_dedup
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < IVF_FROZEN_CLUSTERS)
-        .orderBy("vec_id").collect()
-    ]
+    cents = _frozen_cents(emb)
     return semantic_dedup(emb, cents, threshold=0.3,
                           grouping="components")
 
@@ -3703,7 +3690,16 @@ _DUCK_PQ_CTES = """
                          AS s
               FROM embeddings e, generate_series(0, 7) AS t(m)
             ), cw AS (
-              SELECT m, vec_id AS j, s AS c FROM sub WHERE vec_id < 16
+              -- codeword j = rank position among the 16 SMALLEST ids
+              -- (mirrors pq_codebooks_from_corpus's orderBy.limit —
+              -- NOT `vec_id < 16`, which diverges on id gaps)
+              SELECT m, j, s AS c FROM (
+                SELECT m, vec_id, s,
+                       dense_rank() OVER (ORDER BY vec_id) - 1 AS j
+                FROM sub
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 16)
+              )
             ), d2 AS (
               SELECT v.vec_id, v.m, cw.j,
                      list_sum(list_transform(generate_series(1, 8),

@@ -207,9 +207,15 @@ def lsh_candidate_pairs(
       two mitigations above. Rationale (r8 sf10 sweep): a real salted
       corpus produced a single 73k-doc bucket — ~2.7B pairs, one task
       pinned for 20+ CPU-minutes — and nothing surfaced the wall until
-      the job was already running. The collapsed path never audits
-      (its band source is signature-distinct reps and its per-group
-      blowup is an O(n) star by construction); ``None`` disables.
+      the job was already running. NB this audit is deliberately EAGER
+      (a collect during plan construction): the naive path runs one
+      extra pass over the already-persisted band tuples so the
+      quadratic join can be vetoed before it is submitted — exactly
+      the "catch it at plan time" contract; plan-only consumers of the
+      naive path therefore trigger a (bounded) job. The collapsed path
+      never audits (its band source is signature-distinct reps and its
+      per-group blowup is an O(n) star by construction); ``None``
+      disables.
 
     The signature/representative table is persisted: it is id +
     num_hashes longs per document (a sliver of the corpus), and it is

@@ -489,8 +489,18 @@ def semantic_dedup(
     if round_to is not None:
         ccos = F.round(ccos, round_to)
     if grouping == "components":
+        from pyspark.sql.types import IntegralType
+
         from .dedup import connected_component_labels
 
+        # the label-propagation state is (id, label) longs; a
+        # non-integral id would cast to NULL, miss every edge join,
+        # and silently keep EVERYTHING — fail loudly instead
+        if not isinstance(df.schema[id_col].dataType, IntegralType):
+            raise ValueError(
+                f"grouping='components' requires an integral {id_col!r}"
+                f" column (got {df.schema[id_col].dataType}); map ids "
+                "to longs first or use grouping='pairwise'")
         # near-dup edges (each pair once); components can't cross
         # clusters, so the graph is a union of per-cluster graphs and
         # the edge count is bounded by the same within-cluster join
@@ -666,11 +676,11 @@ def pq_codebooks_from_corpus(
 ) -> list[list[list[float]]]:
     """Frozen product-quantization codebooks taken directly from the
     corpus: codeword `j` of subspace `s` is the `s`-th contiguous
-    subvector of the vector with the `j`-th smallest id — the same
-    deterministic frozen-quantizer convention as the IVF gate entries
-    (train-once-and-freeze is the production pattern; k-means-trained
-    codebooks drop in as the same list-of-lists). Returns
-    codebooks[s][j] = list[d/m floats]."""
+    subvector of the vector with the `j`-th SMALLEST id (rank order,
+    not `id < k` — works on any id distribution; the gate oracle
+    mirrors the rank rule). Train-once-and-freeze is the production
+    pattern; k-means-trained codebooks drop in as the same
+    list-of-lists. Returns codebooks[s][j] = list[d/m floats]."""
     rows = (df.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias("_v"))
             .orderBy(id_col).limit(k).collect())

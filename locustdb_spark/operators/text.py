@@ -450,17 +450,21 @@ def build_bloom_bitset(grams: list[str], m_bits: int = 1 << 18,
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
-def _bloom_contains(gram: Column, words: list[int], m_bits: int,
-                    k: int) -> Column:
-    """All k positions of `gram` set in the literal bitset — a pure
-    expression (one md5, k modular position checks, k AND-masks)."""
+def _bloom_contains_digest(digest: Column, words: list[int],
+                           m_bits: int, k: int) -> Column:
+    """All k positions of an md5 hex `digest` set in the literal
+    bitset (k modular position checks, k AND-masks). Takes the DIGEST,
+    not the gram: the caller hashes each gram exactly once (a
+    `transform` materializing the md5 array) — inside an interpreted
+    HOF lambda there is no common-subexpression elimination, so
+    embedding F.md5 here would recompute it per position reference."""
     pow2 = F.array(*[
         F.lit(v - (1 << 64) if v >= (1 << 63) else v)
         for v in (1 << b for b in range(64))
     ])
     warr = F.array(*[F.lit(int(w)) for w in words])
-    h1 = F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(gram), 15, 14), 16, 10).cast("long")
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 15, 14), 16, 10).cast("long")
     cond = None
     for j in range(k):
         pos = (h1 + F.lit(j) * h2) % m_bits
@@ -523,9 +527,14 @@ def contamination_check_bloom(
     )
     words = build_bloom_bitset([r.gram for r in gram_rows], m_bits, k)
     if impl == "expr":
-        grams = _distinct_gram_arrays_expr(text_col, n)
+        # one md5 per DISTINCT gram (distinct grams <-> distinct
+        # digests), probed as digests — see _bloom_contains_digest
+        digests = F.transform(
+            _distinct_gram_arrays_expr(text_col, n),
+            lambda g: F.md5(g))
         hits = F.size(F.filter(
-            grams, lambda g: _bloom_contains(g, words, m_bits, k)))
+            digests,
+            lambda d: _bloom_contains_digest(d, words, m_bits, k)))
     elif impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 

@@ -26,6 +26,11 @@ def main() -> None:
     min_sec = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
+    # an entry that HAS a row but lost its measurement (errored, null
+    # spark_sec) is the worst regression — never skip it silently
+    unmeasured = sorted(
+        k for k in set(old) & set(new)
+        if old[k].get("spark_sec") and not new[k].get("spark_sec"))
     slower, faster = [], []
     for k in sorted(set(old) & set(new)):
         a, b = old[k].get("spark_sec"), new[k].get("spark_sec")
@@ -44,6 +49,9 @@ def main() -> None:
         print("only in old:", only_old)
     if only_new:
         print("only in new:", only_new)
+    if unmeasured:
+        print("REGRESSED to unmeasured (row present, no spark_sec):",
+              unmeasured)
     for title, rows in (("SLOWER", sorted(slower, reverse=True)),
                         ("faster", sorted(faster))):
         print(f"{title} than {ratio}x (>= {min_sec}s):"

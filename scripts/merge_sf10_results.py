@@ -74,13 +74,13 @@ def main() -> None:
                         "method", "value-compare (standalone rerun)"),
                 }
                 entry = rec["entry"]
+                if "spark" in rec:
+                    out["spark_triple"] = rec["spark"]
+                    out["duckdb_triple"] = rec["duckdb"]
             except (json.JSONDecodeError, KeyError, TypeError) as e:
                 print(f"warning: {log}:{lineno}: skipping malformed "
                       f"record ({e})", file=sys.stderr)
                 continue
-            if "spark" in rec:
-                out["spark_triple"] = rec["spark"]
-                out["duckdb_triple"] = rec["duckdb"]
             if "note" in rec:
                 out["note"] = rec["note"]
             entries[entry] = out
