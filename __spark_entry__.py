@@ -1414,6 +1414,29 @@ def p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, books, q, k=10)
 
 
+def p_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed (the canonical billion-vector ANN layout):
+    the frozen-centroid coarse quantizer assigns every vector and
+    prunes the search to the nprobe clusters nearest the query
+    (sequential-arithmetic probe ranking, similarity.rank_probes_seq)
+    — at scale this is the PartitionFilters directory prune of
+    build_ivf_index — then PQ ADC scores ONLY the surviving clusters'
+    codes: m table lookups per candidate, no original vectors read.
+    Both stages are sequential-fold arithmetic, so coarse assignment,
+    probe choice, encode, and ADC all replay in the SQL oracle."""
+    from locustdb_spark.operators.similarity import (
+        ivf_assign_expr, pq_adc_topk, pq_encode, rank_probes_seq)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _frozen_cents(emb)
+    books = _pq_books(emb)
+    q = _query_vec(spark, sf_dir)
+    probe = rank_probes_seq(cents, q, IVF_FROZEN_NPROBE)
+    cands = ivf_assign_expr(emb, cents).filter(
+        F.col("cluster").isin([int(p) for p in probe]))
+    return pq_adc_topk(pq_encode(cands, books), books, q, k=10)
+
+
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import label_centroids
 
@@ -3453,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantize": p_quantize,
         "sim_pq_codes": p_pq_codes,
         "sim_pq_adc_topk": p_pq_adc_topk,
+        "sim_pq_ivf_topk": p_pq_ivf_topk,
         "sim_random_projection": p_random_projection,
         "text_langid": p_langid,
         "text_quality": p_quality,
@@ -6201,6 +6225,60 @@ def oracle_sql() -> dict[str, str]:
             FROM codes c JOIN qt q ON q.m = c.m AND q.j = c.code
             GROUP BY c.vec_id
             ORDER BY adc_dist, c.vec_id
+            LIMIT 10
+        """,
+        "sim_pq_ivf_topk": """
+            WITH ivc AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), ivq AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS qe
+              FROM embeddings WHERE vec_id = 0
+            ), pc AS (
+              -- nprobe=4 coarse probes, max query cosine, ties to the
+              -- smaller cid (mirrors rank_probes_seq)
+              SELECT cid FROM ivc, ivq
+              ORDER BY (
+                list_sum(list_transform(generate_series(1, len(cv)),
+                         i -> cv[i] * qe[i]))
+                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(qe, x -> x * x))))
+              ) DESC, cid
+              LIMIT 4
+            ), sims_vc AS (
+              SELECT e.vec_id, ivc.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * ivc.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, ivc
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster
+              FROM sims_vc GROUP BY vec_id
+            ), cand AS (
+              SELECT vec_id FROM assign
+              WHERE cluster IN (SELECT cid FROM pc)
+            )""" + _DUCK_PQ_CTES.replace(
+            "\n            WITH sub AS (", ", sub AS (", 1) + """,
+            qt AS (
+              SELECT m, j, d FROM d2 WHERE vec_id = 0
+            )
+            SELECT cd.vec_id,
+                   round(list_sum(array_agg(q.d ORDER BY cd.m)), 6)
+                       AS adc_dist
+            FROM codes cd
+            JOIN cand USING (vec_id)
+            JOIN qt q ON q.m = cd.m AND q.j = cd.code
+            GROUP BY cd.vec_id
+            ORDER BY adc_dist, cd.vec_id
             LIMIT 10
         """,
         "sim_quantize": """

@@ -358,6 +358,26 @@ def ivf_assign_expr(
     return df.withColumn("cluster", cluster)
 
 
+def rank_probes_seq(centroids: list[list[float]],
+                    query_vec: list[float], nprobe: int) -> list[int]:
+    """Probe selection with plain left-to-right Python float
+    arithmetic (the oracle-reproducible twin of `_rank_probes`:
+    matches sequential SQL list_sum, unlike numpy's pairwise/SIMD
+    summation order). Ties break to the smaller cluster id. Shared by
+    `ann_ivf_topk(assign="expr")` and the IVF-PQ gate entry."""
+    import math
+
+    qnorm = math.sqrt(sum(x * x for x in query_vec))
+    scored = []
+    for j, cvec in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(cvec, query_vec):
+            d += a * b
+        cn = math.sqrt(sum(x * x for x in cvec))
+        scored.append((-(d / (cn * qnorm)), j))
+    return [j for _, j in sorted(scored)[:nprobe]]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -387,20 +407,7 @@ def ann_ivf_topk(
             df, n_clusters, vec_col=vec_col, id_col=id_col
         )
     if assign == "expr":
-        # probe selection with plain left-to-right Python float
-        # arithmetic (matches sequential SQL list_sum, unlike numpy's
-        # pairwise/SIMD ordering)
-        import math
-
-        qnorm = math.sqrt(sum(x * x for x in query_vec))
-        scored = []
-        for j, cvec in enumerate(centroids):
-            d = 0.0
-            for a, b in zip(cvec, query_vec):
-                d += a * b
-            cn = math.sqrt(sum(x * x for x in cvec))
-            scored.append((-(d / (cn * qnorm)), j))
-        probe = [j for _, j in sorted(scored)[:nprobe]]
+        probe = rank_probes_seq(centroids, query_vec, nprobe)
         assigned = ivf_assign_expr(df, centroids, vec_col, id_col)
     else:
         probe = _rank_probes(centroids, query_vec, nprobe)

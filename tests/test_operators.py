@@ -939,6 +939,37 @@ def test_pq_corpus_codebooks_shapes_and_self_hit(emb):
         pq_adc_topk(codes, books, q[:8], k=1)
 
 
+def test_pq_ivf_composed_degrades_to_full_adc(emb):
+    """IVF-PQ composition: probing ALL clusters must equal plain ADC
+    over the full corpus (the pruning changes the candidate set, not
+    the scoring); probing a subset returns only vectors assigned to
+    the probed clusters."""
+    from locustdb_spark.operators.similarity import (
+        ivf_assign_expr, pq_adc_topk, pq_codebooks_from_corpus,
+        pq_encode, rank_probes_seq)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 4").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    q = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+    full = pq_adc_topk(pq_encode(emb, books), books, q, k=10).collect()
+    assigned = ivf_assign_expr(emb, cents)
+    all_probed = assigned.filter(
+        F.col("cluster").isin(rank_probes_seq(cents, q, 4)))
+    composed = pq_adc_topk(pq_encode(all_probed, books), books, q,
+                           k=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in composed] == \
+        [(r.vec_id, r.adc_dist) for r in full]
+    # subset probing: results come only from the probed clusters
+    probe = rank_probes_seq(cents, q, 1)
+    sub = assigned.filter(F.col("cluster").isin(probe))
+    ids = {r.vec_id for r in sub.select("vec_id").collect()}
+    top = pq_adc_topk(pq_encode(sub, books), books, q, k=10).collect()
+    assert all(r.vec_id in ids for r in top)
+    assert top[0].vec_id == 0  # query's own cluster is always probed
+
+
 def test_ann_ivf_exact_when_probing_all(emb):
     """nprobe == n_clusters must degrade IVF to exact brute force."""
     from locustdb_spark.operators.similarity import (
