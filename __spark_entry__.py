@@ -506,8 +506,12 @@ def p_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = minhash_signatures(
         _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES)
+    # audit opt-in since r10 (the library default is lazy); the gate
+    # sweeps run at sf10 where the r8 mega-bucket wall lives, so the
+    # plan-time guard stays on here
     return lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2,
-                               collapse_exact=False)
+                               collapse_exact=False,
+                               audit_bucket=50_000)
 
 
 def p_lsh_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,7 +569,8 @@ def p_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_MINHASHES, bands=2,
-                                collapse_exact=False)
+                                collapse_exact=False,
+                                audit_bucket=50_000)
     return minhash_jaccard_estimate(sigs, pairs,
                                     num_hashes=NUM_MINHASHES)
 
@@ -1435,6 +1440,159 @@ def p_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = ivf_assign_expr(emb, cents).filter(
         F.col("cluster").isin([int(p) for p in probe]))
     return pq_adc_topk(pq_encode(cands, books), books, q, k=10)
+
+
+def p_pq_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probed through the PERSISTED layout (verdict r9 task 1:
+    the real billion-vector path, not the in-memory composition):
+    build_ivf_index(pq_codebooks=...) writes the m-byte codes column
+    INTO the cluster-partitioned parquet plus codebooks in the
+    `_pq.json` sidecar, and probe_ivf_pq_index reads ONLY the nprobe
+    probed directories' codes — PartitionFilters prune the
+    directories, ReadSchema prunes the vector column (both pinned in
+    tests/test_plans.py), and ADC scores m table lookups per
+    candidate. Frozen centroids/codebooks + sequential probe ranking
+    keep it bit-identical to `sim_pq_ivf_topk`'s oracle: same coarse
+    prune, same codes, same ADC — what differs is that the bytes come
+    from the pruned index, not a full-corpus scan."""
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, probe_ivf_pq_index)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _frozen_cents(emb)
+    books = _pq_books(emb)
+    q = _query_vec(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_pq_oracle_")
+    try:
+        build_ivf_index(emb, path, centroids=cents, assign="expr",
+                        pq_codebooks=books)
+        res = probe_ivf_pq_index(spark, path, q, k=10,
+                                 nprobe=IVF_FROZEN_NPROBE, rank="seq")
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# PQ recall harness geometry: residual anchors from the first 256
+# ids' cluster means; recall queries are every 97th id below 2000 —
+# bounded (<= 21 queries) at every sf.
+PQ_ANCHOR_N = 256
+PQ_RECALL_QUERY_MOD, PQ_RECALL_QUERY_CAP = 97, 2000
+
+
+def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ ADC against exact squared-L2 top-10, raw vs
+    RESIDUAL encoding (Jegou et al. 2011 §III: quantize x - q1(x)),
+    summed over a bounded multi-query batch — the PQ sibling of
+    `x_ann_recall` (verdict r9 task 2). Residual anchors are the
+    raw-space per-cluster means of the first-256-id prefix
+    (similarity.sequential_cluster_anchors — sequential arithmetic,
+    so the anchors, residuals, codes, and ADC tables all replay in
+    the SQL oracle); codebooks are the frozen rank-of-smallest-ids
+    convention on each representation. Output: one row per variant
+    (raw | residual) with summed hits, query count, and k.
+
+    Scale shape: the queries ship as a broadcast 21-row table
+    CARRYING their precomputed ADC tables (m x K doubles each), so
+    scoring is one scan per variant over the persisted codes + a
+    bounded window top-k — no per-query jobs, no literal blow-up.
+    NB the synthetic corpus is unstructured (max pairwise cosine
+    ~0.48), so residual-vs-raw is within noise here; the mechanism
+    win (~3x recall on a clustered corpus) is pytest-pinned in
+    tests/test_operators.py."""
+    from pyspark.sql.window import Window
+
+    from locustdb_spark.operators.similarity import (
+        adc_table, pq_codebooks_from_corpus, pq_encode, residualize,
+        sequential_cluster_anchors)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _frozen_cents(emb)
+    books_raw = _pq_books(emb)
+    anchors = sequential_cluster_anchors(emb, cents,
+                                         first_n=PQ_ANCHOR_N)
+    res_df = residualize(emb, cents, anchors)
+    books_res = pq_codebooks_from_corpus(
+        res_df, m=PQ_M, k=PQ_K, vec_col="residual")
+    qrows = (emb.filter(
+        (F.col("vec_id") % PQ_RECALL_QUERY_MOD == 0)
+        & (F.col("vec_id") < PQ_RECALL_QUERY_CAP))
+        .orderBy("vec_id").select("vec_id", "embedding").collect())
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding])
+               for r in qrows]
+    nq = len(queries)
+    # per-query ADC tables, driver-side sequential arithmetic
+    # (adc_table) so the oracle can rebuild them in SQL
+    qdata = [
+        (qid,
+         qv,
+         adc_table(books_raw, qv),
+         [adc_table(books_res,
+                    [a - b for a, b in zip(qv, anchors[c])])
+          for c in range(len(cents))])
+        for qid, qv in queries
+    ]
+    qdf = spark.createDataFrame(
+        qdata,
+        "q_id long, qvec array<double>, "
+        "table_raw array<array<double>>, "
+        "tables_res array<array<array<double>>>")
+    codes_raw = pq_encode(emb, books_raw).persist()
+    codes_res = pq_encode(res_df, books_res, vec_col="residual",
+                          keep_cols=["cluster"]).persist()
+
+    def _fold(codes_col, table_col):
+        return F.round(F.aggregate(
+            F.zip_with(codes_col, table_col,
+                       lambda c, trow: F.element_at(trow, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x), 6)
+
+    w = Window.partitionBy("q_id").orderBy("_d", "vec_id")
+    raw_top = (
+        codes_raw.crossJoin(F.broadcast(qdf.select("q_id", "table_raw")))
+        .select("q_id", "vec_id",
+                _fold(F.col("codes"), F.col("table_raw")).alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select(F.lit("raw").alias("variant"), "q_id", "vec_id"))
+    res_top = (
+        codes_res.crossJoin(
+            F.broadcast(qdf.select("q_id", "tables_res")))
+        .select("q_id", "vec_id",
+                _fold(F.col("codes"),
+                      F.element_at(F.col("tables_res"),
+                                   F.col("cluster") + 1)).alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select(F.lit("residual").alias("variant"), "q_id", "vec_id"))
+    exact_top = (
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("_v"))
+        .crossJoin(F.broadcast(qdf.select("q_id", "qvec")))
+        .select("q_id", "vec_id",
+                F.round(F.aggregate(
+                    F.zip_with("_v", "qvec",
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "vec_id"))
+    hits = (raw_top.unionByName(res_top)
+            .join(exact_top, ["q_id", "vec_id"])
+            .groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("recall_hits")))
+    variants = spark.createDataFrame(
+        [("raw",), ("residual",)], "variant string")
+    return (variants.join(hits, "variant", "left")
+            .select("variant",
+                    F.coalesce("recall_hits", F.lit(0))
+                    .cast("long").alias("recall_hits"),
+                    F.lit(nq).cast("long").alias("n_queries"),
+                    F.lit(10).cast("long").alias("k")))
 
 
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3477,6 +3635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": p_pq_codes,
         "sim_pq_adc_topk": p_pq_adc_topk,
         "sim_pq_ivf_topk": p_pq_ivf_topk,
+        "sim_pq_ivf_indexed": p_pq_ivf_indexed,
+        "x_pq_recall": x_pq_recall,
         "sim_random_projection": p_random_projection,
         "text_langid": p_langid,
         "text_quality": p_quality,
@@ -6281,6 +6441,160 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adc_dist, cd.vec_id
             LIMIT 10
         """,
+        "x_pq_recall": """
+            WITH ivc AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), q AS (
+              SELECT vec_id AS q_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS qe
+              FROM embeddings
+              WHERE vec_id % 97 = 0 AND vec_id < 2000
+            ), sims_vc AS (
+              SELECT e.vec_id, ivc.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * ivc.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, ivc
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster
+              FROM sims_vc GROUP BY vec_id
+            ), anch_e AS (
+              -- residual anchors: per-cluster raw-space mean over the
+              -- 256 smallest-id members, SEQUENTIAL sum in id order
+              -- (mirrors sequential_cluster_anchors)
+              SELECT a.cluster, e.vec_id,
+                     unnest(range(1, len(e.embedding) + 1)) AS i,
+                     unnest(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE))) AS v
+              FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE e.vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 256)
+            ), anch AS (
+              SELECT cluster, i,
+                     list_sum(array_agg(v ORDER BY vec_id)) / count(*)
+                         AS av
+              FROM anch_e GROUP BY cluster, i
+            ), anchv AS (
+              SELECT cluster, array_agg(av ORDER BY i) AS v
+              FROM anch GROUP BY cluster
+            ), res AS (
+              -- residual vector (zero anchor when the cluster has no
+              -- first-256 member, mirroring the Spark fallback)
+              SELECT e.vec_id, a.cluster,
+                     list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              - coalesce(av.v[i], 0.0)) AS r
+              FROM embeddings e
+              JOIN assign a ON a.vec_id = e.vec_id
+              LEFT JOIN anchv av ON av.cluster = a.cluster
+            )""" + _DUCK_PQ_CTES.replace(
+            "\n            WITH sub AS (", ", sub AS (", 1) + """,
+            rsub AS (
+              SELECT r.vec_id, r.cluster, t.m,
+                     list_transform(generate_series(1, 8),
+                         i -> r.r[t.m * 8 + i]) AS s
+              FROM res r, generate_series(0, 7) AS t(m)
+            ), rcw AS (
+              SELECT m, j, s AS c FROM (
+                SELECT m, vec_id, s,
+                       dense_rank() OVER (ORDER BY vec_id) - 1 AS j
+                FROM rsub
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 16)
+              )
+            ), rd2 AS (
+              SELECT v.vec_id, v.cluster, v.m, rcw.j,
+                     list_sum(list_transform(generate_series(1, 8),
+                         i -> (v.s[i] - rcw.c[i])
+                              * (v.s[i] - rcw.c[i]))) AS d
+              FROM rsub v JOIN rcw USING (m)
+            ), rcodes AS (
+              SELECT vec_id, cluster, m,
+                     (array_agg(j ORDER BY d, j))[1] AS code
+              FROM rd2 GROUP BY vec_id, cluster, m
+            ), qt_raw AS (
+              SELECT q.q_id, d.m, d.j, d.d
+              FROM d2 d JOIN q ON d.vec_id = q.q_id
+            ), raw_dist AS (
+              SELECT t.q_id, c.vec_id,
+                     round(list_sum(array_agg(t.d ORDER BY c.m)), 6)
+                         AS dist
+              FROM codes c JOIN qt_raw t ON t.m = c.m AND t.j = c.code
+              GROUP BY t.q_id, c.vec_id
+            ), raw_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+                FROM raw_dist) WHERE rn <= 10
+            ), qres AS (
+              SELECT q.q_id, ivc.cid AS cluster,
+                     list_transform(range(1, len(q.qe) + 1),
+                         i -> q.qe[i] - coalesce(av.v[i], 0.0)) AS rv
+              FROM q CROSS JOIN ivc
+              LEFT JOIN anchv av ON av.cluster = ivc.cid
+            ), qrsub AS (
+              SELECT q_id, cluster, t.m,
+                     list_transform(generate_series(1, 8),
+                         i -> rv[t.m * 8 + i]) AS s
+              FROM qres, generate_series(0, 7) AS t(m)
+            ), qrt AS (
+              SELECT s.q_id, s.cluster, s.m, rcw.j,
+                     list_sum(list_transform(generate_series(1, 8),
+                         i -> (s.s[i] - rcw.c[i])
+                              * (s.s[i] - rcw.c[i]))) AS d
+              FROM qrsub s JOIN rcw USING (m)
+            ), res_dist AS (
+              SELECT t.q_id, rc.vec_id,
+                     round(list_sum(array_agg(t.d ORDER BY rc.m)), 6)
+                         AS dist
+              FROM rcodes rc
+              JOIN qrt t ON t.cluster = rc.cluster AND t.m = rc.m
+                        AND t.j = rc.code
+              GROUP BY t.q_id, rc.vec_id
+            ), res_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+                FROM res_dist) WHERE rn <= 10
+            ), ex_dist AS (
+              SELECT q.q_id, e.vec_id,
+                round(list_sum(list_transform(
+                    generate_series(1, len(e.embedding)),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - q.qe[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - q.qe[i])
+                )), 6) AS dist
+              FROM embeddings e CROSS JOIN q
+            ), ex_top AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+                FROM ex_dist) WHERE rn <= 10
+            )
+            SELECT v.variant,
+                   CAST(coalesce(h.hits, 0) AS BIGINT) AS recall_hits,
+                   CAST((SELECT count(*) FROM q) AS BIGINT)
+                       AS n_queries,
+                   CAST(10 AS BIGINT) AS k
+            FROM (SELECT 'raw' AS variant
+                  UNION ALL SELECT 'residual') v
+            LEFT JOIN (
+              SELECT 'raw' AS variant, count(*) AS hits
+              FROM raw_top JOIN ex_top USING (q_id, vec_id)
+              UNION ALL
+              SELECT 'residual', count(*)
+              FROM res_top JOIN ex_top USING (q_id, vec_id)
+            ) h USING (variant)
+        """,
         "sim_quantize": """
             WITH x AS (
               SELECT vec_id, embedding,
@@ -6737,4 +7051,9 @@ def oracle_sql() -> dict[str, str]:
         ("text_decontaminate_bloom_arrow", "text_decontaminate_bloom"),
     ):
         o[arrow_key] = o[expr_key]
+    # the persisted IVF-PQ probe is bit-identical to the in-memory
+    # composition by construction (same frozen centroids/codebooks,
+    # same sequential probe ranking, same ADC fold — the bytes just
+    # come from the pruned index directories), so it shares the SQL
+    o["sim_pq_ivf_indexed"] = o["sim_pq_ivf_topk"]
     return o

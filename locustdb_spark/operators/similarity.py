@@ -709,6 +709,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization encode (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split each vector into
@@ -725,7 +726,12 @@ def pq_encode(
     Every distance is an ordered sequential fold (zip_with squared
     diffs, left-to-right aggregate), so codes are bit-reproducible in
     any engine with sequential list arithmetic — what puts the whole
-    PQ pipeline under the SQL value-hash oracle (`sim_pq_codes`)."""
+    PQ pipeline under the SQL value-hash oracle (`sim_pq_codes`).
+
+    ``keep_cols`` carries extra input columns through the projection
+    (e.g. the `cluster` assignment an IVF-PQ layout partitions by) —
+    same rationale as `minhash_signatures`' keep_cols: strictly
+    cheaper than joining codes back to the corpus on id."""
     vec = F.col(vec_col).cast("array<double>")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
@@ -742,7 +748,50 @@ def pq_encode(
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int"))
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    kept = [F.col(c) for c in (keep_cols or [])]
+    return df.select(F.col(id_col), *kept,
+                     F.array(*code_cols).alias("codes"))
+
+
+def adc_table(codebooks: list[list[list[float]]],
+              query_vec: list[float]) -> list[list[float]]:
+    """The m x K asymmetric-distance table for one query: squared L2
+    between each query subvector and each codeword, computed with
+    plain left-to-right Python float arithmetic so it is bit-identical
+    to an oracle recomputing the same lookups in SQL. Driver-side and
+    tiny (m*K doubles); shared by `pq_adc_topk`, the residual IVF-PQ
+    probe (one table per probed cluster), and the recall harness."""
+    mm = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != mm * dsub:
+        raise ValueError(
+            f"query dims {len(query_vec)} != m*dsub {mm * dsub}")
+    table = []
+    for s, book in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
+        row = []
+        for cw in book:
+            d = 0.0
+            for a, b in zip(qs, cw):  # left-to-right, matches the fold
+                d = d + (a - b) * (a - b)
+            row.append(d)
+        table.append(row)
+    return table
+
+
+def adc_dist_expr(table: list[list[float]],
+                  codes_col: Column | str = "codes") -> Column:
+    """ADC distance of a codes row against one literal m x K table:
+    the sequential sum of m table lookups (zip_with + ordered
+    aggregate — the same fold every PQ oracle replays)."""
+    tbl = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in table
+    ])
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return F.aggregate(
+        F.zip_with(codes, tbl,
+                   lambda c, trow: F.element_at(trow, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def pq_adc_topk(
@@ -768,29 +817,8 @@ def pq_adc_topk(
     (`build_ivf_index`) for IVF-PQ, the canonical billion-vector
     layout. The distance table is built with plain left-to-right
     Python float arithmetic so it is bit-identical to an oracle
-    recomputing the same lookups in SQL."""
-    mm = len(codebooks)
-    dsub = len(codebooks[0][0])
-    if len(query_vec) != mm * dsub:
-        raise ValueError(
-            f"query dims {len(query_vec)} != m*dsub {mm * dsub}")
-    table = []
-    for s, book in enumerate(codebooks):
-        qs = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
-        row = []
-        for cw in book:
-            d = 0.0
-            for a, b in zip(qs, cw):  # left-to-right, matches the fold
-                d = d + (a - b) * (a - b)
-            row.append(d)
-        table.append(row)
-    tbl = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in table
-    ])
-    dist = F.aggregate(
-        F.zip_with(F.col(codes_col), tbl,
-                   lambda c, trow: F.element_at(trow, c + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    recomputing the same lookups in SQL (see `adc_table`)."""
+    dist = adc_dist_expr(adc_table(codebooks, query_vec), codes_col)
     if round_to is not None:
         dist = F.round(dist, round_to)
     return (
@@ -798,6 +826,169 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """k-means-trained PQ codebooks (Jegou et al. 2011 §II.C): an
+    independent Lloyd run per subspace over the same bounded,
+    deterministic, hash-ordered sample `kmeans_centroids` trains the
+    coarse quantizer on — the trained/frozen split IVF already uses.
+    Init is the first `k` sampled subvectors (hash order), then
+    `iters` plain-L2 Lloyd steps in numpy; empty codewords keep their
+    previous value. Drops into `pq_encode`/`pq_adc_topk` unchanged
+    (same list-of-lists shape as `pq_codebooks_from_corpus`, which
+    stays the oracle sibling — numpy's SIMD summation order makes the
+    trained codebooks fast but not SQL-replayable bit-for-bit).
+
+    At 100 TB the sample stays `sample` rows regardless of corpus
+    size; training is m small driver-side Lloyd runs and the books
+    ship to executors as literals, exactly like the coarse centroids.
+    """
+    rows = (
+        df.orderBy(F.xxhash64(F.col(id_col).cast("string")),
+                   F.col(id_col))
+        .limit(sample)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=float)
+    if len(x) < k:
+        raise ValueError(f"sample has {len(x)} vectors, need >= {k}")
+    dims = x.shape[1]
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    books = []
+    for s in range(m):
+        sub = x[:, s * dsub:(s + 1) * dsub]
+        c = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = sub[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books.append(c.tolist())
+    return books
+
+
+def assign_cluster_seq(vec: list[float],
+                       centroids: list[list[float]]) -> int:
+    """Driver-side cluster assignment for ONE vector with plain
+    left-to-right float arithmetic — the scalar twin of
+    `ivf_assign_expr` (max cosine, ties to the smaller cluster id),
+    bit-consistent with the SQL oracle's `array_agg(... ORDER BY cos
+    DESC, cid)[1]`. Used where a bounded collected slice needs the
+    same assignment the executors compute (e.g. residual anchors)."""
+    import math
+
+    vnorm = math.sqrt(sum(x * x for x in vec))
+    best_j, best_cos = 0, None
+    for j, cvec in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(vec, cvec):
+            d += a * b
+        cn = math.sqrt(sum(x * x for x in cvec))
+        cos = d / (vnorm * cn)
+        if best_cos is None or cos > best_cos:
+            best_j, best_cos = j, cos
+    return best_j
+
+
+def sequential_cluster_anchors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    first_n: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Per-cluster residual anchors for residual PQ (Jegou et al. 2011
+    §III quantize x - q1(x)): the RAW-SPACE mean of each cluster's
+    members among the `first_n` smallest-id vectors, computed
+    driver-side with sequential (ascending-id, left-to-right) float
+    arithmetic so the anchors replay bit-for-bit in a SQL oracle
+    (`list_sum(array_agg(x ORDER BY id)) / count`). Clusters with no
+    member in the prefix anchor at the zero vector (residual = raw).
+
+    Why raw means and not the (spherical, unit-norm) IVF centroids:
+    assignment is by cosine but residual energy is L2 — subtracting a
+    unit-norm direction from un-normalized vectors barely shrinks
+    them, while the cluster's raw mean is the L2-optimal single-point
+    anchor (measured on a clustered corpus: E||r||^2 falls ~3x and
+    ADC recall ~3x vs raw-vector PQ; see tests/test_operators.py
+    residual pins). Bounded by construction: one `first_n`-row
+    TakeOrderedAndProject collect regardless of corpus size.
+    """
+    rows = (
+        df.orderBy(id_col).limit(first_n)
+        .select(F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("_v"))
+        .collect()
+    )
+    dims = len(rows[0]._v)
+    sums = [[0.0] * dims for _ in centroids]
+    counts = [0] * len(centroids)
+    for r in rows:  # ascending id: .orderBy above
+        v = [float(x) for x in r._v]
+        c = assign_cluster_seq(v, centroids)
+        s = sums[c]
+        for i, x in enumerate(v):
+            s[i] = s[i] + x
+        counts[c] += 1
+    return [
+        [s_i / counts[c] for s_i in sums[c]] if counts[c] else
+        [0.0] * dims
+        for c in range(len(centroids))
+    ]
+
+
+def residualize(
+    df: DataFrame,
+    centroids: list[list[float]],
+    anchors: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "expr",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Assign each vector to its coarse cluster and subtract that
+    cluster's anchor: the residual-encoding front half of residual
+    IVF-PQ (Jegou et al. 2011 §III). Output: input columns + `cluster`
+    + `out_col` (array<double>). `anchors` defaults to
+    `sequential_cluster_anchors(df, centroids)`.
+
+    The subtraction is a zero-shuffle projection: anchors ride as a
+    literal array-of-arrays indexed by the row's cluster
+    (element_at + zip_with), so the plan stays scan -> project. The
+    literal is n_clusters x dims doubles — fine for the coarse-
+    quantizer sizes a driver trains (<= thousands); a million-cluster
+    quantizer would broadcast-join a centroid table instead.
+    `assign="expr"` (default) keeps the whole path sequential-fold
+    reproducible for the SQL oracle; `assign="numpy"` routes the
+    cluster assignment through the Arrow-batched matmul."""
+    if anchors is None:
+        anchors = sequential_cluster_anchors(
+            df, centroids, vec_col=vec_col, id_col=id_col)
+    assigner = ivf_assign_expr if assign == "expr" else ivf_assign
+    assigned = assigner(df, centroids, vec_col, id_col)
+    anchor_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in a]) for a in anchors
+    ])
+    res = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(anchor_lit, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    return assigned.withColumn(out_col, res)
 
 
 # ---------------------------------------------------------------------
@@ -813,6 +1004,9 @@ def build_ivf_index(
     id_col: str = "vec_id",
     assign: str = "numpy",
     stats: bool = False,
+    pq_codebooks: list[list[list[float]]] | None = None,
+    pq_anchors: list[list[float]] | None = None,
+    keep_vectors: bool = True,
 ) -> list[list[float]]:
     """Materialize the IVF index as hive-partitioned parquet
     (`path/cluster=K/...`) plus the centroid table
@@ -827,17 +1021,48 @@ def build_ivf_index(
     distance to centroid) in `path/_stats.json` — the baseline
     `ivf_drift`/`ivf_retrain_needed` compare against as appended
     batches age the frozen quantizer. Costs one extra read of the
-    just-written index at build time."""
+    just-written index at build time.
+
+    `pq_codebooks` upgrades the layout to IVF-PQ (Jegou et al. 2011,
+    the canonical billion-vector layout): every row additionally
+    stores its m-byte PQ `codes` column, encoded at build time, and
+    the codebooks ride in a `path/_pq.json` sidecar so
+    `probe_ivf_pq_index` can ADC-score a probe reading ONLY the
+    pruned directories' codes — m small ints per row, never the
+    vectors. `pq_anchors` (one raw-space vector per cluster) switches
+    to RESIDUAL encoding: codes quantize x - anchor[cluster(x)]
+    (§III; see `sequential_cluster_anchors` for why anchors are raw
+    cluster means, not the unit-norm centroids), and the sidecar
+    records the anchors so probes rebuild the per-cluster query
+    tables. `keep_vectors=False` drops the raw vector column — the
+    pure codes tier (m bytes/vector instead of 8*dims), for corpora
+    where exact re-ranking happens against a separate store.
+    Incremental `append_ivf_index` batches are encoded with the
+    sidecar's frozen codebooks automatically, same contract as the
+    frozen centroids."""
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_clusters, vec_col=vec_col, id_col=id_col)
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
+    pq_meta = None
+    if pq_codebooks is not None:
+        pq_meta = {"m": len(pq_codebooks),
+                   "k": len(pq_codebooks[0]),
+                   "codebooks": pq_codebooks,
+                   "anchors": pq_anchors}
+        assigned = _pq_encode_assigned(
+            assigned, pq_meta, vec_col, id_col, keep_vectors)
+    elif not keep_vectors:
+        raise ValueError("keep_vectors=False without pq_codebooks "
+                         "would store nothing but ids")
     (assigned.write.mode("overwrite")
      .partitionBy("cluster").parquet(path))
     # centroids ride next to the data (tiny; one driver-side file)
     spark = df.sparkSession
     _write_index_json(spark, path + "/_centroids.json", centroids)
+    if pq_meta is not None:
+        _write_index_json(spark, path + "/_pq.json", pq_meta)
     if stats:
         base = _drift_stats(
             spark.read.parquet(path), centroids, vec_col)
@@ -845,6 +1070,40 @@ def build_ivf_index(
             spark, path + "/_stats.json",
             [r.asDict() for r in base.collect()])
     return centroids
+
+
+def _pq_encode_assigned(
+    assigned: DataFrame,
+    pq_meta: dict,
+    vec_col: str,
+    id_col: str,
+    keep_vectors: bool = True,
+) -> DataFrame:
+    """Add the `codes` column to a cluster-assigned batch per an
+    IVF-PQ sidecar dict ({codebooks, anchors}): residual-encode
+    against the per-cluster anchor when anchors are present, raw
+    PQ otherwise. Shared by `build_ivf_index` and the incremental
+    append/upsert paths so every file in the layout carries the same
+    columns. Pure projection — no shuffle."""
+    src_col = vec_col
+    if pq_meta.get("anchors") is not None:
+        anchor_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in a])
+            for a in pq_meta["anchors"]
+        ])
+        assigned = assigned.withColumn(
+            "_pq_res",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(anchor_lit, F.col("cluster") + 1),
+                lambda a, b: a - b,
+            ))
+        src_col = "_pq_res"
+    keep = [c for c in assigned.columns
+            if c not in (id_col, "_pq_res")
+            and (c != vec_col or keep_vectors)]
+    return pq_encode(assigned, pq_meta["codebooks"],
+                     vec_col=src_col, id_col=id_col, keep_cols=keep)
 
 
 def _write_index_json(spark, file_path: str, obj) -> None:
@@ -959,6 +1218,17 @@ def append_ivf_index(
     centroids = _read_ivf_centroids(spark, path)
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
+    # IVF-PQ layouts (sidecar present) encode every batch with the
+    # index's FROZEN codebooks, so appended files carry the same
+    # columns as the build — the PQ analog of the frozen-centroid
+    # contract (drift applies to codebooks exactly as to centroids:
+    # monitor and rebuild).
+    pq_meta = _read_index_json(spark, path + "/_pq.json")
+    if pq_meta is not None:
+        idx_cols = spark.read.parquet(path).columns
+        assigned = _pq_encode_assigned(
+            assigned, pq_meta, vec_col, id_col,
+            keep_vectors=vec_col in idx_cols)
     if not upsert:
         # r7 (ADVICE): the plain append must ALSO hold the writer
         # lock — an unlocked append racing compact_ivf_index can land
@@ -1264,6 +1534,65 @@ def probe_ivf_index(
     cands = (spark.read.parquet(path)
              .filter(F.col("cluster").isin(probe)))
     return cosine_topk(cands, query_vec, k, vec_col, id_col, round_to)
+
+
+def probe_ivf_pq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    rank: str = "numpy",
+) -> DataFrame:
+    """Query an IVF-PQ layout (`build_ivf_index(pq_codebooks=...)`):
+    rank centroids against the query driver-side, then ADC-score ONLY
+    the nprobe winning clusters' CODES — the probe's scan prunes both
+    ways: `cluster IN (...)` prunes directories (PartitionFilters) and
+    the projection reads just (id, codes), never the vector column
+    (ReadSchema) — m small ints per candidate row, the memory-bound
+    billion-vector regime. Returns (id_col, adc_dist) ascending, ties
+    to the smaller id.
+
+    Residual layouts (sidecar anchors) get one distance table per
+    probed cluster — built from (query - anchor[c]) driver-side — and
+    the scan picks its table by the row's partition value through an
+    nprobe-way CASE, still a pure projection. `rank="seq"` routes
+    probe selection through `rank_probes_seq` (sequential arithmetic,
+    the SQL-oracle-reproducible twin); default numpy."""
+    centroids = _read_ivf_centroids(spark, path)
+    pq_meta = _read_index_json(spark, path + "/_pq.json")
+    if pq_meta is None:
+        raise FileNotFoundError(
+            f"{path}/_pq.json not found — not an IVF-PQ layout; use "
+            "probe_ivf_index for a raw-vector index")
+    ranker = rank_probes_seq if rank == "seq" else _rank_probes
+    probe = [int(p) for p in ranker(centroids, query_vec, nprobe)]
+    books = pq_meta["codebooks"]
+    anchors = pq_meta.get("anchors")
+    scan = (spark.read.parquet(path)
+            .filter(F.col("cluster").isin(probe)))
+    if anchors is None:
+        dist = adc_dist_expr(adc_table(books, query_vec))
+    else:
+        # one table per probed cluster, chosen by the row's partition
+        # value: CASE WHEN cluster=c0 THEN <fold over table_c0> ...
+        dist = None
+        for c in probe:
+            qres = [float(a) - float(b)
+                    for a, b in zip(query_vec, anchors[c])]
+            branch = adc_dist_expr(adc_table(books, qres))
+            dist = (F.when(F.col("cluster") == c, branch)
+                    if dist is None
+                    else dist.when(F.col("cluster") == c, branch))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        scan.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def ann_knn_join(

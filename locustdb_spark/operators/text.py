@@ -481,15 +481,17 @@ def contamination_check_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    m_bits: int = 1 << 18,
+    m_bits: int | None = None,
     k: int = 4,
     impl: str = "arrow",
+    bits_per_gram: int = 16,
+    warn_fp: float = 0.01,
 ) -> DataFrame:
     """Bloom-filter decontamination — the zero-join sibling of
     :func:`contamination_check` for when even a broadcast of the raw
     eval n-gram strings is too heavy (a 10M-gram eval suite broadcasts
     ~hundreds of MB of strings to every executor; this ships
-    m_bits/8 bytes — 32 KB at the default — regardless of eval size).
+    m_bits/8 bytes, independent of eval STRING size).
 
     Build: the eval side's distinct n-grams are collected driver-side
     (bounded by the same "eval suites are small" contract the
@@ -500,13 +502,28 @@ def contamination_check_bloom(
     probe (the plan is scan -> project, same family as the quality
     filters).
 
+    Sizing (r9 ADVICE: a fixed default saturates on large eval
+    suites — at 10M grams in 2^18 bits kG/m ~ 152 and EVERY document
+    flags, so the two-tier routing silently degrades to re-checking
+    the whole corpus): ``m_bits=None`` (default) sizes the filter
+    from the COLLECTED eval gram count G as the next power of two
+    >= bits_per_gram * G (16 bits/gram -> per-gram FP ~ 2e-4 at k=4;
+    a 10M-gram suite costs 32 MB of bitset, still a constant
+    broadcast). An explicit m_bits is honored but audited: if the
+    per-gram FP rate p = (1 - e^{-kG/m})^k exceeds ``warn_fp``, a
+    warning reports p and the auto size to use instead.
+
     Error is one-sided: flagged=False is exact (Bloom filters have no
-    false negatives), flagged=True is contaminated-or-false-positive
-    at the standard (1 - e^{-kG/m})^k rate for G eval grams — callers
-    route flagged docs through the exact `contamination_check` on the
-    (tiny) flagged subset, the classic two-tier layout. Every hash is
-    the engine-portable md5 double-hash, so the whole filter —
-    including its false positives — is reproducible in the SQL oracle.
+    false negatives), flagged=True is contaminated-or-false-positive.
+    NB the per-DOCUMENT flag probability COMPOUNDS over a document's
+    g distinct grams: P(clean doc flags) = 1 - (1-p)^g — a 1000-gram
+    document needs p ~ 1e-5 for a ~1% doc-level FP rate, which is why
+    the audit threshold is conservative and sizing follows G, not a
+    constant. Callers route flagged docs through the exact
+    `contamination_check` on the (tiny) flagged subset, the classic
+    two-tier layout. Every hash is the engine-portable md5
+    double-hash, so the whole filter — including its false
+    positives — is reproducible in the SQL oracle.
 
     Output: (id_col, n_flagged_ngrams, flagged) — n_flagged_ngrams
     counts the document's DISTINCT grams that hit the filter.
@@ -525,6 +542,30 @@ def contamination_check_bloom(
             .alias("gram"))
         .distinct().collect()
     )
+    n_grams = len(gram_rows)
+    if m_bits is None:
+        # next power of two >= bits_per_gram * G (floor 2^12 keeps
+        # tiny eval sets from degenerate single-word bitsets)
+        m_bits = 1 << max(12, (max(1, bits_per_gram * n_grams) - 1)
+                          .bit_length())
+    else:
+        import math
+
+        p = (1.0 - math.exp(-k * n_grams / m_bits)) ** k
+        if p > warn_fp:
+            import warnings
+
+            auto = 1 << max(12, (max(1, bits_per_gram * n_grams) - 1)
+                            .bit_length())
+            warnings.warn(
+                f"contamination_check_bloom: m_bits={m_bits} holds "
+                f"{n_grams} eval grams at a per-gram FP rate of "
+                f"{p:.3g} (> {warn_fp}); per-document flag odds "
+                f"compound as 1-(1-p)^grams, so the flagged subset "
+                f"will not be tiny. Use m_bits=None (auto -> {auto}) "
+                f"or >= {auto}.",
+                stacklevel=2,
+            )
     words = build_bloom_bitset([r.gram for r in gram_rows], m_bits, k)
     if impl == "expr":
         # one md5 per DISTINCT gram (distinct grams <-> distinct

@@ -27,14 +27,17 @@ def main() -> None:
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     # an entry that HAS a row but lost its measurement (errored, null
-    # spark_sec) is the worst regression — never skip it silently
+    # spark_sec) is the worst regression — never skip it silently.
+    # `is None`, not truthiness: a recorded 0.0 is a measurement
+    # (r9 ADVICE), only a missing/null one is a regression
     unmeasured = sorted(
         k for k in set(old) & set(new)
-        if old[k].get("spark_sec") and not new[k].get("spark_sec"))
+        if old[k].get("spark_sec") is not None
+        and new[k].get("spark_sec") is None)
     slower, faster = [], []
     for k in sorted(set(old) & set(new)):
         a, b = old[k].get("spark_sec"), new[k].get("spark_sec")
-        if not a or not b or max(a, b) < min_sec:
+        if a is None or b is None or a == 0 or max(a, b) < min_sec:
             continue
         r = b / a
         if r > ratio:

@@ -1828,6 +1828,31 @@ def test_lsh_naive_mega_bucket_audit_warns(spark):
         lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
                             collapse_exact=False, audit_bucket=n)
         assert not band_warnings(caught)  # under the bound: silent
+
+    # audit_action="raise" VETOES the join instead of warning (r9
+    # ADVICE: a warning doesn't stop a multi-billion-pair job)
+    with pytest.raises(ValueError, match="band bucket"):
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
+                            collapse_exact=False, audit_bucket=100,
+                            audit_action="raise")
+    with pytest.raises(ValueError, match="audit_action"):
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
+                            audit_action="veto")
+
+    # default is LAZY (r9 ADVICE: no eager job at plan-construction
+    # time): building the naive plan runs no audit warning and no
+    # Spark job at all
+    def n_jobs():
+        return (spark.sparkContext._jsc.sc()
+                .statusStore().jobsList(None).size())
+
+    before = n_jobs()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4,
+                            collapse_exact=False)
+        assert not band_warnings(caught)
+    assert n_jobs() == before
     sigs.unpersist()
 
 
@@ -3252,3 +3277,296 @@ def test_append_ivf_index_respects_writer_lock(spark, tmp_path):
     append_ivf_index(batch, path, assign="expr")
     assert spark.read.parquet(path).filter("vec_id = 5").count() == 1
     assert not lock.exists()  # released after a successful append
+
+
+# ---------------------------------------------------------------------
+# IVF-PQ persisted layout + residual / trained codebooks (round 10)
+# ---------------------------------------------------------------------
+
+def _np_corpus(df):
+    """Collect a small embeddings frame to (ids, matrix) sorted by id
+    — the independent numpy oracle for the recall pins below."""
+    import numpy as np
+
+    rows = df.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([[float(v) for v in r.embedding] for r in rows])
+    return ids, x
+
+
+def _exact_l2_topk_ids(ids, x, q, k=10):
+    import numpy as np
+
+    d2 = ((x - q) ** 2).sum(axis=1)
+    return set(ids[np.lexsort((ids, d2))[:k]].tolist())
+
+
+def test_ivf_pq_index_probe_matches_in_memory_composition(
+        spark, emb, tmp_path):
+    """The persisted IVF-PQ layout (codes column + _pq.json sidecar)
+    probed via probe_ivf_pq_index must return exactly what the
+    in-memory composition (assign -> prune -> encode -> ADC) returns:
+    same frozen centroids/codebooks, same sequential probe ranking,
+    same ADC fold — only the bytes' provenance differs. Probing ALL
+    clusters must equal plain full-corpus ADC."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, ivf_assign_expr, pq_adc_topk,
+        pq_codebooks_from_corpus, pq_encode, probe_ivf_pq_index,
+        rank_probes_seq)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 16").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    q = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+    path = str(tmp_path / "ivf_pq")
+    build_ivf_index(emb, path, centroids=cents, assign="expr",
+                    pq_codebooks=books)
+
+    probe = rank_probes_seq(cents, q, 4)
+    cands = ivf_assign_expr(emb, cents).filter(
+        F.col("cluster").isin([int(p) for p in probe]))
+    composed = pq_adc_topk(pq_encode(cands, books), books, q,
+                           k=10).collect()
+    indexed = probe_ivf_pq_index(spark, path, q, k=10, nprobe=4,
+                                 rank="seq").collect()
+    assert [(r.vec_id, r.adc_dist) for r in indexed] == \
+        [(r.vec_id, r.adc_dist) for r in composed]
+
+    full = pq_adc_topk(pq_encode(emb, books), books, q, k=10).collect()
+    all_probed = probe_ivf_pq_index(spark, path, q, k=10, nprobe=16,
+                                    rank="seq").collect()
+    assert [(r.vec_id, r.adc_dist) for r in all_probed] == \
+        [(r.vec_id, r.adc_dist) for r in full]
+
+
+def test_ivf_pq_append_encodes_batch_with_frozen_codebooks(
+        spark, emb, tmp_path):
+    """append_ivf_index on an IVF-PQ layout must encode the batch with
+    the sidecar's FROZEN codebooks (the PQ analog of the frozen-
+    centroid contract) so the appended index is indistinguishable
+    from a full rebuild — codes and probe results bit-equal."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, pq_codebooks_from_corpus,
+        probe_ivf_pq_index)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 16").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    q = [float(x) for x in emb.filter("vec_id = 1").head().embedding]
+
+    full_path = str(tmp_path / "pq_full")
+    build_ivf_index(emb, full_path, centroids=cents, assign="expr",
+                    pq_codebooks=books)
+    inc_path = str(tmp_path / "pq_inc")
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), inc_path,
+                    centroids=cents, assign="expr", pq_codebooks=books)
+    append_ivf_index(emb.filter("vec_id % 2 = 1"), inc_path,
+                     assign="expr")
+
+    fc = {r.vec_id: r.codes
+          for r in spark.read.parquet(full_path).collect()}
+    ic = {r.vec_id: r.codes
+          for r in spark.read.parquet(inc_path).collect()}
+    assert fc == ic
+    a = probe_ivf_pq_index(spark, full_path, q, k=10, rank="seq")
+    b = probe_ivf_pq_index(spark, inc_path, q, k=10, rank="seq")
+    assert a.collect() == b.collect()
+
+
+def test_probe_ivf_pq_requires_sidecar(spark, emb, tmp_path):
+    """A raw-vector IVF layout has no _pq.json; the PQ probe must fail
+    loudly instead of silently scoring nothing."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, probe_ivf_pq_index)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 4").orderBy("vec_id")
+             .collect()]
+    path = str(tmp_path / "ivf_plain")
+    build_ivf_index(emb.limit(100), path, centroids=cents,
+                    assign="expr")
+    with pytest.raises(FileNotFoundError, match="_pq.json"):
+        probe_ivf_pq_index(spark, path, cents[0], k=5)
+    with pytest.raises(ValueError, match="keep_vectors"):
+        build_ivf_index(emb.limit(100), path, centroids=cents,
+                        keep_vectors=False)
+
+
+def test_residualize_zero_anchor_fallback(spark):
+    """A cluster with no member among the anchor prefix anchors at the
+    zero vector: its residuals equal the raw vectors (and clusters
+    WITH prefix members subtract their sequential raw-space mean)."""
+    from locustdb_spark.operators.similarity import (
+        residualize, sequential_cluster_anchors)
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    d = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (1, [4.0, 0.0]), (2, [0.0, 8.0])],
+        "vec_id long, embedding array<double>")
+    # prefix = first 2 ids -> both cluster 0; cluster 1 unanchored
+    anchors = sequential_cluster_anchors(d, cents, first_n=2)
+    assert anchors[0] == [3.0, 0.0]  # (2+4)/2, (0+0)/2
+    assert anchors[1] == [0.0, 0.0]
+    out = {r.vec_id: (r.cluster, r.residual)
+           for r in residualize(d, cents, anchors).collect()}
+    assert out[0] == (0, [-1.0, 0.0])
+    assert out[1] == (0, [1.0, 0.0])
+    assert out[2] == (1, [0.0, 8.0])  # zero anchor -> residual = raw
+
+
+def test_pq_trained_codebooks_recall_ge_frozen(emb):
+    """k-means-trained PQ codebooks (pq_codebooks_kmeans) must not
+    lose recall@10 to the frozen rank-of-smallest-ids convention on
+    the sf corpus, summed over the standard bounded query batch
+    (every 97th id) against an exact-L2 numpy oracle. Deterministic:
+    fixed corpus, deterministic sample order, deterministic Lloyd."""
+    from locustdb_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks_from_corpus, pq_codebooks_kmeans,
+        pq_encode)
+
+    ids, x = _np_corpus(emb)
+    queries = [(int(i), x[j]) for j, i in enumerate(ids)
+               if i % 97 == 0 and i < 2000]
+    frozen = pq_codebooks_from_corpus(emb, m=8, k=16)
+    trained = pq_codebooks_kmeans(emb, m=8, k=16)
+    hits = {}
+    for name, books in (("frozen", frozen), ("trained", trained)):
+        codes = pq_encode(emb, books).persist()
+        total = 0
+        for qid, q in queries:
+            approx = {r.vec_id for r in
+                      pq_adc_topk(codes, books, list(q), k=10)
+                      .collect()}
+            total += len(approx & _exact_l2_topk_ids(ids, x, q))
+        hits[name] = total
+        codes.unpersist()
+    assert hits["trained"] >= hits["frozen"], hits
+
+
+def test_pq_residual_recall_beats_raw_on_clustered_corpus(
+        spark, tmp_path):
+    """The residual-encoding mechanism pin (Jegou et al. 2011 §III):
+    on a corpus with real cluster structure, quantizing
+    x - anchor[cluster(x)] against raw-space cluster-mean anchors
+    must beat raw-vector PQ decisively (the anchors absorb the
+    between-cluster energy, leaving the codebooks the within-cluster
+    offsets). The sf corpus is unstructured (max pairwise cosine
+    ~0.5) so the effect is within noise there — this pins it where
+    the preconditions hold, via the persisted residual IVF-PQ layout
+    probed over ALL clusters (= full-corpus residual ADC)."""
+    import numpy as np
+
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, kmeans_centroids, pq_adc_topk,
+        pq_codebooks_kmeans, pq_encode, probe_ivf_pq_index,
+        residualize, sequential_cluster_anchors)
+
+    rng = np.random.RandomState(7)
+    n_cl, per, dims = 16, 60, 64
+    centers = rng.randn(n_cl, dims) * 3.0
+    data = np.vstack([centers[c] + rng.randn(per, dims) * 0.4
+                      for c in range(n_cl)])
+    ids = np.arange(len(data))
+    d = spark.createDataFrame(
+        [(int(i), [float(v) for v in row])
+         for i, row in zip(ids, data)],
+        "vec_id long, embedding array<double>").coalesce(4)
+
+    cents = kmeans_centroids(d, n_clusters=n_cl)
+    # the corpus is WRITTEN in cluster order, so a 256-id prefix would
+    # anchor only the first few clusters (zero-anchor fallback for the
+    # rest = no residual benefit); anchor over everything here — the
+    # bounded-prefix behavior is pinned separately above
+    anchors = sequential_cluster_anchors(d, cents, first_n=len(data))
+    res_df = residualize(d, cents, anchors)
+    books_raw = pq_codebooks_kmeans(d, m=8, k=16)
+    books_res = pq_codebooks_kmeans(res_df, m=8, k=16,
+                                    vec_col="residual")
+    codes_raw = pq_encode(d, books_raw).persist()
+    path = str(tmp_path / "respq")
+    build_ivf_index(d, path, centroids=cents, pq_codebooks=books_res,
+                    pq_anchors=anchors, keep_vectors=False)
+
+    queries = [(int(i), data[j]) for j, i in enumerate(ids)
+               if i % 97 == 0]
+    raw_hits = res_hits = 0
+    for qid, q in queries:
+        exact = _exact_l2_topk_ids(ids, data, q)
+        raw_top = {r.vec_id for r in
+                   pq_adc_topk(codes_raw, books_raw, list(q), k=10)
+                   .collect()}
+        res_top = {r.vec_id for r in
+                   probe_ivf_pq_index(spark, path, list(q), k=10,
+                                      nprobe=n_cl).collect()}
+        raw_hits += len(raw_top & exact)
+        res_hits += len(res_top & exact)
+    codes_raw.unpersist()
+    # decisive margin, not a tie-break: ~3x on this geometry
+    assert res_hits >= raw_hits + len(queries), (raw_hits, res_hits)
+
+
+def test_duplicate_spans_persist_registry_and_opt_out(docs):
+    """The span family's internal persist is releasable (r9 ADVICE):
+    persist_registry receives the cached handle so batch pipelines
+    can unpersist deterministically, and persist=False produces the
+    same rows with nothing registered."""
+    from locustdb_spark.operators.dedup import duplicate_spans
+
+    reg = []
+    cached = duplicate_spans(docs, window=4, min_count=2,
+                             persist_registry=reg)
+    rows = sorted(map(tuple, cached.collect()))
+    assert len(reg) == 1
+    assert reg[0].storageLevel.useMemory  # actually persisted
+    reg[0].unpersist()
+    assert not reg[0].storageLevel.useMemory
+
+    reg2 = []
+    plain = duplicate_spans(docs, window=4, min_count=2,
+                            persist=False, persist_registry=reg2)
+    assert sorted(map(tuple, plain.collect())) == rows
+    assert reg2 == []
+
+
+def test_bloom_auto_sizing_and_saturation_warning(spark):
+    """m_bits sizing follows the eval gram count (r9 ADVICE): the
+    default auto-sizes to the next power of two >= 16 bits/gram (so
+    growing eval suites can't silently saturate the filter), an
+    explicit undersized m_bits warns with the per-gram FP rate and
+    the auto size, and a roomy explicit m_bits stays silent."""
+    import warnings
+
+    from locustdb_spark.operators.text import contamination_check_bloom
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "alpha beta gamma zulu")], "doc_id long, text string")
+
+    def bloom_warnings(caught):
+        return [str(w.message) for w in caught
+                if "per-gram FP" in str(w.message)]
+
+    # auto default: no warning, correct flags (2 grams -> 2^12 floor)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {r.doc_id: r.flagged for r in contamination_check_bloom(
+            train, ev, n=3).collect()}
+        assert not bloom_warnings(caught)
+    assert out == {1: True}
+
+    # explicit saturated filter: warns, names the auto size
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        contamination_check_bloom(train, ev, n=3, m_bits=4, k=4)
+        msgs = bloom_warnings(caught)
+    assert len(msgs) == 1 and "m_bits=None" in msgs[0]
+
+    # roomy explicit filter: silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        contamination_check_bloom(train, ev, n=3, m_bits=1 << 18)
+        assert not bloom_warnings(caught)

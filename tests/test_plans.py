@@ -613,3 +613,33 @@ def test_arrow_kernels_are_the_default_impl(spark):
         assert ("ArrowEvalPython" in plan
                 or "FlatMapGroupsInPandas" in plan), (name, plan[:600])
         assert "BatchEvalPython" not in plan, name
+
+
+def test_ivf_pq_probe_prunes_partitions_and_vector_column(
+        spark, tmp_path):
+    """The persisted IVF-PQ probe must prune BOTH ways (verdict r9
+    task 1): PartitionFilters carry the cluster IN-list (only nprobe
+    directories are read) and ReadSchema carries only (id, codes) —
+    the raw vector column never leaves the files even though the
+    layout stores it. That pairing is what makes a probe's IO
+    m bytes x |probed clusters' rows| at 100 TB."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, probe_ivf_pq_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    path = str(tmp_path / "ivf_pq_plan")
+    build_ivf_index(emb, path, centroids=cents, n_clusters=8,
+                    pq_codebooks=books)
+    q = [float(x) for x in emb.filter("vec_id = 3").head().embedding]
+    probed = probe_ivf_pq_index(spark, path, q, k=5, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0], plan[:800]
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "codes" in rs[0], plan[:800]
+    assert "embedding" not in rs[0], rs[0]  # vector column pruned
+    assert probed.count() == 5
