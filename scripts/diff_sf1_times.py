@@ -6,6 +6,11 @@ are noise-dominated (JVM dispatch floor), so the ratio check applies
 only when either side is >= min_sec. Usage:
 
     python scripts/diff_sf1_times.py old.json new.json [ratio] [min_sec]
+        [--json out.json]
+
+--json additionally writes the structured diff (r9 verdict task 7:
+the per-round diff is a committed artifact, diffable without
+re-reading prose — see bench_results/sf1_diff_r*.json).
 """
 
 from __future__ import annotations
@@ -14,16 +19,25 @@ import json
 import sys
 
 USAGE = ("usage: python scripts/diff_sf1_times.py old.json new.json "
-         "[ratio=1.5] [min_sec=2.0]")
+         "[ratio=1.5] [min_sec=2.0] [--json out.json]")
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        try:
+            json_out = argv[i + 1]
+        except IndexError:
+            sys.exit(USAGE)
+        del argv[i:i + 2]
+    if len(argv) < 2:
         sys.exit(USAGE)
-    old = json.load(open(sys.argv[1]))["entries"]
-    new = json.load(open(sys.argv[2]))["entries"]
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    min_sec = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+    old = json.load(open(argv[0]))["entries"]
+    new = json.load(open(argv[1]))["entries"]
+    ratio = float(argv[2]) if len(argv) > 2 else 1.5
+    min_sec = float(argv[3]) if len(argv) > 3 else 2.0
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     # an entry that HAS a row but lost its measurement (errored, null
@@ -61,6 +75,25 @@ def main() -> None:
               if rows else f"{title}: none")
         for r, k, a, b in rows:
             print(f"  {r:5.2f}x  {k}: {a:.1f}s -> {b:.1f}s")
+    if json_out:
+        payload = {
+            "old": argv[0], "new": argv[1],
+            "ratio": ratio, "min_sec": min_sec,
+            "entries_old": len(old), "entries_new": len(new),
+            "total_spark_sec_old": round(tot_old, 1),
+            "total_spark_sec_new": round(tot_new, 1),
+            "only_old": only_old, "only_new": only_new,
+            "unmeasured": unmeasured,
+            "slower": [{"ratio": round(r, 3), "key": k,
+                        "old_sec": a, "new_sec": b}
+                       for r, k, a, b in sorted(slower, reverse=True)],
+            "faster": [{"ratio": round(r, 3), "key": k,
+                        "old_sec": a, "new_sec": b}
+                       for r, k, a, b in sorted(faster)],
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
