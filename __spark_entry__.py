@@ -1596,12 +1596,21 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("recall_hits")))
     variants = spark.createDataFrame(
         [("raw",), ("residual",)], "variant string")
-    return (variants.join(hits, "variant", "left")
-            .select("variant",
-                    F.coalesce("recall_hits", F.lit(0))
-                    .cast("long").alias("recall_hits"),
-                    F.lit(nq).cast("long").alias("n_queries"),
-                    F.lit(10).cast("long").alias("k")))
+    final = (variants.join(hits, "variant", "left")
+             .select("variant",
+                     F.coalesce("recall_hits", F.lit(0))
+                     .cast("long").alias("recall_hits"),
+                     F.lit(nq).cast("long").alias("n_queries"),
+                     F.lit(10).cast("long").alias("k")))
+    # materialize inside the entry so the codes caches can be
+    # RELEASED (review r10: a lazy return would pin them for the
+    # session — the accumulation problem _maybe_persist exists for)
+    try:
+        rows, schema = final.collect(), final.schema
+    finally:
+        codes_raw.unpersist()
+        codes_res.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def p_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -888,20 +888,10 @@ def assign_cluster_seq(vec: list[float],
     `ivf_assign_expr` (max cosine, ties to the smaller cluster id),
     bit-consistent with the SQL oracle's `array_agg(... ORDER BY cos
     DESC, cid)[1]`. Used where a bounded collected slice needs the
-    same assignment the executors compute (e.g. residual anchors)."""
-    import math
-
-    vnorm = math.sqrt(sum(x * x for x in vec))
-    best_j, best_cos = 0, None
-    for j, cvec in enumerate(centroids):
-        d = 0.0
-        for a, b in zip(vec, cvec):
-            d += a * b
-        cn = math.sqrt(sum(x * x for x in cvec))
-        cos = d / (vnorm * cn)
-        if best_cos is None or cos > best_cos:
-            best_j, best_cos = j, cos
-    return best_j
+    same assignment the executors compute (e.g. residual anchors).
+    Delegates to `rank_probes_seq` so the sequential-cosine
+    convention lives in exactly one place (review r10)."""
+    return rank_probes_seq(centroids, vec, 1)[0]
 
 
 def sequential_cluster_anchors(
@@ -980,15 +970,25 @@ def residualize(
             df, centroids, vec_col=vec_col, id_col=id_col)
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
+    return assigned.withColumn(
+        out_col, _anchor_residual_expr(vec_col, anchors))
+
+
+def _anchor_residual_expr(vec_col: str,
+                          anchors: list[list[float]]) -> Column:
+    """x - anchor[cluster] as a zero-shuffle projection: anchors ride
+    as a literal array-of-arrays indexed by the row's `cluster`
+    column. The ONE definition of the residual convention, shared by
+    `residualize` and the persisted-index encode path so they cannot
+    drift apart (review r10)."""
     anchor_lit = F.array(*[
         F.array(*[F.lit(float(x)) for x in a]) for a in anchors
     ])
-    res = F.zip_with(
+    return F.zip_with(
         F.col(vec_col).cast("array<double>"),
         F.element_at(anchor_lit, F.col("cluster") + 1),
         lambda a, b: a - b,
     )
-    return assigned.withColumn(out_col, res)
 
 
 # ---------------------------------------------------------------------
@@ -1045,6 +1045,7 @@ def build_ivf_index(
             df, n_clusters, vec_col=vec_col, id_col=id_col)
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
+    stats_src = assigned  # still carries the vector column
     pq_meta = None
     if pq_codebooks is not None:
         pq_meta = {"m": len(pq_codebooks),
@@ -1064,8 +1065,12 @@ def build_ivf_index(
     if pq_meta is not None:
         _write_index_json(spark, path + "/_pq.json", pq_meta)
     if stats:
+        # a pure-codes layout (keep_vectors=False) has no vector
+        # column to read back — compute the baseline from the
+        # pre-encode assignment plan instead (review r10)
         base = _drift_stats(
-            spark.read.parquet(path), centroids, vec_col)
+            spark.read.parquet(path) if keep_vectors else stats_src,
+            centroids, vec_col)
         _write_index_json(
             spark, path + "/_stats.json",
             [r.asDict() for r in base.collect()])
@@ -1087,17 +1092,9 @@ def _pq_encode_assigned(
     columns. Pure projection — no shuffle."""
     src_col = vec_col
     if pq_meta.get("anchors") is not None:
-        anchor_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in a])
-            for a in pq_meta["anchors"]
-        ])
         assigned = assigned.withColumn(
             "_pq_res",
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.element_at(anchor_lit, F.col("cluster") + 1),
-                lambda a, b: a - b,
-            ))
+            _anchor_residual_expr(vec_col, pq_meta["anchors"]))
         src_col = "_pq_res"
     keep = [c for c in assigned.columns
             if c not in (id_col, "_pq_res")

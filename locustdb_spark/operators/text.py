@@ -507,9 +507,12 @@ def contamination_check_bloom(
     flags, so the two-tier routing silently degrades to re-checking
     the whole corpus): ``m_bits=None`` (default) sizes the filter
     from the COLLECTED eval gram count G as the next power of two
-    >= bits_per_gram * G (16 bits/gram -> per-gram FP ~ 2e-4 at k=4;
-    a 10M-gram suite costs 32 MB of bitset, still a constant
-    broadcast). An explicit m_bits is honored but audited: if the
+    >= bits_per_gram * G. At exactly 16 bits/gram, k=4 gives
+    per-gram FP (1-e^{-1/4})^4 ~ 2.4e-3; the power-of-two round-up
+    lands the actual ratio in [16, 32) bits/gram, i.e. p between
+    ~2.4e-3 and ~2.4e-4 (a 10M-gram suite costs <= 64 MB of bitset,
+    still a constant broadcast). An explicit m_bits is honored but
+    audited: if the
     per-gram FP rate p = (1 - e^{-kG/m})^k exceeds ``warn_fp``, a
     warning reports p and the auto size to use instead.
 
@@ -543,11 +546,12 @@ def contamination_check_bloom(
         .distinct().collect()
     )
     n_grams = len(gram_rows)
+    # next power of two >= bits_per_gram * G (floor 2^12 keeps tiny
+    # eval sets from degenerate single-word bitsets)
+    auto = 1 << max(12, (max(1, bits_per_gram * n_grams) - 1)
+                    .bit_length())
     if m_bits is None:
-        # next power of two >= bits_per_gram * G (floor 2^12 keeps
-        # tiny eval sets from degenerate single-word bitsets)
-        m_bits = 1 << max(12, (max(1, bits_per_gram * n_grams) - 1)
-                          .bit_length())
+        m_bits = auto
     else:
         import math
 
@@ -555,8 +559,6 @@ def contamination_check_bloom(
         if p > warn_fp:
             import warnings
 
-            auto = 1 << max(12, (max(1, bits_per_gram * n_grams) - 1)
-                            .bit_length())
             warnings.warn(
                 f"contamination_check_bloom: m_bits={m_bits} holds "
                 f"{n_grams} eval grams at a per-gram FP rate of "

@@ -51,9 +51,11 @@ def main() -> None:
     slower, faster = [], []
     for k in sorted(set(old) & set(new)):
         a, b = old[k].get("spark_sec"), new[k].get("spark_sec")
-        if a is None or b is None or a == 0 or max(a, b) < min_sec:
+        if a is None or b is None or max(a, b) < min_sec:
             continue
-        r = b / a
+        # a recorded 0.0 old against a slow new is the WORST ratio
+        # regression, not a skip (review r10): report as infinite
+        r = b / a if a else float("inf")
         if r > ratio:
             slower.append((r, k, a, b))
         elif r < 1 / ratio:
@@ -84,7 +86,10 @@ def main() -> None:
             "total_spark_sec_new": round(tot_new, 1),
             "only_old": only_old, "only_new": only_new,
             "unmeasured": unmeasured,
-            "slower": [{"ratio": round(r, 3), "key": k,
+            # infinite ratios (0.0 old) serialize as null — strict
+            # JSON has no Infinity; old_sec/new_sec carry the facts
+            "slower": [{"ratio": round(r, 3) if r != float("inf")
+                        else None, "key": k,
                         "old_sec": a, "new_sec": b}
                        for r, k, a, b in sorted(slower, reverse=True)],
             "faster": [{"ratio": round(r, 3), "key": k,
