@@ -586,7 +586,8 @@ def p_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", k=50).select("doc_id", "source")
 
 
-def _ngram_jaccard_blocked_pairs(docs: DataFrame) -> DataFrame:
+def _ngram_jaccard_blocked_pairs(docs: DataFrame,
+                                 impl: str = "expr") -> DataFrame:
     """Candidate pairs for the dedup_ngram_jaccard gate entries: block
     on (n_chars, minhash lane 0). r8 sf10 finding: blocking on n_chars
     ALONE degenerates quadratically on replica-mixed corpora — every
@@ -597,13 +598,21 @@ def _ngram_jaccard_blocked_pairs(docs: DataFrame) -> DataFrame:
     blocking recipe (mh0 equality ~ Jaccard similarity, the 1-band
     LSH bound) AND bit-reproducible in the DuckDB oracle. The
     operator's real production contract takes LSH-band candidates;
-    this block is the gate's oracle-expressible stand-in."""
+    this block is the gate's oracle-expressible stand-in.
+
+    ``impl="arrow"`` routes the signature through the bit-identical
+    Arrow md5-minhash kernel (r10: r9's 3.6 s arrow-entry timing was
+    an accident — Spark's CacheManager matched the expr entry's
+    persisted IDENTICAL blocked-pairs plan; once the expr entry was
+    capped the arrow entry paid the ~90 s interpreted blocking
+    itself)."""
     from locustdb_spark.operators.dedup import minhash_signatures
 
     # keep_cols carries n_chars through the signature projection —
     # one map-side pass, no corpus-corpus join back on doc_id
     blocked = minhash_signatures(
-        docs, num_hashes=NUM_MINHASHES, keep_cols=["n_chars"])
+        docs, num_hashes=NUM_MINHASHES, keep_cols=["n_chars"],
+        impl=impl)
     a = blocked.select(F.col("doc_id").alias("id_a"),
                        F.col("n_chars").alias("nc"),
                        F.col("mh0").alias("b0"))
@@ -1772,8 +1781,9 @@ def p_ngram_jaccard_arrow(spark: SparkSession,
     from locustdb_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, _ngram_jaccard_blocked_pairs(docs),
-                              impl="arrow")
+    out = ngram_jaccard_pairs(
+        docs, _ngram_jaccard_blocked_pairs(docs, impl="arrow"),
+        impl="arrow")
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
 

@@ -3570,3 +3570,33 @@ def test_bloom_auto_sizing_and_saturation_warning(spark):
         warnings.simplefilter("always")
         contamination_check_bloom(train, ev, n=3, m_bits=1 << 18)
         assert not bloom_warnings(caught)
+
+
+def test_minhash_arrow_kernel_bit_equal_to_expression(docs, spark):
+    """The Arrow md5-minhash kernel must be BIT-IDENTICAL to the
+    expression recipe on the real corpus (value for value, every
+    lane) — that is what lets the fast path share the expression
+    path's SQL oracle. Also pins the edge cases the expression path
+    defines: short text (truncated tail shingle), empty text
+    (md5(\"\")), and null text (null lanes)."""
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    expr = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=4).collect()))
+    arrow = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=4, impl="arrow").collect()))
+    assert arrow == expr
+
+    edge = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "ABCdef GHI")],
+        "doc_id long, text string")
+    e = sorted(map(tuple, minhash_signatures(
+        edge, num_hashes=3).collect()))
+    a = sorted(map(tuple, minhash_signatures(
+        edge, num_hashes=3, impl="arrow").collect()))
+    assert a == e
+
+    with pytest.raises(ValueError, match="md5"):
+        minhash_signatures(docs, impl="arrow", hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="impl"):
+        minhash_signatures(docs, impl="fast")
