@@ -497,6 +497,22 @@ def p_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES)
 
 
+def p_minhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_signatures(impl="arrow") — the Arrow md5 kernel (r10)
+    under the value-hash oracle: bit-identical signatures to the
+    expression recipe (per-batch shingle memo + numpy lane folds;
+    pytest-pinned incl. short/empty/null text), so it shares
+    dedup_minhash's SQL. This is the production signature path every
+    minhash consumer should ride at corpus scale — Catalyst evaluates
+    the per-shingle md5 transform interpreted, which made the
+    expression path the dominant cost of the whole dedup family."""
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _read(spark, sf_dir, "documents"), num_hashes=NUM_MINHASHES,
+        impl="arrow")
+
+
 def p_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive (clique) banding semantics — every same-band pair is
     emitted, quadratic in the largest bucket. Kept oracle-identical to
@@ -3630,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_cc": p_semantic_dedup_cc,
         "text_quality_classifier": p_quality_classifier,
         "dedup_minhash": p_minhash,
+        "dedup_minhash_arrow": p_minhash_arrow,
         "dedup_lsh_pairs": p_lsh_pairs,
         "dedup_lsh_pairs_collapsed": p_lsh_pairs_collapsed,
         "dedup_simhash_pairs": p_simhash_pairs,
@@ -7093,6 +7110,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_ngram_jaccard_arrow has its OWN (uncapped) SQL above:
         # the expr gate entry sweeps a doc_id % 4 cap since r10
         ("text_decontaminate_bloom_arrow", "text_decontaminate_bloom"),
+        ("dedup_minhash_arrow", "dedup_minhash"),
     ):
         o[arrow_key] = o[expr_key]
     # the persisted IVF-PQ probe is bit-identical to the in-memory
