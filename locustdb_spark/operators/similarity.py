@@ -913,10 +913,16 @@ def sequential_cluster_anchors(
     assignment is by cosine but residual energy is L2 — subtracting a
     unit-norm direction from un-normalized vectors barely shrinks
     them, while the cluster's raw mean is the L2-optimal single-point
-    anchor (measured on a clustered corpus: E||r||^2 falls ~3x and
-    ADC recall ~3x vs raw-vector PQ; see tests/test_operators.py
-    residual pins). Bounded by construction: one `first_n`-row
-    TakeOrderedAndProject collect regardless of corpus size.
+    anchor (measured on a clustered corpus with trained codebooks:
+    E||r||^2 falls ~6x and ADC recall@10 goes 23 -> 35 hits over 10
+    queries vs raw-vector PQ; pinned in tests/test_operators.py
+    test_pq_residual_recall_beats_raw_on_clustered_corpus). Bounded
+    by construction: one `first_n`-row TakeOrderedAndProject collect
+    regardless of corpus size. NB the prefix must SAMPLE every
+    cluster — on a cluster-ordered corpus a short prefix anchors only
+    the leading clusters and the rest fall back to zero anchors
+    (residual = raw, no benefit); size first_n accordingly or feed a
+    hash-shuffled id order.
     """
     rows = (
         df.orderBy(id_col).limit(first_n)
