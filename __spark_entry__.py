@@ -1397,13 +1397,25 @@ def p_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup groups are chains and the pairwise rule either
     over-prunes (drops members whose 'better keeper' was itself
     dropped) or keeps both chain ends. Same schema and assignment as
-    dedup_semantic, so the two entries diff cleanly."""
+    dedup_semantic, so the two entries diff cleanly.
+
+    GATE CAP (r10 verdict task 3, documented like dedup_ngram_jaccard
+    and dedup_embedding_cosine): the corpus is capped to
+    vec_id % 4 = 0 — the frozen-16 gate geometry makes the
+    within-cluster pair join quadratic BY ORACLE DESIGN (at sf10:
+    ~1.25e9 cosines, 1561.7 s spark + >100 GB DuckDB), and a 4x doc
+    cap is a 16x pair cap with identical semantics. Centroids stay
+    the full table's first 16 ids so the quantizer is cap-invariant;
+    the oracle applies the identical cap. Production-geometry scale
+    evidence (256 trained clusters, k ~ n/100, UNCAPPED sf10 corpus)
+    lives in bench_results/PRODGEO_sf10_r11.json via
+    scripts/prodgeo_sf10.py."""
     from locustdb_spark.operators.similarity import semantic_dedup
 
     emb = _read(spark, sf_dir, "embeddings")
     cents = _frozen_cents(emb)
-    return semantic_dedup(emb, cents, threshold=0.3,
-                          grouping="components")
+    return semantic_dedup(emb.filter(F.col("vec_id") % 4 == 0), cents,
+                          threshold=0.3, grouping="components")
 
 
 # Product quantization gate geometry: 64-dim embeddings -> 8
@@ -1516,6 +1528,50 @@ def p_pq_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded (<= 21 queries) at every sf.
 PQ_ANCHOR_N = 256
 PQ_RECALL_QUERY_MOD, PQ_RECALL_QUERY_CAP = 97, 2000
+
+# Exact re-rank candidate budget (Jegou et al. 2011 §V: k' = a few
+# times k; 5x is mid-range of the paper's 2-10x sweep).
+PQ_REFINE_KPRIME = 50
+
+
+def p_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval (verdict r10 task 2 — Jegou et al.
+    2011 §V "IVFADC+R", the canonical production shape): stage 1 is
+    `sim_pq_ivf_indexed`'s persisted probe but keeping the ADC top-50
+    CANDIDATES (k'=5x k), stage 2 semi-joins those 50 ids back
+    against the SAME probed directories — PartitionFilters still
+    prune, but this scan reads the VECTOR column instead of codes
+    (plan-pinned in tests/test_plans.py) — and re-ranks by exact
+    squared L2 against the unquantized query. Output: exact top-10
+    (vec_id, exact_dist), ascending, ties to the smaller id.
+
+    Every stage is sequential-fold arithmetic (frozen centroids +
+    codebooks, rank="seq" probe ranking, left-to-right L2 fold — the
+    same fold x_pq_recall's exact side already oracles green with),
+    so candidate choice AND re-rank replay in the SQL oracle.
+    recall(refined) >= recall(raw ADC) is pytest-pinned on the
+    clustered corpus (tests/test_operators.py)."""
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, probe_ivf_pq_index)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _frozen_cents(emb)
+    books = _pq_books(emb)
+    q = _query_vec(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_pq_refine_oracle_")
+    try:
+        build_ivf_index(emb, path, centroids=cents, assign="expr",
+                        pq_codebooks=books)
+        res = probe_ivf_pq_index(
+            spark, path, q, k=10, nprobe=IVF_FROZEN_NPROBE,
+            rank="seq", refine=PQ_REFINE_KPRIME)
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_adc_topk": p_pq_adc_topk,
         "sim_pq_ivf_topk": p_pq_ivf_topk,
         "sim_pq_ivf_indexed": p_pq_ivf_indexed,
+        "sim_pq_refine": p_pq_refine,
         "x_pq_recall": x_pq_recall,
         "sim_random_projection": p_random_projection,
         "text_langid": p_langid,
@@ -3904,10 +3961,16 @@ def _duck_pair_cos(x: str, y: str) -> str:
     )
 
 
-# Shared SemDeDup oracle prefix: frozen centroids (vec_id < 16),
+# Shared SemDeDup oracle prefix: frozen centroids (vec_id < 16,
+# ALWAYS from the full table so the quantizer is cap-invariant),
 # max-cosine cluster assignment, per-vector centroid cosine — mirrors
 # similarity.ivf_assign_expr + semantic_dedup's `base` projection.
-_DUCK_SEMDEDUP_CTES = """
+# `corpus_where` restricts the CORPUS (not the centroids) — the
+# dedup_semantic_cc gate entry sweeps a documented vec_id % 4 cap
+# (r10 verdict task 3; same precedent as dedup_embedding_cosine's r7
+# cap and dedup_ngram_jaccard's r9 cap).
+def _duck_semdedup_ctes(corpus_where: str = "") -> str:
+    return f"""
             WITH c AS (
               SELECT vec_id AS cid,
                      list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -3922,7 +3985,7 @@ _DUCK_SEMDEDUP_CTES = """
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                     * sqrt(list_sum(list_transform(cv, x -> x * x)))))
                     AS cos
-              FROM embeddings e, c
+              FROM (SELECT * FROM embeddings{corpus_where}) e, c
             ), assign AS (
               SELECT vec_id,
                      (array_agg(cid ORDER BY cos DESC, cid))[1]
@@ -3936,6 +3999,9 @@ _DUCK_SEMDEDUP_CTES = """
                                     x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings e JOIN assign a USING (vec_id)
             )"""
+
+
+_DUCK_SEMDEDUP_CTES = _duck_semdedup_ctes()
 
 
 # Shared product-quantization oracle prefix (must mirror
@@ -3971,6 +4037,55 @@ _DUCK_PQ_CTES = """
             ), codes AS (
               SELECT vec_id, m, (array_agg(j ORDER BY d, j))[1] AS code
               FROM d2 GROUP BY vec_id, m
+            )"""
+
+
+# Shared IVF-PQ coarse-stage oracle prefix (frozen 16 centroids,
+# nprobe=4, query = vec_id 0): ranks probes by query cosine
+# (mirrors rank_probes_seq), assigns every vector max-cosine
+# (mirrors ivf_assign_expr), and exposes `cand` = the ids in probed
+# clusters plus `ivq` = the raw query. Used by sim_pq_ivf_topk /
+# sim_pq_ivf_indexed (ADC over cand) and sim_pq_refine (ADC top-50
+# then exact re-rank).
+_DUCK_IVF_CAND_CTES = """
+            WITH ivc AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), ivq AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS qe
+              FROM embeddings WHERE vec_id = 0
+            ), pc AS (
+              -- nprobe=4 coarse probes, max query cosine, ties to the
+              -- smaller cid (mirrors rank_probes_seq)
+              SELECT cid FROM ivc, ivq
+              ORDER BY (
+                list_sum(list_transform(generate_series(1, len(cv)),
+                         i -> cv[i] * qe[i]))
+                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(qe, x -> x * x))))
+              ) DESC, cid
+              LIMIT 4
+            ), sims_vc AS (
+              SELECT e.vec_id, ivc.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * ivc.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, ivc
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster
+              FROM sims_vc GROUP BY vec_id
+            ), cand AS (
+              SELECT vec_id FROM assign
+              WHERE cluster IN (SELECT cid FROM pc)
             )"""
 
 
@@ -5752,7 +5867,15 @@ def oracle_sql() -> dict[str, str]:
                    (d.id IS NULL) AS keep
             FROM base b LEFT JOIN dropped d ON d.id = b.id
         """,
-        "dedup_semantic_cc": _DUCK_SEMDEDUP_CTES + """, e0 AS MATERIALIZED (
+        # vec_id % 4 = 0 mirrors the entry's corpus cap (r10 verdict
+        # task 3: the frozen-16 gate geometry's within-cluster pair
+        # join is quadratic by oracle design — at sf10 the uncapped
+        # entry cost 1561.7 s of every sweep and its DuckDB side
+        # needed >100 GB; the 4x doc cap is a 16x pair cap with
+        # identical semantics, and the production-geometry evidence
+        # lives in bench_results/PRODGEO_sf10_r11.json)
+        "dedup_semantic_cc": _duck_semdedup_ctes(
+            " WHERE vec_id % 4 = 0") + """, e0 AS MATERIALIZED (
               SELECT x.id AS src, y.id AS dst
               FROM base x JOIN base y
                 ON x.cluster = y.cluster AND x.id < y.id
@@ -6447,46 +6570,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adc_dist, c.vec_id
             LIMIT 10
         """,
-        "sim_pq_ivf_topk": """
-            WITH ivc AS (
-              SELECT vec_id AS cid,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE))
-                         AS cv
-              FROM embeddings WHERE vec_id < 16
-            ), ivq AS (
-              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
-                         AS qe
-              FROM embeddings WHERE vec_id = 0
-            ), pc AS (
-              -- nprobe=4 coarse probes, max query cosine, ties to the
-              -- smaller cid (mirrors rank_probes_seq)
-              SELECT cid FROM ivc, ivq
-              ORDER BY (
-                list_sum(list_transform(generate_series(1, len(cv)),
-                         i -> cv[i] * qe[i]))
-                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
-                   * sqrt(list_sum(list_transform(qe, x -> x * x))))
-              ) DESC, cid
-              LIMIT 4
-            ), sims_vc AS (
-              SELECT e.vec_id, ivc.cid,
-                (list_sum(list_transform(
-                     generate_series(1, len(e.embedding)),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * ivc.cv[i]))
-                 / (sqrt(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
-                    AS cos
-              FROM embeddings e, ivc
-            ), assign AS (
-              SELECT vec_id,
-                     (array_agg(cid ORDER BY cos DESC, cid))[1]
-                         AS cluster
-              FROM sims_vc GROUP BY vec_id
-            ), cand AS (
-              SELECT vec_id FROM assign
-              WHERE cluster IN (SELECT cid FROM pc)
-            )""" + _DUCK_PQ_CTES.replace(
+        "sim_pq_ivf_topk": _DUCK_IVF_CAND_CTES + _DUCK_PQ_CTES.replace(
             "\n            WITH sub AS (", ", sub AS (", 1) + """,
             qt AS (
               SELECT m, j, d FROM d2 WHERE vec_id = 0
@@ -6499,6 +6583,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN qt q ON q.m = cd.m AND q.j = cd.code
             GROUP BY cd.vec_id
             ORDER BY adc_dist, cd.vec_id
+            LIMIT 10
+        """,
+        # mirrors p_pq_refine: the ivf_topk recipe keeps its ADC
+        # top-50 as CANDIDATES (adc CTE), then re-ranks them by exact
+        # sequential-fold squared L2 against the raw query
+        "sim_pq_refine": _DUCK_IVF_CAND_CTES + _DUCK_PQ_CTES.replace(
+            "\n            WITH sub AS (", ", sub AS (", 1) + """,
+            qt AS (
+              SELECT m, j, d FROM d2 WHERE vec_id = 0
+            ), adc AS (
+              SELECT cd.vec_id,
+                     round(list_sum(array_agg(q.d ORDER BY cd.m)), 6)
+                         AS adc_dist
+              FROM codes cd
+              JOIN cand USING (vec_id)
+              JOIN qt q ON q.m = cd.m AND q.j = cd.code
+              GROUP BY cd.vec_id
+              ORDER BY adc_dist, cd.vec_id
+              LIMIT 50
+            )
+            SELECT e.vec_id,
+                   round(list_sum(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - ivq.qe[i])
+                            * (CAST(e.embedding[i] AS DOUBLE)
+                               - ivq.qe[i]))), 6) AS exact_dist
+            FROM adc JOIN embeddings e USING (vec_id), ivq
+            ORDER BY exact_dist, e.vec_id
             LIMIT 10
         """,
         "x_pq_recall": """

@@ -98,6 +98,16 @@ def minhash_signatures(
     per batch (hashlib + a memo, numpy for the lane folds). Same
     plan shape: zero shuffle, one projection. The expression recipe
     stays the oracle sibling.
+
+    Bit-identity caveat (r10 ADVICE): with ``lowercase=True`` the
+    kernel lowercases in CPython (`str.lower()`) while the expression
+    recipe lowercases in the JVM (`lower()`); the two agree on ASCII
+    and on every tested corpus, but CAN diverge on exotic non-ASCII
+    case mappings when the JVM and CPython ship different Unicode
+    data versions (e.g. a new case pair added in one Unicode release
+    before the other runtime picks it up). If cross-engine bit-parity
+    on arbitrary Unicode is required, pass ``lowercase=False`` and
+    normalize case upstream in ONE engine.
     """
     if impl == "arrow":
         if hash_fn != "md5":
@@ -309,6 +319,14 @@ def lsh_candidate_pairs(
       stopped before submission. The collapsed path never audits (its
       band source is signature-distinct reps and its per-group blowup
       is an O(n) star by construction).
+
+    RELEASE NOTE (r10): ``audit_bucket`` previously DEFAULTED to
+    50_000 — naive-path callers relying on that implicit warning must
+    now opt in. Recommended batch usage of the naive path::
+
+        lsh_candidate_pairs(sigs, collapse_exact=False,
+                            audit_bucket=50_000,
+                            audit_action="raise")
 
     The signature/representative table is persisted: it is id +
     num_hashes longs per document (a sliver of the corpus), and it is

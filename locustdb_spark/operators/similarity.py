@@ -930,6 +930,12 @@ def sequential_cluster_anchors(
                 F.col(vec_col).cast("array<double>").alias("_v"))
         .collect()
     )
+    if not rows:
+        # r10 ADVICE: rows[0] on an empty frame was an opaque
+        # IndexError; name the actual problem
+        raise ValueError(
+            "sequential_cluster_anchors: input DataFrame is empty — "
+            "anchors need at least one vector in the id prefix")
     dims = len(rows[0]._v)
     sums = [[0.0] * dims for _ in centroids]
     counts = [0] * len(centroids)
@@ -1053,6 +1059,12 @@ def build_ivf_index(
     assigned = assigner(df, centroids, vec_col, id_col)
     stats_src = assigned  # still carries the vector column
     pq_meta = None
+    if pq_anchors is not None and pq_codebooks is None:
+        # r10 ADVICE: anchors alone would be silently dropped and the
+        # caller would only find out at probe time (FileNotFoundError
+        # on _pq.json) — fail at build time instead
+        raise ValueError("pq_anchors requires pq_codebooks (residual "
+                         "encoding is a PQ layout feature)")
     if pq_codebooks is not None:
         pq_meta = {"m": len(pq_codebooks),
                    "k": len(pq_codebooks[0]),
@@ -1548,6 +1560,8 @@ def probe_ivf_pq_index(
     id_col: str = "vec_id",
     round_to: int | None = 6,
     rank: str = "numpy",
+    refine: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Query an IVF-PQ layout (`build_ivf_index(pq_codebooks=...)`):
     rank centroids against the query driver-side, then ADC-score ONLY
@@ -1563,8 +1577,34 @@ def probe_ivf_pq_index(
     the scan picks its table by the row's partition value through an
     nprobe-way CASE, still a pure projection. `rank="seq"` routes
     probe selection through `rank_probes_seq` (sequential arithmetic,
-    the SQL-oracle-reproducible twin); default numpy."""
+    the SQL-oracle-reproducible twin); default numpy.
+
+    ``refine=k'`` adds the canonical second stage (Jegou et al. 2011
+    §V, "IVFADC+R"): take the ADC top-k' CANDIDATES, semi-join their
+    ids back against the SAME probed directories — this second scan
+    keeps the `cluster IN (...)` PartitionFilters prune but reads
+    (id, `vec_col`) instead of codes — and re-rank by exact squared
+    L2 against the unquantized query, returning the top-k as
+    (id_col, exact_dist). The candidate set rides as a broadcast
+    k'-row semi-join key list, so the refine costs one pruned scan of
+    the vector column over nprobe/n_clusters of the corpus plus k'
+    exact distances; recall(refined) >= recall(raw ADC) whenever k'
+    covers the ADC rank of the true neighbors (pytest-pinned on the
+    clustered corpus). Requires a layout built with
+    ``keep_vectors=True`` (the default); a pure-codes tier
+    (keep_vectors=False) has no vector column to re-rank against."""
+    if nprobe < 1:
+        # r10 ADVICE: nprobe<1 left the residual CASE unseeded and
+        # surfaced as an opaque AttributeError on F.round(None)
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if refine is not None and refine < k:
+        raise ValueError(
+            f"refine (k'={refine}) must be >= k ({k}) — the re-rank "
+            "can only return candidates the ADC stage surfaced")
     centroids = _read_ivf_centroids(spark, path)
+    if not centroids:
+        raise ValueError(
+            f"{path}/_centroids.json is empty — no clusters to probe")
     pq_meta = _read_index_json(spark, path + "/_pq.json")
     if pq_meta is None:
         raise FileNotFoundError(
@@ -1591,9 +1631,37 @@ def probe_ivf_pq_index(
                     else dist.when(F.col("cluster") == c, branch))
     if round_to is not None:
         dist = F.round(dist, round_to)
-    return (
+    adc = (
         scan.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(refine if refine is not None else k)
+    )
+    if refine is None:
+        return adc
+    # second stage: exact re-rank of the ADC candidates. A fresh scan
+    # of the same probed directories, reading (id, vec_col) this time
+    # — PartitionFilters still prune to the nprobe clusters, and the
+    # k'-row candidate list broadcasts into a semi-join so the corpus
+    # never shuffles.
+    vec_scan = (spark.read.parquet(path)
+                .filter(F.col("cluster").isin(probe)))
+    if vec_col not in vec_scan.columns:
+        raise ValueError(
+            f"refine needs the {vec_col!r} column in the layout — "
+            "this index was built with keep_vectors=False (pure codes "
+            "tier); re-rank against a separate vector store instead")
+    cands = vec_scan.join(F.broadcast(adc.select(id_col)), id_col,
+                          "left_semi")
+    exact = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"),
+                   F.array(*[F.lit(float(x)) for x in query_vec]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is not None:
+        exact = F.round(exact, round_to)
+    return (
+        cands.select(F.col(id_col), exact.alias("exact_dist"))
+        .orderBy(F.col("exact_dist").asc(), F.col(id_col))
         .limit(k)
     )
 

@@ -1,0 +1,242 @@
+"""Production-geometry sf10 runs as a COMMITTED, re-runnable artifact
+(verdict r10 task 1: the 100 TB story's best numbers — trained-k
+SemDeDup-CC and the trained+residual persisted IVF-PQ probe — lived
+in BENCH_NOTES prose from single contended runs; this script is the
+recipe and bench_results/PRODGEO_sf10_r11.json the receipt).
+
+What it runs, on the UNCAPPED sf10 corpus (200k embeddings from
+scripts/make_sf1.py replicas=100):
+
+1. SemDeDup-CC at production geometries — trained k-means coarse
+   quantizer at n_clusters=256 (the r10 prose run) and n_clusters=2048
+   (the paper's k ~ n/100 at this corpus; Abbas et al. 2023), same
+   operator + threshold + components grouping as the oracle-gated
+   `dedup_semantic_cc` entry (which stays the frozen-16, vec_id%4
+   capped oracle-bound worst case). Records wall, Spark job count,
+   row/survivor counts, and the order-independent two-prime value
+   checksum (scripts/check_pairs_at_scale.py arithmetic) so a re-run
+   can detect value drift without a driver-side collect.
+
+2. Persisted IVF-PQ at production geometry — trained 256-cluster
+   quantizer, k-means-trained codebooks, residual anchors
+   (sequential_cluster_anchors over an 8192-id prefix), numpy
+   assignment; separate walls for build (assign + residual-encode +
+   partitioned write + sidecars) and probe (ADC over the nprobe
+   pruned directories), plus the r11 exact re-rank stage
+   (refine=50). Records recall@10 of both probe variants against the
+   exact squared-L2 top-10 (computed engine-side, same fold as
+   x_pq_recall's exact arm).
+
+3. Value-consistency anchor vs the frozen-geometry oracle siblings:
+   the FROZEN persisted probe (16 frozen centroids, frozen codebooks,
+   rank="seq") must return row-for-row exactly what the in-memory
+   `sim_pq_ivf_topk` composition returns — the same bit-identity
+   contract the driver's oracle gates (oracle_sql maps
+   sim_pq_ivf_indexed to the sim_pq_ivf_topk SQL). This pins that
+   the production runs exercise the SAME code path the correctness
+   gate proves, differing only in geometry.
+
+Usage: python scripts/prodgeo_sf10.py [sf_dir] [out_json]
+       (defaults: /tmp/testdata_sf10 bench_results/PRODGEO_sf10_r11.json)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+SEMCC_GEOMETRIES = (256, 2048)
+IVF_CLUSTERS = 256
+IVF_NPROBE = 32          # same 1/8 probe fraction as the gate's 4/16
+ANCHOR_PREFIX = 8192     # ~32 ids/cluster at 256 clusters
+REFINE_KPRIME = 50
+PQ_M, PQ_K = 8, 16
+
+
+def _timed(spark, group: str, fn):
+    """Run fn under a named job group; return (result, wall_s, jobs)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    t0 = time.time()
+    out = fn()
+    wall = round(time.time() - t0, 1)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    sc.setJobGroup("", "")
+    return out, wall, jobs
+
+
+def _fingerprint(df) -> dict:
+    """Order-independent two-prime checksum triple (count, s1, s2) —
+    exactly check_pairs_at_scale's arithmetic, computed executor-side
+    so no result rows reach the driver."""
+    from check_pairs_at_scale import _spark_triple
+
+    n, s1, s2 = _spark_triple(df)
+    return {"rows": n, "s1": str(s1), "s2": str(s2)}
+
+
+def _exact_l2_top10(spark, emb, q: list[float]) -> list[int]:
+    from pyspark.sql import functions as F
+
+    d = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.array(*[F.lit(float(x)) for x in q]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    rows = (emb.select("vec_id", d.alias("d"))
+            .orderBy("d", "vec_id").limit(10).collect())
+    return [int(r.vec_id) for r in rows]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf10"
+    out_path = (sys.argv[2] if len(sys.argv) > 2
+                else "bench_results/PRODGEO_sf10_r11.json")
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from locustdb_spark import get_spark
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, kmeans_centroids, pq_codebooks_kmeans,
+        probe_ivf_pq_index, semantic_dedup,
+        sequential_cluster_anchors)
+
+    spark = get_spark(app_name="prodgeo-sf10")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    report = {
+        "sf_dir": sf_dir,
+        "corpus_rows": n,
+        "generated_by": "scripts/prodgeo_sf10.py",
+        "runs": {},
+    }
+
+    # -------- 1. SemDeDup-CC production geometries --------------------
+    for k in SEMCC_GEOMETRIES:
+        cents, train_wall, train_jobs = _timed(
+            spark, f"semcc_train_{k}",
+            lambda k=k: kmeans_centroids(emb, n_clusters=k))
+
+        def _run(cents=cents):
+            out = semantic_dedup(emb, cents, threshold=0.3,
+                                 grouping="components")
+            agg = out.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("keep").cast("long")).alias("survivors"),
+            ).head()
+            fp = _fingerprint(out)
+            return {"rows": int(agg.rows),
+                    "survivors": int(agg.survivors),
+                    "fingerprint": fp}
+        res, wall, jobs = _timed(spark, f"semcc_{k}", _run)
+        report["runs"][f"semdedup_cc_trained_k{k}"] = {
+            "config": {"n_clusters": k, "threshold": 0.3,
+                       "grouping": "components",
+                       "corpus": f"UNCAPPED {sf_dir} embeddings"},
+            "train_wall_s": train_wall, "train_jobs": train_jobs,
+            "wall_s": wall, "jobs": jobs, **res,
+        }
+        print(json.dumps({f"semcc_k{k}": report["runs"]
+                          [f"semdedup_cc_trained_k{k}"]}), flush=True)
+
+    # -------- 2. persisted IVF-PQ, trained + residual ------------------
+    q = [float(x)
+         for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    cents, t_wall, t_jobs = _timed(
+        spark, "ivf_train",
+        lambda: kmeans_centroids(emb, n_clusters=IVF_CLUSTERS))
+    anchors, a_wall, a_jobs = _timed(
+        spark, "ivf_anchors",
+        lambda: sequential_cluster_anchors(emb, cents,
+                                           first_n=ANCHOR_PREFIX))
+    books, b_wall, b_jobs = _timed(
+        spark, "pq_train",
+        lambda: pq_codebooks_kmeans(emb, m=PQ_M, k=PQ_K))
+    path = tempfile.mkdtemp(prefix="prodgeo_ivfpq_")
+    try:
+        _, build_wall, build_jobs = _timed(
+            spark, "ivf_build",
+            lambda: build_ivf_index(emb, path, centroids=cents,
+                                    pq_codebooks=books,
+                                    pq_anchors=anchors))
+        adc_rows, probe_wall, probe_jobs = _timed(
+            spark, "ivf_probe",
+            lambda: probe_ivf_pq_index(spark, path, q, k=10,
+                                       nprobe=IVF_NPROBE).collect())
+        ref_rows, ref_wall, ref_jobs = _timed(
+            spark, "ivf_refine",
+            lambda: probe_ivf_pq_index(
+                spark, path, q, k=10, nprobe=IVF_NPROBE,
+                refine=REFINE_KPRIME).collect())
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    exact10 = set(_exact_l2_top10(spark, emb, q))
+    adc_ids = [int(r.vec_id) for r in adc_rows]
+    ref_ids = [int(r.vec_id) for r in ref_rows]
+    report["runs"]["ivf_pq_trained_residual"] = {
+        "config": {"n_clusters": IVF_CLUSTERS, "nprobe": IVF_NPROBE,
+                   "pq_m": PQ_M, "pq_k": PQ_K,
+                   "anchors": f"sequential_cluster_anchors(first_n="
+                              f"{ANCHOR_PREFIX})",
+                   "codebooks": "pq_codebooks_kmeans (trained)",
+                   "refine": REFINE_KPRIME},
+        "train_wall_s": t_wall, "anchors_wall_s": a_wall,
+        "codebooks_wall_s": b_wall,
+        "build_wall_s": build_wall, "build_jobs": build_jobs,
+        "probe_wall_s": probe_wall, "probe_jobs": probe_jobs,
+        "refine_wall_s": ref_wall, "refine_jobs": ref_jobs,
+        "adc_top10": adc_ids,
+        "refined_top10": ref_ids,
+        "recall_at_10_adc": len(set(adc_ids) & exact10) / 10.0,
+        "recall_at_10_refined": len(set(ref_ids) & exact10) / 10.0,
+    }
+    print(json.dumps({"ivf_pq": report["runs"]
+                      ["ivf_pq_trained_residual"]}), flush=True)
+
+    # -------- 3. frozen-geometry value-consistency anchor --------------
+    qs = entry.queries()
+    frozen_indexed, fi_wall, _ = _timed(
+        spark, "frozen_indexed",
+        lambda: [tuple(r) for r in
+                 qs["sim_pq_ivf_indexed"](spark, sf_dir).collect()])
+    frozen_topk, ft_wall, _ = _timed(
+        spark, "frozen_topk",
+        lambda: [tuple(r) for r in
+                 qs["sim_pq_ivf_topk"](spark, sf_dir).collect()])
+    consistent = frozen_indexed == frozen_topk
+    report["runs"]["frozen_consistency"] = {
+        "note": "persisted frozen probe must equal the in-memory "
+                "composition row-for-row (the oracle-gated "
+                "bit-identity contract); proves the production runs "
+                "above share the gate's code path",
+        "sim_pq_ivf_indexed_wall_s": fi_wall,
+        "sim_pq_ivf_topk_wall_s": ft_wall,
+        "rows_equal": consistent,
+        "top10": [list(t) for t in frozen_indexed],
+    }
+    print(json.dumps({"frozen_consistency": consistent}), flush=True)
+
+    assert consistent, "frozen persisted probe diverged from the " \
+        "in-memory composition — investigate before trusting the " \
+        "production-geometry numbers"
+    ref_ok = (report["runs"]["ivf_pq_trained_residual"]
+              ["recall_at_10_refined"]
+              >= report["runs"]["ivf_pq_trained_residual"]
+              ["recall_at_10_adc"])
+    report["refined_recall_ge_adc"] = ref_ok
+
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

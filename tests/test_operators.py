@@ -3508,6 +3508,93 @@ def test_pq_residual_recall_beats_raw_on_clustered_corpus(
     assert res_hits >= raw_hits + len(queries), (raw_hits, res_hits)
 
 
+def test_pq_refine_recall_ge_adc_on_clustered_corpus(spark, tmp_path):
+    """Exact re-rank over ADC candidates (probe_ivf_pq_index
+    refine=k', Jegou et al. 2011 §V — verdict r10 task 2): on the
+    clustered corpus, refined recall@10 must be >= raw ADC recall@10
+    summed over the query batch — the second stage can only replace a
+    quantization-noise candidate with a true neighbor the k'=50
+    window already surfaced, never lose one (exact distances are a
+    re-rank of a SUPERSET of the ADC top-10). Also checks the refined
+    distances equal the numpy exact squared L2."""
+    import numpy as np
+
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, kmeans_centroids, pq_codebooks_kmeans,
+        probe_ivf_pq_index)
+
+    rng = np.random.RandomState(11)
+    n_cl, per, dims = 8, 50, 64
+    centers = rng.randn(n_cl, dims) * 3.0
+    data = np.vstack([centers[c] + rng.randn(per, dims) * 0.5
+                      for c in range(n_cl)])
+    ids = np.arange(len(data))
+    d = spark.createDataFrame(
+        [(int(i), [float(v) for v in row])
+         for i, row in zip(ids, data)],
+        "vec_id long, embedding array<double>").coalesce(4)
+    cents = kmeans_centroids(d, n_clusters=n_cl)
+    books = pq_codebooks_kmeans(d, m=8, k=16)
+    path = str(tmp_path / "refinepq")
+    build_ivf_index(d, path, centroids=cents, pq_codebooks=books)
+
+    queries = [(int(i), data[j]) for j, i in enumerate(ids)
+               if i % 37 == 0]
+    adc_hits = ref_hits = 0
+    for qid, q in queries:
+        exact = _exact_l2_topk_ids(ids, data, q)
+        adc_top = {r.vec_id for r in
+                   probe_ivf_pq_index(spark, path, list(q), k=10,
+                                      nprobe=n_cl).collect()}
+        ref_rows = probe_ivf_pq_index(spark, path, list(q), k=10,
+                                      nprobe=n_cl,
+                                      refine=50).collect()
+        ref_hits += len({r.vec_id for r in ref_rows} & exact)
+        adc_hits += len(adc_top & exact)
+        # refined distances ARE the exact squared L2 (rounded)
+        for r in ref_rows:
+            want = round(float(((data[r.vec_id] - q) ** 2).sum()), 6)
+            assert abs(r.exact_dist - want) < 1e-9, (r, want)
+    assert ref_hits >= adc_hits, (adc_hits, ref_hits)
+    # on a clustered corpus with a 5x candidate window the re-rank
+    # should be a strict improvement, not a tie
+    assert ref_hits > adc_hits, (adc_hits, ref_hits)
+
+
+def test_pq_refine_and_probe_argument_guards(spark, emb, tmp_path):
+    """The r10 ADVICE guards fail fast with named errors instead of
+    opaque AttributeError/IndexError/FileNotFoundError downstream:
+    nprobe < 1, refine < k, refine against a pure-codes layout,
+    pq_anchors without pq_codebooks, and empty-input anchors."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, probe_ivf_pq_index,
+        sequential_cluster_anchors)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 4").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    q = [float(x) for x in emb.filter("vec_id = 0").head().embedding]
+
+    with pytest.raises(ValueError, match="pq_anchors requires"):
+        build_ivf_index(emb, str(tmp_path / "never"), centroids=cents,
+                        pq_anchors=cents)
+
+    path = str(tmp_path / "codesonly")
+    build_ivf_index(emb, path, centroids=cents, pq_codebooks=books,
+                    keep_vectors=False)
+    with pytest.raises(ValueError, match="nprobe must be >= 1"):
+        probe_ivf_pq_index(spark, path, q, k=5, nprobe=0)
+    with pytest.raises(ValueError, match="must be >= k"):
+        probe_ivf_pq_index(spark, path, q, k=10, refine=5)
+    with pytest.raises(ValueError, match="keep_vectors=False"):
+        probe_ivf_pq_index(spark, path, q, k=5, nprobe=2,
+                           refine=20).collect()
+
+    with pytest.raises(ValueError, match="empty"):
+        sequential_cluster_anchors(emb.filter("vec_id < 0"), cents)
+
+
 def test_duplicate_spans_persist_registry_and_opt_out(docs):
     """The span family's internal persist is releasable (r9 ADVICE):
     persist_registry receives the cached handle so batch pipelines

@@ -643,3 +643,45 @@ def test_ivf_pq_probe_prunes_partitions_and_vector_column(
     assert rs and "codes" in rs[0], plan[:800]
     assert "embedding" not in rs[0], rs[0]  # vector column pruned
     assert probed.count() == 5
+
+
+def test_ivf_pq_refine_scan_stays_pruned_and_reads_vectors(
+        spark, tmp_path):
+    """The exact re-rank stage (verdict r10 task 2) must keep the
+    directory prune while switching columns: the refined probe's plan
+    carries TWO parquet scans of the layout — the ADC stage reading
+    (id, codes) and the refine stage reading (id, vec) — and BOTH
+    must show the `cluster IN (...)` PartitionFilters. The refine
+    scan reading `embedding` but never `codes` (and vice versa) is
+    what bounds stage-2 IO to nprobe/n_clusters of the VECTOR bytes
+    plus a broadcast k'-row semi-join — no full-corpus vector scan
+    sneaks back in behind the ADC prune."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, probe_ivf_pq_index)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    path = str(tmp_path / "ivf_pq_refine_plan")
+    build_ivf_index(emb, path, centroids=cents, n_clusters=8,
+                    pq_codebooks=books)
+    q = [float(x) for x in emb.filter("vec_id = 3").head().embedding]
+    refined = probe_ivf_pq_index(spark, path, q, k=5, nprobe=2,
+                                 refine=20)
+    plan = refined._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 2, plan[:1200]          # both scans present
+    assert all("cluster" in ln for ln in pf)  # both pruned
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    codes_scans = [ln for ln in rs
+                   if "codes" in ln and "embedding" not in ln]
+    vec_scans = [ln for ln in rs
+                 if "embedding" in ln and "codes" not in ln]
+    assert len(codes_scans) == 1, rs  # ADC stage: codes only
+    assert len(vec_scans) == 1, rs    # refine stage: vectors only
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, \
+        plan[:1200]                   # candidate list broadcasts
+    out = refined.collect()
+    assert len(out) == 5 and out[0].exact_dist <= out[-1].exact_dist
