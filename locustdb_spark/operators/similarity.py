@@ -426,6 +426,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     round_to: int | None = 6,
     grouping: str = "pairwise",
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column. Each vector is
@@ -460,16 +461,24 @@ def semantic_dedup(
     out of one aggregation.
 
     Scale shape: assignment and centroid cosine are pure projections
-    against broadcast literal centroids (`ivf_assign_expr` — the
+    against broadcast literal centroids. ``assign="expr"`` (default)
+    routes assignment through `ivf_assign_expr` — the
     bit-reproducible sequential-fold arithmetic that keeps this
-    operator oracle-checkable; `kmeans_centroids` is the production
-    centroid source). The only shuffle is the within-cluster
-    self-join, and SemDeDup's design is precisely what bounds it: k
-    is chosen proportional to corpus size (the paper uses ~n/100
-    clusters), so cluster populations — and each join block — stay
-    O(avg cluster), never O(corpus).
+    operator oracle-checkable, but INTERPRETED and O(k) fold
+    evaluations per row, so its cost grows with the cluster count;
+    ``assign="numpy"`` routes through the Arrow-batched matmul
+    (`ivf_assign`), the production path at the paper's k ~ n/100
+    geometry where k is in the thousands (r11: at k=2048 the expr
+    assignment alone dominated the pipeline; the matmul is one
+    BLAS call per batch regardless of k). `kmeans_centroids` is the
+    production centroid source. The only shuffle is the
+    within-cluster self-join, and SemDeDup's design is precisely
+    what bounds it: k is chosen proportional to corpus size (the
+    paper uses ~n/100 clusters), so cluster populations — and each
+    join block — stay O(avg cluster), never O(corpus).
     """
-    assigned = ivf_assign_expr(df, centroids, vec_col, id_col)
+    assigner = ivf_assign_expr if assign == "expr" else ivf_assign
+    assigned = assigner(df, centroids, vec_col, id_col)
     cent_arr = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])

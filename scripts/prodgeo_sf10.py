@@ -126,8 +126,12 @@ def main() -> None:
             lambda k=k: kmeans_centroids(emb, n_clusters=k))
 
         def _run(cents=cents):
+            # assign="numpy": the Arrow-batched matmul assignment —
+            # the production path at k ~ n/100 (the interpreted expr
+            # assigner is O(k) folds per row and exists for the SQL
+            # oracle, whose gate entry runs frozen k=16)
             out = semantic_dedup(emb, cents, threshold=0.3,
-                                 grouping="components")
+                                 grouping="components", assign="numpy")
             agg = out.agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.col("keep").cast("long")).alias("survivors"),
@@ -139,7 +143,7 @@ def main() -> None:
         res, wall, jobs = _timed(spark, f"semcc_{k}", _run)
         report["runs"][f"semdedup_cc_trained_k{k}"] = {
             "config": {"n_clusters": k, "threshold": 0.3,
-                       "grouping": "components",
+                       "grouping": "components", "assign": "numpy",
                        "corpus": f"UNCAPPED {sf_dir} embeddings"},
             "train_wall_s": train_wall, "train_jobs": train_jobs,
             "wall_s": wall, "jobs": jobs, **res,

@@ -888,6 +888,27 @@ def test_semantic_dedup_components_vs_pairwise_on_chain(spark):
         semantic_dedup(d, cents, grouping="nope")
 
 
+def test_semantic_dedup_numpy_assign_matches_expr(emb):
+    """assign="numpy" (r11: the production assignment at k ~ n/100,
+    one Arrow-batched matmul per batch instead of O(k) interpreted
+    folds per row) must produce the same (cluster, keep) verdicts as
+    the oracle-checkable expr assigner on the sf corpus — argmax over
+    cosines is tie-free here, so the two float paths agree exactly."""
+    from locustdb_spark.operators.similarity import semantic_dedup
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    expr = {r.vec_id: (r.cluster, r.keep)
+            for r in semantic_dedup(emb, cents, threshold=0.3,
+                                    grouping="components").collect()}
+    np_ = {r.vec_id: (r.cluster, r.keep)
+           for r in semantic_dedup(emb, cents, threshold=0.3,
+                                   grouping="components",
+                                   assign="numpy").collect()}
+    assert expr == np_
+
+
 def test_pq_encode_and_adc_known_values(spark):
     """PQ encode: per-subspace squared-L2 argmin with ties to the
     smaller codeword index; ADC: sum of query-to-codeword table
