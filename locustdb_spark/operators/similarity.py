@@ -318,10 +318,20 @@ def ivf_assign(
     Output: input columns + `cluster` (int). At scale, write the table
     partitioned by `cluster` so probes prune partitions; re-assignment
     after retraining is a single scan+write.
+
+    Centroids are L2-normalized here (review r11): argmax(x̂ @ cᵀ) is
+    max-COSINE only when the centroid rows are unit-norm too —
+    `kmeans_centroids` (spherical) already returns unit rows, but
+    frozen-raw-vector centroids on a non-normalized corpus would
+    otherwise make this path diverge from `ivf_assign_expr`'s true
+    cosine. Zero-norm centroids stay zero (dot 0, never win) rather
+    than dividing by zero.
     """
     from pyspark.sql.functions import pandas_udf
 
     c = np.array(centroids, dtype=float)
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    c = c / np.where(cn == 0, 1.0, cn)
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
@@ -477,6 +487,9 @@ def semantic_dedup(
     paper uses ~n/100 clusters), so cluster populations — and each
     join block — stay O(avg cluster), never O(corpus).
     """
+    if assign not in ("expr", "numpy"):
+        raise ValueError(
+            f"assign must be 'expr' or 'numpy', got {assign!r}")
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
     cent_arr = F.array(*[

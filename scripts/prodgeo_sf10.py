@@ -240,6 +240,11 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(f"wrote {out_path}")
+    # a receipt that records a red headline claim must not exit green
+    # (review r11): the refine stage can only re-rank a superset of
+    # the ADC top-k, so refined < ADC recall means a real regression
+    assert ref_ok, "refined recall fell below raw ADC recall — " \
+        "refine-path regression; see recall_at_10_* in the artifact"
 
 
 if __name__ == "__main__":
