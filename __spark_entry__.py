@@ -1534,6 +1534,47 @@ PQ_RECALL_QUERY_MOD, PQ_RECALL_QUERY_CAP = 97, 2000
 PQ_REFINE_KPRIME = 50
 
 
+def p_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVFADC+R over the persisted layout (similarity.
+    pq_knn_join — r11): the x_pq_recall query batch (every 97th id
+    below 2000, <= 21 queries) probes the frozen-geometry IVF-PQ
+    index per query — nprobe=4 sequential-ranked probes, ADC over
+    the pruned directories' codes, per-query ADC top-50 candidates,
+    exact squared-L2 re-rank to top-10 — in ONE plan: the corpus
+    never shuffles (codes scan pruned to the union of probed
+    directories, query side broadcast with per-(query, cluster) ADC
+    tables, candidates broadcast back against the pruned vector
+    scan), only derived (q_id, id, dist) triples shuffle into the
+    per-query windows. Self-matches excluded (each query is a corpus
+    member). Every stage is sequential-fold arithmetic, so probe
+    choice, candidate sets, and re-rank all replay in the SQL
+    oracle. Output: (q_id, vec_id, exact_dist), the batch form of
+    `sim_pq_refine`."""
+    import shutil
+    import tempfile
+
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_knn_join)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _frozen_cents(emb)
+    books = _pq_books(emb)
+    queries = emb.filter(
+        (F.col("vec_id") % PQ_RECALL_QUERY_MOD == 0)
+        & (F.col("vec_id") < PQ_RECALL_QUERY_CAP))
+    path = tempfile.mkdtemp(prefix="ivf_pq_knn_oracle_")
+    try:
+        build_ivf_index(emb, path, centroids=cents, assign="expr",
+                        pq_codebooks=books)
+        res = pq_knn_join(spark, path, queries, k=10,
+                          nprobe=IVF_FROZEN_NPROBE, rank="seq",
+                          refine=PQ_REFINE_KPRIME)
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def p_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage IVF-PQ retrieval (verdict r10 task 2 — Jegou et al.
     2011 §V "IVFADC+R", the canonical production shape): stage 1 is
@@ -3738,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_ivf_topk": p_pq_ivf_topk,
         "sim_pq_ivf_indexed": p_pq_ivf_indexed,
         "sim_pq_refine": p_pq_refine,
+        "sim_pq_knn_join": p_pq_knn_join,
         "x_pq_recall": x_pq_recall,
         "sim_random_projection": p_random_projection,
         "text_langid": p_langid,
@@ -6612,6 +6654,94 @@ def oracle_sql() -> dict[str, str]:
             FROM adc JOIN embeddings e USING (vec_id), ivq
             ORDER BY exact_dist, e.vec_id
             LIMIT 10
+        """,
+        # mirrors p_pq_knn_join: the per-QUERY generalization of
+        # sim_pq_refine — probes ranked per query (row_number over
+        # query cosine), per-query ADC top-50 excluding self, exact
+        # re-rank to top-10 per query
+        "sim_pq_knn_join": """
+            WITH ivc AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), q AS (
+              SELECT vec_id AS q_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS qe
+              FROM embeddings
+              WHERE vec_id % 97 = 0 AND vec_id < 2000
+            ), qprobes AS (
+              -- nprobe=4 per query, max cosine, ties to smaller cid
+              SELECT q_id, cid FROM (
+                SELECT q.q_id, ivc.cid, row_number() OVER (
+                  PARTITION BY q.q_id ORDER BY (
+                    list_sum(list_transform(
+                        generate_series(1, len(ivc.cv)),
+                        i -> ivc.cv[i] * q.qe[i]))
+                    / (sqrt(list_sum(list_transform(ivc.cv,
+                           x -> x * x)))
+                       * sqrt(list_sum(list_transform(q.qe,
+                           x -> x * x))))
+                  ) DESC, ivc.cid) AS rn
+                FROM q, ivc
+              ) WHERE rn <= 4
+            ), sims_vc AS (
+              SELECT e.vec_id, ivc.cid,
+                (list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * ivc.cv[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                    AS cos
+              FROM embeddings e, ivc
+            ), assign AS (
+              SELECT vec_id,
+                     (array_agg(cid ORDER BY cos DESC, cid))[1]
+                         AS cluster
+              FROM sims_vc GROUP BY vec_id
+            ), cand AS (
+              SELECT p.q_id, a.vec_id
+              FROM qprobes p JOIN assign a ON a.cluster = p.cid
+            )""" + _DUCK_PQ_CTES.replace(
+            "\n            WITH sub AS (", ", sub AS (", 1) + """,
+            qt AS (
+              SELECT qq.q_id, d.m, d.j, d.d
+              FROM d2 d JOIN q qq ON d.vec_id = qq.q_id
+            ), adcb AS (
+              SELECT c2.q_id, cd.vec_id,
+                     round(list_sum(array_agg(t.d ORDER BY cd.m)), 6)
+                         AS adc_dist
+              FROM codes cd
+              JOIN cand c2 ON c2.vec_id = cd.vec_id
+              JOIN qt t ON t.q_id = c2.q_id AND t.m = cd.m
+                        AND t.j = cd.code
+              WHERE cd.vec_id <> c2.q_id
+              GROUP BY c2.q_id, cd.vec_id
+            ), cand50 AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+                FROM adcb
+              ) WHERE rn <= 50
+            ), rerank AS (
+              SELECT c.q_id, e.vec_id,
+                     round(list_sum(list_transform(
+                         generate_series(1, len(e.embedding)),
+                         i -> (CAST(e.embedding[i] AS DOUBLE)
+                               - qq.qe[i])
+                              * (CAST(e.embedding[i] AS DOUBLE)
+                                 - qq.qe[i]))), 6) AS exact_dist
+              FROM cand50 c
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN q qq ON qq.q_id = c.q_id
+            )
+            SELECT q_id, vec_id, exact_dist FROM (
+              SELECT q_id, vec_id, exact_dist, row_number() OVER (
+                PARTITION BY q_id ORDER BY exact_dist, vec_id) AS rn
+              FROM rerank
+            ) WHERE rn <= 10
         """,
         "x_pq_recall": """
             WITH ivc AS (

@@ -1759,6 +1759,146 @@ def ann_knn_join(
     )
 
 
+def pq_knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    rank: str = "numpy",
+    refine: int | None = None,
+    exclude_self: bool = True,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Batch k-NN JOIN over a persisted IVF-PQ layout — the
+    memory-bound sibling of `ann_knn_join` (which reads raw vectors)
+    and the batch form of `probe_ivf_pq_index` (single query): per
+    query, rank the nprobe nearest centroids driver-side, ADC-score
+    ONLY the probed directories' CODES (m small ints per candidate,
+    the billion-vector regime), and return the per-query top-k.
+    Output: (q_id, vec_id, adc_dist) ascending per query, ties to the
+    smaller id — or (q_id, vec_id, exact_dist) when ``refine`` is set.
+
+    ``refine=k'`` adds the per-query exact re-rank (Jegou et al. 2011
+    §V, the batch IVFADC+R): each query's ADC top-k' candidate ids —
+    a bounded nq x k' set — broadcast-join the probed directories'
+    VECTOR column and re-rank by exact squared L2 against the raw
+    query. Requires keep_vectors=True in the layout.
+
+    Scale shape: queries are a BOUNDED batch by contract (collected
+    driver-side to precompute probes and per-(query, probed-cluster)
+    ADC tables with the sequential `adc_table` arithmetic, exactly
+    the x_pq_recall broadcast pattern; ``max_queries`` enforces the
+    bound — larger batches should be chunked by the caller). The
+    corpus NEVER shuffles: the scan is pruned to the union of probed
+    clusters (PartitionFilters), the query side broadcasts (nq x
+    nprobe rows, each carrying one m x K double table), and only
+    derived (q_id, id, dist) triples shuffle into the per-query
+    top-k windows. Residual layouts (sidecar anchors) are handled
+    naturally: the per-(query, cluster) table is built from
+    (query - anchor[cluster]), so no CASE is needed — each broadcast
+    row already carries the right table for its partition.
+
+    `rank="seq"` ranks probes with sequential arithmetic
+    (`rank_probes_seq`, the SQL-oracle-reproducible twin); default
+    numpy."""
+    from pyspark.sql.window import Window
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if refine is not None and refine < k:
+        raise ValueError(
+            f"refine (k'={refine}) must be >= k ({k}) — the re-rank "
+            "can only return candidates the ADC stage surfaced")
+    centroids = _read_ivf_centroids(spark, path)
+    if not centroids:
+        raise ValueError(
+            f"{path}/_centroids.json is empty — no clusters to probe")
+    pq_meta = _read_index_json(spark, path + "/_pq.json")
+    if pq_meta is None:
+        raise FileNotFoundError(
+            f"{path}/_pq.json not found — not an IVF-PQ layout; use "
+            "ann_knn_join for a raw-vector index")
+    books = pq_meta["codebooks"]
+    anchors = pq_meta.get("anchors")
+    ranker = rank_probes_seq if rank == "seq" else _rank_probes
+    qrows = (queries
+             .select(F.col(id_col).alias("q_id"),
+                     F.col(vec_col).cast("array<double>").alias("_q"))
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}; chunk "
+            "the batch (the per-query probe/table precompute is "
+            "driver-side by design)")
+    qdata, probe_set = [], set()
+    for r in qrows:
+        qid, qv = int(r.q_id), [float(x) for x in r._q]
+        for c in (int(p) for p in ranker(centroids, qv, nprobe)):
+            probe_set.add(c)
+            qres = (qv if anchors is None else
+                    [a - b for a, b in zip(qv, anchors[c])])
+            qdata.append((qid, c, adc_table(books, qres)))
+    qdf = spark.createDataFrame(
+        qdata, "q_id long, probe_cluster int, "
+               "adc_table array<array<double>>")
+    codes = (spark.read.parquet(path)
+             .filter(F.col("cluster").isin(sorted(probe_set)))
+             .select(F.col(id_col), F.col("cluster"), F.col("codes")))
+    scored = codes.join(F.broadcast(qdf),
+                        codes["cluster"] == qdf["probe_cluster"])
+    dist = F.aggregate(
+        F.zip_with("codes", "adc_table",
+                   lambda c, trow: F.element_at(trow, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = scored.select("q_id", F.col(id_col),
+                           dist.alias("adc_dist"))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col))
+    topn = (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= (refine if refine is not None
+                                     else k))
+            .drop("_rn"))
+    if refine is None:
+        return topn
+    vec_scan = (spark.read.parquet(path)
+                .filter(F.col("cluster").isin(sorted(probe_set))))
+    if vec_col not in vec_scan.columns:
+        raise ValueError(
+            f"refine needs the {vec_col!r} column in the layout — "
+            "this index was built with keep_vectors=False (pure codes "
+            "tier); re-rank against a separate vector store instead")
+    qmeta = spark.createDataFrame(
+        [(int(r.q_id), [float(x) for x in r._q]) for r in qrows],
+        "q_id long, _qvec array<double>")
+    cand = (topn.select("q_id", id_col)
+            .join(F.broadcast(qmeta), "q_id"))
+    pairs = vec_scan.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).join(F.broadcast(cand), id_col)
+    exact = F.aggregate(
+        F.zip_with("_cv", "_qvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is not None:
+        exact = F.round(exact, round_to)
+    we = Window.partitionBy("q_id").orderBy(
+        F.col("exact_dist").asc(), F.col(id_col))
+    return (
+        pairs.select("q_id", F.col(id_col), exact.alias("exact_dist"))
+        .withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,

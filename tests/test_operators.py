@@ -3624,6 +3624,79 @@ def test_pq_refine_and_probe_argument_guards(spark, emb, tmp_path):
         sequential_cluster_anchors(emb.filter("vec_id < 0"), cents)
 
 
+def test_pq_knn_join_matches_single_query_probe(spark, emb, tmp_path):
+    """The batch IVF-PQ join must return, for every query in the
+    batch, exactly what the single-query probe returns — ADC stage
+    AND refined stage — on both raw and RESIDUAL layouts (the
+    per-(query, cluster) broadcast tables replace the single-query
+    CASE). Self-matches included (exclude_self=False) so the two
+    surfaces are directly comparable."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, pq_knn_join,
+        probe_ivf_pq_index, sequential_cluster_anchors)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    anchors = sequential_cluster_anchors(emb, cents, first_n=64)
+    queries = emb.filter("vec_id % 83 = 0")
+    for variant, extra in (("raw", {}), ("residual",
+                                        {"pq_anchors": anchors})):
+        path = str(tmp_path / f"pqkj_{variant}")
+        build_ivf_index(emb, path, centroids=cents,
+                        pq_codebooks=books, **extra)
+        batch = pq_knn_join(spark, path, queries, k=5, nprobe=3,
+                            rank="seq", exclude_self=False)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.q_id, []).append((r.vec_id, r.adc_dist))
+        ref = pq_knn_join(spark, path, queries, k=5, nprobe=3,
+                          rank="seq", exclude_self=False, refine=20)
+        got_ref = {}
+        for r in ref.collect():
+            got_ref.setdefault(r.q_id, []).append(
+                (r.vec_id, r.exact_dist))
+        for qr in queries.orderBy("vec_id").collect():
+            q = [float(x) for x in qr.embedding]
+            single = [(r.vec_id, r.adc_dist) for r in
+                      probe_ivf_pq_index(spark, path, q, k=5,
+                                         nprobe=3, rank="seq")
+                      .collect()]
+            assert sorted(got[qr.vec_id]) == sorted(single), \
+                (variant, qr.vec_id)
+            single_ref = [(r.vec_id, r.exact_dist) for r in
+                          probe_ivf_pq_index(spark, path, q, k=5,
+                                             nprobe=3, rank="seq",
+                                             refine=20).collect()]
+            assert sorted(got_ref[qr.vec_id]) == sorted(single_ref), \
+                (variant, qr.vec_id)
+
+
+def test_pq_knn_join_guards(spark, emb, tmp_path):
+    """Bounded-batch and layout guards fail fast with named errors."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, pq_knn_join)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 4").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    path = str(tmp_path / "pqkj_g")
+    build_ivf_index(emb, path, centroids=cents, pq_codebooks=books)
+    q = emb.filter("vec_id < 3")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_knn_join(spark, path, q, max_queries=2)
+    with pytest.raises(ValueError, match="nprobe"):
+        pq_knn_join(spark, path, q, nprobe=0)
+    with pytest.raises(ValueError, match="must be >= k"):
+        pq_knn_join(spark, path, q, k=10, refine=3)
+    raw_path = str(tmp_path / "pqkj_raw_only")
+    build_ivf_index(emb, raw_path, centroids=cents)
+    with pytest.raises(FileNotFoundError, match="_pq.json"):
+        pq_knn_join(spark, raw_path, q)
+
+
 def test_duplicate_spans_persist_registry_and_opt_out(docs):
     """The span family's internal persist is releasable (r9 ADVICE):
     persist_registry receives the cached handle so batch pipelines

@@ -685,3 +685,47 @@ def test_ivf_pq_refine_scan_stays_pruned_and_reads_vectors(
         plan[:1200]                   # candidate list broadcasts
     out = refined.collect()
     assert len(out) == 5 and out[0].exact_dist <= out[-1].exact_dist
+
+
+def test_pq_knn_join_corpus_never_shuffles(spark, tmp_path):
+    """The batch IVF-PQ join's scale contract (r11): the CORPUS sides
+    (codes scan and refine vector scan) are pruned by PartitionFilters
+    and joined via Broadcast only — no Exchange may sit between a
+    parquet scan of the layout and its join (the corpus never
+    shuffles; only derived (q_id, id, dist) triples shuffle into the
+    per-query top-k windows). Checked structurally: every scan of the
+    index carries PartitionFilters with the cluster IN-list, the
+    query/candidate sides broadcast, and the plan's Exchanges are all
+    hash-partitioned on q_id (window shuffles), never a corpus-side
+    repartition."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, pq_knn_join)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    path = str(tmp_path / "pq_knn_plan")
+    build_ivf_index(emb, path, centroids=cents, n_clusters=8,
+                    pq_codebooks=books)
+    out = pq_knn_join(spark, path, emb.filter("vec_id % 83 = 0"),
+                      k=5, nprobe=2, refine=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 2 and all("cluster" in ln for ln in pf), \
+        plan[:1500]  # codes scan + refine vector scan, both pruned
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("codes" in ln and "embedding" not in ln
+               for ln in rs), rs   # ADC stage reads codes only
+    assert any("embedding" in ln and "codes" not in ln
+               for ln in rs), rs   # refine stage reads vectors only
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # every SHUFFLE Exchange is a q_id window shuffle of derived
+    # triples (BroadcastExchange nodes are the intended broadcasts)
+    ex = [ln for ln in plan.splitlines()
+          if "Exchange hashpartitioning" in ln]
+    assert ex and all("q_id" in ln for ln in ex), ex
+    rows = out.collect()
+    assert rows and {len([r for r in rows if r.q_id == q])
+                     for q in {r.q_id for r in rows}} == {5}
