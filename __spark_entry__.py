@@ -1617,9 +1617,13 @@ def p_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of PQ ADC against exact squared-L2 top-10, raw vs
-    RESIDUAL encoding (Jegou et al. 2011 §III: quantize x - q1(x)),
-    summed over a bounded multi-query batch — the PQ sibling of
-    `x_ann_recall` (verdict r9 task 2). Residual anchors are the
+    RESIDUAL encoding (Jegou et al. 2011 §III: quantize x - q1(x))
+    vs the r11 REFINED arm (exact re-rank of the raw ADC top-50 —
+    the sim_pq_refine stage, so the two-stage pipeline's recall
+    claim is itself under the value-hash oracle; refined >= raw by
+    construction), summed over a bounded multi-query batch — the PQ
+    sibling of `x_ann_recall` (verdict r9 task 2). Residual anchors
+    are the
     raw-space per-cluster means of the first-256-id prefix
     (similarity.sequential_cluster_anchors — sequential arithmetic,
     so the anchors, residuals, codes, and ADC tables all replay in
@@ -1683,13 +1687,32 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), lambda acc, x: acc + x), 6)
 
     w = Window.partitionBy("q_id").orderBy("_d", "vec_id")
-    raw_top = (
+    raw_scored = (
         codes_raw.crossJoin(F.broadcast(qdf.select("q_id", "table_raw")))
         .select("q_id", "vec_id",
                 _fold(F.col("codes"), F.col("table_raw")).alias("_d"))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 10)
+        .filter(F.col("_rn") <= PQ_REFINE_KPRIME))
+    raw_top = (
+        raw_scored.filter(F.col("_rn") <= 10)
         .select(F.lit("raw").alias("variant"), "q_id", "vec_id"))
+    # refined arm (r11): exact re-rank of the raw ADC top-50 — the
+    # sim_pq_refine stage under the RECALL harness, so the two-stage
+    # pipeline's recall claim is itself value-hash oracled
+    ref_top = (
+        raw_scored.select("q_id", "vec_id")
+        .join(emb.select("vec_id",
+                         F.col("embedding").cast("array<double>")
+                         .alias("_cv")), "vec_id")
+        .join(F.broadcast(qdf.select("q_id", "qvec")), "q_id")
+        .select("q_id", "vec_id",
+                F.round(F.aggregate(
+                    F.zip_with("_cv", "qvec",
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select(F.lit("refined").alias("variant"), "q_id", "vec_id"))
     res_top = (
         codes_res.crossJoin(
             F.broadcast(qdf.select("q_id", "tables_res")))
@@ -1712,12 +1735,12 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 10)
         .select("q_id", "vec_id"))
-    hits = (raw_top.unionByName(res_top)
+    hits = (raw_top.unionByName(res_top).unionByName(ref_top)
             .join(exact_top, ["q_id", "vec_id"])
             .groupBy("variant")
             .agg(F.count(F.lit(1)).alias("recall_hits")))
     variants = spark.createDataFrame(
-        [("raw",), ("residual",)], "variant string")
+        [("raw",), ("residual",), ("refined",)], "variant string")
     final = (variants.join(hits, "variant", "left")
              .select("variant",
                      F.coalesce("recall_hits", F.lit(0))
@@ -6838,6 +6861,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q_id, vec_id, row_number() OVER (
                   PARTITION BY q_id ORDER BY dist, vec_id) AS rn
                 FROM raw_dist) WHERE rn <= 10
+            ), raw_cand AS (
+              -- the sim_pq_refine candidate window (k'=50) over the
+              -- same raw ADC ranking
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+                FROM raw_dist) WHERE rn <= 50
             ), qres AS (
               SELECT q.q_id, ivc.cid AS cluster,
                      list_transform(range(1, len(q.qe) + 1),
@@ -6881,6 +6911,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q_id, vec_id, row_number() OVER (
                   PARTITION BY q_id ORDER BY dist, vec_id) AS rn
                 FROM ex_dist) WHERE rn <= 10
+            ), ref_top AS (
+              -- exact re-rank of the raw ADC top-50 (ex_dist already
+              -- holds every exact distance)
+              SELECT q_id, vec_id FROM (
+                SELECT x.q_id, x.vec_id, row_number() OVER (
+                  PARTITION BY x.q_id ORDER BY x.dist, x.vec_id) AS rn
+                FROM ex_dist x JOIN raw_cand USING (q_id, vec_id)
+              ) WHERE rn <= 10
             )
             SELECT v.variant,
                    CAST(coalesce(h.hits, 0) AS BIGINT) AS recall_hits,
@@ -6888,13 +6926,17 @@ def oracle_sql() -> dict[str, str]:
                        AS n_queries,
                    CAST(10 AS BIGINT) AS k
             FROM (SELECT 'raw' AS variant
-                  UNION ALL SELECT 'residual') v
+                  UNION ALL SELECT 'residual'
+                  UNION ALL SELECT 'refined') v
             LEFT JOIN (
               SELECT 'raw' AS variant, count(*) AS hits
               FROM raw_top JOIN ex_top USING (q_id, vec_id)
               UNION ALL
               SELECT 'residual', count(*)
               FROM res_top JOIN ex_top USING (q_id, vec_id)
+              UNION ALL
+              SELECT 'refined', count(*)
+              FROM ref_top JOIN ex_top USING (q_id, vec_id)
             ) h USING (variant)
         """,
         "sim_quantize": """
