@@ -1899,6 +1899,44 @@ def pq_knn_join(
     )
 
 
+def pq_knn_join_chunked(
+    spark,
+    path: str,
+    queries: DataFrame,
+    chunk_size: int = 1024,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """`pq_knn_join` for batches beyond its bounded-batch contract:
+    split the query set into deterministic id-ordered chunks of
+    ``chunk_size`` and union the per-chunk joins. Per-query results
+    are INDEPENDENT (each query's probes, candidates, and re-rank
+    depend only on that query and the index), so chunking is exactly
+    result-preserving — pinned against the one-shot join in tests.
+
+    Only the query IDS are collected up front (8 bytes each — fine
+    for millions); each chunk then runs the full pq_knn_join plan
+    with its own bounded broadcast. The returned DataFrame unions
+    one subplan per chunk, so for VERY large batches (thousands of
+    chunks) materialize per chunk instead of collecting the union —
+    the loop body is the template."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    ids = sorted(
+        r[0] for r in queries.select(id_col).distinct().collect())
+    if not ids:
+        return pq_knn_join(spark, path, queries.limit(0),
+                           id_col=id_col, **kwargs)
+    out = None
+    for i in range(0, len(ids), chunk_size):
+        chunk = queries.filter(
+            F.col(id_col).isin(ids[i:i + chunk_size]))
+        res = pq_knn_join(spark, path, chunk, id_col=id_col,
+                          max_queries=chunk_size, **kwargs)
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,

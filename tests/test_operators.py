@@ -3673,6 +3673,82 @@ def test_pq_knn_join_matches_single_query_probe(spark, emb, tmp_path):
                 (variant, qr.vec_id)
 
 
+def test_pq_knn_join_chunked_equals_one_shot(spark, emb, tmp_path):
+    """pq_knn_join_chunked must reproduce the one-shot join exactly —
+    per-query results are independent, so id-ordered chunking cannot
+    change them. Also covers the empty-batch path (schema-preserving
+    empty result)."""
+    from locustdb_spark.operators.similarity import (
+        build_ivf_index, pq_codebooks_from_corpus, pq_knn_join,
+        pq_knn_join_chunked)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    path = str(tmp_path / "pqkj_chunk")
+    build_ivf_index(emb, path, centroids=cents, pq_codebooks=books)
+    q = emb.filter("vec_id % 83 = 0")  # several queries
+    one = sorted(map(tuple, pq_knn_join(
+        spark, path, q, k=4, nprobe=3, refine=16).collect()))
+    chunked = sorted(map(tuple, pq_knn_join_chunked(
+        spark, path, q, chunk_size=2, k=4, nprobe=3,
+        refine=16).collect()))
+    assert one == chunked and len(one) > 4
+    empty = pq_knn_join_chunked(spark, path, q.filter("vec_id < 0"),
+                                k=4, nprobe=3, refine=16)
+    assert empty.columns == ["q_id", "vec_id", "exact_dist"]
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="chunk_size"):
+        pq_knn_join_chunked(spark, path, q, chunk_size=0)
+
+
+def test_pq_refine_and_batch_join_see_appended_rows(
+        spark, emb, tmp_path):
+    """Index-maintenance parity for the r11 retrieval stages: after
+    `append_ivf_index` grows an IVF-PQ layout (frozen centroids +
+    frozen-codebook re-encode), BOTH the refined single-query probe
+    and the batch pq_knn_join must return exactly what a full rebuild
+    over the same rows returns — appended rows are first-class
+    candidates for ADC AND for the exact re-rank's vector scan."""
+    from locustdb_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, pq_codebooks_from_corpus,
+        pq_knn_join, probe_ivf_pq_index)
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    books = pq_codebooks_from_corpus(emb, m=8, k=16)
+    base = emb.filter("vec_id % 3 != 0")
+    extra = emb.filter("vec_id % 3 = 0")
+
+    inc_path = str(tmp_path / "pq_inc")
+    build_ivf_index(base, inc_path, centroids=cents,
+                    pq_codebooks=books)
+    append_ivf_index(extra, inc_path)
+    full_path = str(tmp_path / "pq_full")
+    build_ivf_index(emb, full_path, centroids=cents,
+                    pq_codebooks=books)
+
+    q = [float(x) for x in emb.filter("vec_id = 3").head().embedding]
+    inc_ref = [tuple(r) for r in probe_ivf_pq_index(
+        spark, inc_path, q, k=5, nprobe=4, refine=20).collect()]
+    full_ref = [tuple(r) for r in probe_ivf_pq_index(
+        spark, full_path, q, k=5, nprobe=4, refine=20).collect()]
+    assert inc_ref == full_ref
+    # the top hit must be an APPENDED id (vec_id 3 is in `extra`)
+    assert inc_ref[0][0] == 3 and inc_ref[0][1] == 0.0
+
+    queries = emb.filter("vec_id % 83 = 0")
+    inc_b = sorted(map(tuple, pq_knn_join(
+        spark, inc_path, queries, k=4, nprobe=3,
+        refine=16).collect()))
+    full_b = sorted(map(tuple, pq_knn_join(
+        spark, full_path, queries, k=4, nprobe=3,
+        refine=16).collect()))
+    assert inc_b == full_b and len(inc_b) > 4
+
+
 def test_pq_knn_join_guards(spark, emb, tmp_path):
     """Bounded-batch and layout guards fail fast with named errors."""
     from locustdb_spark.operators.similarity import (
