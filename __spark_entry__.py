@@ -1629,7 +1629,7 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the anchors, residuals, codes, and ADC tables all replay in
     the SQL oracle); codebooks are the frozen rank-of-smallest-ids
     convention on each representation. Output: one row per variant
-    (raw | residual) with summed hits, query count, and k.
+    (raw | residual | refined) with summed hits, query count, and k.
 
     Scale shape: the queries ship as a broadcast 21-row table
     CARRYING their precomputed ADC tables (m x K doubles each), so

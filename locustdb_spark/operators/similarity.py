@@ -1779,8 +1779,14 @@ def pq_knn_join(
     query, rank the nprobe nearest centroids driver-side, ADC-score
     ONLY the probed directories' CODES (m small ints per candidate,
     the billion-vector regime), and return the per-query top-k.
-    Output: (q_id, vec_id, adc_dist) ascending per query, ties to the
-    smaller id — or (q_id, vec_id, exact_dist) when ``refine`` is set.
+    Output: (q_id, vec_id, adc_dist) — or (q_id, vec_id, exact_dist)
+    when ``refine`` is set. Each query's rows are its top-k by
+    ascending distance with ties to the smaller id, but ROW ORDER in
+    the returned frame is unspecified (the per-query top-k is a
+    window filter, not a global sort — add
+    `.orderBy("q_id", "adc_dist")` if presentation order matters;
+    `probe_ivf_pq_index`, being single-query, does sort). Query ids
+    must be unique (duplicates raise — see below).
 
     ``refine=k'`` adds the per-query exact re-rank (Jegou et al. 2011
     §V, the batch IVFADC+R): each query's ADC top-k' candidate ids —
@@ -1834,14 +1840,28 @@ def pq_knn_join(
             f"query batch exceeds max_queries={max_queries}; chunk "
             "the batch (the per-query probe/table precompute is "
             "driver-side by design)")
+    seen_ids = [int(r.q_id) for r in qrows]
+    if len(set(seen_ids)) != len(seen_ids):
+        # review r11: a duplicated q_id (e.g. from an upstream join)
+        # would score every candidate twice and row_number would
+        # count the duplicates — silently returning ~k/2 distinct
+        # neighbors for that query
+        raise ValueError(
+            f"duplicate {id_col!r} values in the query batch "
+            f"({len(seen_ids) - len(set(seen_ids))} extra rows) — "
+            "k-NN query ids must be unique; .dropDuplicates first")
     qdata, probe_set = [], set()
     for r in qrows:
         qid, qv = int(r.q_id), [float(x) for x in r._q]
+        # raw layouts use ONE table per query (cluster-independent);
+        # only residual layouts need a per-(query, cluster) build
+        raw_tbl = adc_table(books, qv) if anchors is None else None
         for c in (int(p) for p in ranker(centroids, qv, nprobe)):
             probe_set.add(c)
-            qres = (qv if anchors is None else
-                    [a - b for a, b in zip(qv, anchors[c])])
-            qdata.append((qid, c, adc_table(books, qres)))
+            tbl = (raw_tbl if anchors is None else
+                   adc_table(books,
+                             [a - b for a, b in zip(qv, anchors[c])]))
+            qdata.append((qid, c, tbl))
     qdf = spark.createDataFrame(
         qdata, "q_id long, probe_cluster int, "
                "adc_table array<array<double>>")
@@ -1878,12 +1898,17 @@ def pq_knn_join(
     qmeta = spark.createDataFrame(
         [(int(r.q_id), [float(x) for x in r._q]) for r in qrows],
         "q_id long, _qvec array<double>")
-    cand = (topn.select("q_id", id_col)
-            .join(F.broadcast(qmeta), "q_id"))
-    pairs = vec_scan.select(
+    # broadcast the BARE (q_id, id) candidate pairs into the corpus
+    # join and attach the query vector afterwards from the nq-row
+    # qmeta broadcast — carrying _qvec inside the candidate broadcast
+    # would duplicate each dims-length array k' times (review r11:
+    # ~105 MB vs ~2 MB at the documented bounds)
+    cand = topn.select("q_id", id_col)
+    pairs = (vec_scan.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     ).join(F.broadcast(cand), id_col)
+     .join(F.broadcast(qmeta), "q_id"))
     exact = F.aggregate(
         F.zip_with("_cv", "_qvec", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -1922,11 +1947,19 @@ def pq_knn_join_chunked(
     the loop body is the template."""
     if chunk_size < 1:
         raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if "max_queries" in kwargs:
+        # review r11: forwarding it would collide with the per-chunk
+        # bound below (TypeError); the chunked driver's bound IS
+        # chunk_size
+        raise ValueError(
+            "pq_knn_join_chunked sets max_queries per chunk; pass "
+            "chunk_size instead")
     ids = sorted(
         r[0] for r in queries.select(id_col).distinct().collect())
     if not ids:
         return pq_knn_join(spark, path, queries.limit(0),
-                           id_col=id_col, **kwargs)
+                           id_col=id_col, max_queries=chunk_size,
+                           **kwargs)
     out = None
     for i in range(0, len(ids), chunk_size):
         chunk = queries.filter(

@@ -3767,6 +3767,11 @@ def test_pq_knn_join_guards(spark, emb, tmp_path):
         pq_knn_join(spark, path, q, nprobe=0)
     with pytest.raises(ValueError, match="must be >= k"):
         pq_knn_join(spark, path, q, k=10, refine=3)
+    with pytest.raises(ValueError, match="duplicate"):
+        pq_knn_join(spark, path, q.unionByName(q.limit(1)))
+    from locustdb_spark.operators.similarity import pq_knn_join_chunked
+    with pytest.raises(ValueError, match="chunk_size instead"):
+        pq_knn_join_chunked(spark, path, q, max_queries=8)
     raw_path = str(tmp_path / "pqkj_raw_only")
     build_ivf_index(emb, raw_path, centroids=cents)
     with pytest.raises(FileNotFoundError, match="_pq.json"):
