@@ -89,15 +89,19 @@ def minhash_signatures(
       exact signature values are Spark-specific — use at production
       scale where cross-engine bit-parity is not required.
 
-    ``impl="arrow"`` (md5 only; r10): an Arrow-batched kernel
-    producing BIT-IDENTICAL signatures to the md5 expression recipe
-    (pytest-pinned on the real corpus) — Catalyst evaluates the
-    higher-order-function md5-per-shingle transform INTERPRETED, so
-    at corpus scale the expression path is the dominant cost of every
-    minhash consumer; the kernel hashes each distinct shingle once
-    per batch (hashlib + a memo, numpy for the lane folds). Same
-    plan shape: zero shuffle, one projection. The expression recipe
-    stays the oracle sibling.
+    ``impl="arrow"``: an Arrow-batched kernel producing BIT-IDENTICAL
+    signatures to the corresponding expression recipe (pytest-pinned
+    on the real corpus) — Catalyst evaluates the higher-order-function
+    hash-per-shingle transforms INTERPRETED, so at corpus scale the
+    expression path is the dominant cost of every minhash consumer.
+    With ``hash_fn="md5"`` (r10) the kernel hashes each distinct
+    shingle once per batch (hashlib + a memo, numpy for the lane
+    folds); with ``hash_fn="xxhash64"`` (r12) the whole batch is
+    hashed as byte-slices of one flat buffer — a few dozen vectorized
+    uint64 ops for ALL shingles, no per-shingle objects (see
+    _minhash_signatures_arrow_xx). Same plan shape either way: zero
+    shuffle, one projection. The expression recipes stay the oracle /
+    equivalence siblings.
 
     Bit-identity caveat (r10 ADVICE): with ``lowercase=True`` the
     kernel lowercases in CPython (`str.lower()`) while the expression
@@ -110,10 +114,17 @@ def minhash_signatures(
     normalize case upstream in ONE engine.
     """
     if impl == "arrow":
+        if hash_fn == "xxhash64":
+            # r12: vectorized numpy XXH64 kernel, bit-identical to the
+            # xxhash64 expression recipe (parity-pinned in
+            # tests/test_operators.py) — see _minhash_signatures_arrow_xx
+            return _minhash_signatures_arrow_xx(
+                df, text_col, id_col, num_hashes, shingle_k, lowercase,
+                keep_cols)
         if hash_fn != "md5":
             raise ValueError(
-                "impl='arrow' implements the md5 recipe; use the "
-                "expression path for xxhash64")
+                "impl='arrow' implements the md5 and xxhash64 recipes, "
+                f"got hash_fn={hash_fn!r}")
         return _minhash_signatures_arrow(
             df, text_col, id_col, num_hashes, shingle_k, lowercase,
             keep_cols)
@@ -248,6 +259,270 @@ def _minhash_signatures_arrow(
             lanes = ((h1[None, :] + js[:, None] * h2[None, :])
                      & mask).min(axis=1)
             out.append(lanes.tolist())
+        return pd.Series(out)
+
+    kept = [F.col(c) for c in (keep_cols or [])]
+    pre = df.select(F.col(id_col), *kept,
+                    _sig(F.col(text_col)).alias("_sig"))
+    return pre.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        *[F.element_at("_sig", j + 1).alias(f"mh{j}")
+          for j in range(num_hashes)],
+    )
+
+
+# --- Spark-compatible XXH64 (r12) -----------------------------------------
+# Constants and a scalar port of the XXH64 algorithm exactly as Spark's
+# expression engine computes `xxhash64(string_col)` (seed 42, UTF-8
+# bytes) and `xxhash64(string_col, lit(1))` (the string hash chained as
+# the seed of an int hash) — public algorithm, same primes as the
+# reference xxHash spec. The scalar port covers short (< shingle_k) and
+# non-ASCII shingles; the vectorized windows kernel below covers the
+# bulk ASCII corpus. Parity with the Catalyst expression recipe is
+# pinned in tests/test_operators.py.
+
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_XX_M64 = (1 << 64) - 1
+
+
+def _xx_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XX_M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XX_P2) & _XX_M64
+    h ^= h >> 29
+    h = (h * _XX_P3) & _XX_M64
+    h ^= h >> 32
+    return h
+
+
+def _xx_hash_bytes(data: bytes, seed: int) -> int:
+    """XXH64 of a byte string (scalar; shingles are < 32 bytes in
+    practice but the stripe loop is included for completeness)."""
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _XX_P1 + _XX_P2) & _XX_M64
+        v2 = (seed + _XX_P2) & _XX_M64
+        v3 = seed & _XX_M64
+        v4 = (seed - _XX_P1) & _XX_M64
+        def _round(acc: int, i: int) -> int:
+            kk = int.from_bytes(data[i:i + 8], "little")
+            return (_xx_rotl((acc + kk * _XX_P2) & _XX_M64, 31)
+                    * _XX_P1) & _XX_M64
+
+        i = 0
+        while i + 32 <= n:
+            v1 = _round(v1, i)
+            v2 = _round(v2, i + 8)
+            v3 = _round(v3, i + 16)
+            v4 = _round(v4, i + 24)
+            i += 32
+        h = (_xx_rotl(v1, 1) + _xx_rotl(v2, 7) + _xx_rotl(v3, 12)
+             + _xx_rotl(v4, 18)) & _XX_M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_xx_rotl((v * _XX_P2) & _XX_M64, 31) * _XX_P1) & _XX_M64
+            h = ((h * _XX_P1) + _XX_P4) & _XX_M64
+        off = i
+    else:
+        h = (seed + _XX_P5) & _XX_M64
+        off = 0
+    h = (h + n) & _XX_M64
+    while off + 8 <= n:
+        k = int.from_bytes(data[off:off + 8], "little")
+        h ^= (_xx_rotl((k * _XX_P2) & _XX_M64, 31) * _XX_P1) & _XX_M64
+        h = (_xx_rotl(h, 27) * _XX_P1 + _XX_P4) & _XX_M64
+        off += 8
+    if off + 4 <= n:
+        k = int.from_bytes(data[off:off + 4], "little")
+        h ^= (k * _XX_P1) & _XX_M64
+        h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _XX_M64
+        off += 4
+    while off < n:
+        h ^= (data[off] * _XX_P5) & _XX_M64
+        h = (_xx_rotl(h, 11) * _XX_P1) & _XX_M64
+        off += 1
+    return _xx_fmix(h)
+
+
+def _xx_hash_int(v: int, seed: int) -> int:
+    """Spark's xxhash64 of an int32 column value with the given seed
+    (the second hop of `xxhash64(s, lit(1))`)."""
+    h = (seed + _XX_P5 + 4) & _XX_M64
+    h ^= ((v & 0xFFFFFFFF) * _XX_P1) & _XX_M64
+    h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _XX_M64
+    return _xx_fmix(h)
+
+
+def _minhash_signatures_arrow_xx(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    lowercase: bool,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    """Arrow kernel for ``minhash_signatures(hash_fn="xxhash64",
+    impl="arrow")`` — BIT-IDENTICAL to the xxhash64 expression recipe
+    (h1 = xxhash64(shingle) & mask, h2 = xxhash64(shingle, lit(1)) &
+    mask, lane_j = min over shingles of (h1 + j*h2) & mask), pinned by
+    a parity test on the real corpus plus adversarial strings.
+
+    Why (guide §4.2): Catalyst evaluates the higher-order-function
+    transform/zip_with lambdas INTERPRETED per element — two hash
+    transforms plus num_hashes zip_with folds per shingle dominate
+    every minhash consumer. This kernel computes XXH64 of EVERY
+    k-byte window of a whole Arrow batch with ~30 vectorized uint64
+    ops total (window starts are byte slices of one flat buffer, so
+    no per-shingle materialization at all), masks windows that cross
+    document boundaries, and folds the lanes with
+    ``np.minimum.reduceat``. Same plan shape as the expression path:
+    zero shuffle, one ArrowEvalPython projection over (id, text).
+
+    Docs that are non-ASCII (char positions != byte positions — the
+    expression recipe shingles by CHARACTER) or shorter than
+    ``shingle_k`` take a scalar per-shingle path through the same
+    XXH64 port. The ``lowercase=True`` caveat of the md5 kernel
+    applies unchanged: CPython str.lower() vs JVM lower() agree on
+    ASCII (and on every tested corpus) but can diverge on exotic
+    Unicode case mappings; pass lowercase=False for cross-runtime
+    bit-parity on arbitrary Unicode."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if not df.isStreaming:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
+
+    mask = (1 << 56) - 1
+    k = shingle_k
+    U = np.uint64
+
+    def _rotl_v(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def _fmix_v(h):
+        h ^= h >> U(33)
+        h *= U(_XX_P2)
+        h ^= h >> U(29)
+        h *= U(_XX_P3)
+        h ^= h >> U(32)
+        return h
+
+    def _xx_windows(buf, seed):
+        """XXH64(seed) of every k-byte window buf[i:i+k] (uint64
+        array of length len(buf)-k+1). Requires 1 <= k < 32: the
+        hash of a < 32-byte input is seed/length setup plus 8-byte,
+        4-byte and 1-byte tail steps — each step reads a byte-slice
+        of the flat buffer, so the whole batch is hashed with a few
+        dozen vectorized ops and no per-shingle objects."""
+        nw = len(buf) - k + 1
+        h = np.full(nw, U(seed) + U(_XX_P5) + U(k), dtype=np.uint64)
+        off = 0
+        while off + 8 <= k:
+            w = np.zeros(nw, dtype=np.uint64)
+            for b in range(8):
+                w |= buf[off + b:off + b + nw].astype(np.uint64) << U(8 * b)
+            h ^= _rotl_v(w * U(_XX_P2), 31) * U(_XX_P1)
+            h = _rotl_v(h, 27) * U(_XX_P1) + U(_XX_P4)
+            off += 8
+        if off + 4 <= k:
+            w = np.zeros(nw, dtype=np.uint64)
+            for b in range(4):
+                w |= buf[off + b:off + b + nw].astype(np.uint64) << U(8 * b)
+            h ^= w * U(_XX_P1)
+            h = _rotl_v(h, 23) * U(_XX_P2) + U(_XX_P3)
+            off += 4
+        while off < k:
+            h ^= buf[off:off + nw].astype(np.uint64) * U(_XX_P5)
+            h = _rotl_v(h, 11) * U(_XX_P1)
+            off += 1
+        return _fmix_v(h)
+
+    def _hash_int_v(v, seeds):
+        h = seeds + U(_XX_P5) + U(4)
+        h ^= U((v & 0xFFFFFFFF) * _XX_P1 & _XX_M64)
+        h = _rotl_v(h, 23) * U(_XX_P2) + U(_XX_P3)
+        return _fmix_v(h)
+
+    def _scalar_lanes(t: str) -> list[int]:
+        """Expression-recipe lanes for one doc via the scalar port
+        (short or non-ASCII docs)."""
+        npos = max(len(t) - (k - 1), 1)
+        best: list[int] | None = None
+        for p in range(npos):
+            hf = _xx_hash_bytes(t[p:p + k].encode("utf-8"), 42)
+            a1 = hf & mask
+            a2 = _xx_hash_int(1, hf) & mask
+            lanes = [(a1 + j * a2) & mask for j in range(num_hashes)]
+            best = lanes if best is None else [
+                min(x, y) for x, y in zip(best, lanes)]
+        return best
+
+    # NULL text: Spark's hash expressions never return null — a null
+    # child leaves the running hash at its seed. So the expression
+    # recipe yields h1 = 42 (the seed), h2 = hashInt(1, 42), and real
+    # lane values for a NULL document; replicate that exactly.
+    _null_h1 = 42 & mask
+    _null_h2 = _xx_hash_int(1, 42) & mask
+    _null_lanes = [(_null_h1 + j * _null_h2) & mask
+                   for j in range(num_hashes)]
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = [None] * len(texts)
+        vec_idx: list[int] = []
+        blobs: list[bytes] = []
+        for i, t in enumerate(texts):
+            if t is None:
+                out[i] = _null_lanes
+                continue
+            if lowercase:
+                t = t.lower()
+            b = t.encode("utf-8")
+            if len(b) != len(t) or len(b) < k or k >= 32:
+                out[i] = _scalar_lanes(t)
+            else:
+                vec_idx.append(i)
+                blobs.append(b)
+        if blobs:
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            starts = np.zeros(len(blobs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            hfull = _xx_windows(buf, 42)
+            nwin = len(hfull)
+            # windows that cross a doc boundary are not shingles of
+            # any doc: doc i's valid window starts are
+            # [starts[i], starts[i] + lens[i] - k]; drop the rest and
+            # shift the reduceat segment starts accordingly
+            inv_from = np.minimum(starts + lens - k + 1, nwin)
+            inv_to = np.minimum(starts + lens, nwin)
+            diff = np.zeros(nwin + 1, dtype=np.int64)
+            np.add.at(diff, inv_from, 1)
+            np.add.at(diff, inv_to, -1)
+            valid = np.cumsum(diff[:-1]) == 0
+            hfull = hfull[valid]
+            vstarts = starts - np.concatenate(
+                ([0], np.cumsum((k - 1) * np.ones(len(blobs) - 1,
+                                                  dtype=np.int64))))
+            h1 = (hfull & U(mask)).astype(np.int64)
+            h2 = (_hash_int_v(1, hfull) & U(mask)).astype(np.int64)
+            sigs = np.empty((len(blobs), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                lane = (h1 + j * h2) & mask
+                sigs[:, j] = np.minimum.reduceat(lane, vstarts)
+            for row, i in enumerate(vec_idx):
+                out[i] = sigs[row].tolist()
         return pd.Series(out)
 
     kept = [F.col(c) for c in (keep_cols or [])]

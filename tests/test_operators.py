@@ -3866,7 +3866,40 @@ def test_minhash_arrow_kernel_bit_equal_to_expression(docs, spark):
         edge, num_hashes=3, impl="arrow").collect()))
     assert a == e
 
-    with pytest.raises(ValueError, match="md5"):
-        minhash_signatures(docs, impl="arrow", hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, impl="arrow", hash_fn="rolling")
     with pytest.raises(ValueError, match="impl"):
         minhash_signatures(docs, impl="fast")
+
+
+def test_minhash_xxhash64_arrow_kernel_parity(docs, spark):
+    """The r12 vectorized XXH64 kernel must be BIT-IDENTICAL to the
+    xxhash64 expression recipe — on the real corpus and on the edge
+    cases the expression path defines: null text (Spark's hash exprs
+    never return null — a null child leaves the hash at its seed, so
+    NULL docs get real lane values), empty text (hash of zero bytes),
+    text shorter than the shingle, non-ASCII text (character
+    positions != byte positions — the scalar fallback), and a
+    shingle_k >= 32 (the stripe loop of the scalar port)."""
+    from locustdb_spark.operators.dedup import minhash_signatures
+
+    expr = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=8, hash_fn="xxhash64").collect()))
+    arrow = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=8, hash_fn="xxhash64",
+        impl="arrow").collect()))
+    assert arrow == expr
+
+    edge = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "ABCdef GHI"),
+         (5, "cafés naïve über"),
+         (6, "日本語テキストabc"),
+         (7, "x" * 500)],
+        "doc_id long, text string")
+    for kwargs in ({"num_hashes": 3}, {"num_hashes": 2, "shingle_k": 33},
+                   {"num_hashes": 4, "lowercase": False}):
+        e = sorted(map(tuple, minhash_signatures(
+            edge, hash_fn="xxhash64", **kwargs).collect()))
+        a = sorted(map(tuple, minhash_signatures(
+            edge, hash_fn="xxhash64", impl="arrow", **kwargs).collect()))
+        assert a == e, f"kernel diverges for {kwargs}"
