@@ -140,7 +140,21 @@ def minhash_signatures(
         if df.rdd.getNumPartitions() < parallelism:
             df = df.repartition(parallelism)
 
-    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    # Hoist the (lower-)cased text into a materialized column BEFORE
+    # the shingle transform (r12): higher-order-function lambdas are
+    # CodegenFallback, and interpreted eval re-computes every
+    # non-lambda subexpression per array element — with lower(text)
+    # inline, each of the ~len(text) shingles re-lowercased the WHOLE
+    # document (O(len^2) chars/doc). As a named column referenced
+    # more than once it is evaluated once per row (CollapseProject
+    # keeps multiply-referenced non-trivial aliases). Measured at
+    # sf0.1 (5k docs, noop sink): 394 ms -> 264 ms for the xxhash64
+    # bench query; values bit-identical (same expressions, same
+    # inputs). keep_cols ride the same projection.
+    kept = [F.col(c) for c in (keep_cols or [])]
+    text0 = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    df = df.select(F.col(id_col), *kept, text0.alias("_mh_text"))
+    text = F.col("_mh_text")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text) - (shingle_k - 1), F.lit(1))),
         lambda i: text.substr(i, F.lit(shingle_k)),
@@ -154,7 +168,6 @@ def minhash_signatures(
     # cheaper than hashing per lane; the multiply-add stays within i64
     # even under ANSI mode (h < 2^56, j < 128).
     mask = (1 << 56) - 1
-    kept = [F.col(c) for c in (keep_cols or [])]
     if hash_fn == "xxhash64":
         # two independent 56-bit hashes straight from the native 64-bit
         # hash (different seed inputs), no hex string round-trip; the
@@ -193,12 +206,18 @@ def minhash_signatures(
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     cols = [F.col(id_col), *kept]
     for j in range(num_hashes):
-        lane = F.array_min(
-            F.zip_with(
-                "_h1", "_h2",
-                lambda a, b: (a + F.lit(j) * b).bitwiseAND(F.lit(mask)),
+        if j == 0:
+            # lane 0 is (h1 + 0*h2) & mask = h1 (h1 is pre-masked):
+            # read the min straight off _h1 instead of paying an
+            # interpreted zip_with pass that rebuilds the array (r12)
+            lane = F.array_min("_h1")
+        else:
+            lane = F.array_min(
+                F.zip_with(
+                    "_h1", "_h2",
+                    lambda a, b: (a + F.lit(j) * b).bitwiseAND(F.lit(mask)),
+                )
             )
-        )
         cols.append(lane.alias(f"mh{j}"))
     return pre.select(*cols)
 
@@ -1374,7 +1393,12 @@ def _token_windows(text_col: str, window: int, impl: str) -> Column:
         return _wins(F.col(text_col))
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # toks is expected to be a MATERIALIZED token-array column (see
+    # _exploded_windows): HOF lambdas are CodegenFallback and
+    # interpreted eval re-computes non-lambda subexpressions per
+    # element, so an inline tokenization here would re-split the
+    # whole document once per window position (r12).
+    toks = F.col("_toks")
     return F.when(
         F.size(toks) >= window,
         F.transform(
@@ -1385,6 +1409,22 @@ def _token_windows(text_col: str, window: int, impl: str) -> Column:
             ),
         ),
     )  # otherwise NULL -> explode() emits nothing for short docs
+
+
+def _exploded_windows(df: DataFrame, id_col: str, text_col: str,
+                      window: int, impl: str) -> DataFrame:
+    """(id, w) rows — one per sliding window — with the expr path's
+    token array hoisted into a materialized column first (r12; see
+    _token_windows)."""
+    wins = _token_windows(text_col, window, impl)
+    if impl == "arrow":
+        return df.select(F.col(id_col).alias("id"),
+                         F.explode(wins).alias("w"))
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: t != "").alias("_toks"))
+    return pre.select("id", F.explode(wins).alias("w"))
 
 
 def _window_key(key: str) -> Column:
@@ -1491,7 +1531,6 @@ def duplicate_spans(
        and only DUPLICATED windows (typically a tiny fraction of the
        corpus) reach this stage.
     """
-    wins = _token_windows(text_col, window, impl)
     # persisted (default): the exploded (id, pos, key) projection feeds
     # BOTH the dup-key groupBy and the join-back below, and the
     # window-extract kernel is the dominant per-document cost — without
@@ -1500,7 +1539,7 @@ def duplicate_spans(
     # deterministically via persist_registry or skip via persist=False
     # (r9 ADVICE).
     exploded = _maybe_persist(
-        df.select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
+        _exploded_windows(df, id_col, text_col, window, impl)
         .select("id", F.col("w.pos").alias("pos"),
                 _window_key(key).alias("k")),
         persist, persist_registry)
@@ -1555,12 +1594,11 @@ def remove_duplicate_spans(
     odds negligible at any feasible scale, for a 4x wider shuffle key.
     Detection (`duplicate_spans`) and stats keep 64-bit defaults:
     a false-positive SPAN REPORT is harmless, a false cut is not."""
-    wins = _token_windows(text_col, window, impl)
     # persisted for the same reason as duplicate_spans: the projection
     # feeds the first-occurrence groupBy AND the later-occurrence join
     # (persist/persist_registry: see _maybe_persist)
     exploded = _maybe_persist(
-        df.select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
+        _exploded_windows(df, id_col, text_col, window, impl)
         .select("id", F.col("w.pos").alias("pos"),
                 _window_key(key).alias("k")),
         persist, persist_registry)

@@ -84,12 +84,30 @@ def _ngram_arrays_arrow(text_col: str, n: int) -> Column:
     return _grams(F.col(text_col))
 
 
-def _gram_col(text_col: str, n: int, impl: str) -> Column:
+def _exploded_grams(docs: DataFrame, keep: list[str], text_col: str,
+                    n: int, impl: str) -> DataFrame:
+    """`keep` columns + one exploded `ngram` row per document n-gram.
+
+    r12: the expr path hoists the token array into a materialized
+    column before the gram transform. HOF lambdas are CodegenFallback
+    and interpreted eval re-computes non-lambda subexpressions per
+    element — with `toks` inline, every gram's `F.slice(toks, i, n)`
+    re-ran the whole split/filter/lower tokenization, O(tokens^2)
+    string work per document. As a named column referenced three
+    times (when-guard, sequence bound, slice) it survives
+    CollapseProject and is evaluated once per row. Gram strings are
+    unchanged — same expressions, same inputs."""
     if impl == "arrow":
-        return _ngram_arrays_arrow(text_col, n)
+        return docs.select(
+            *[F.col(c) for c in keep],
+            F.explode(_ngram_arrays_arrow(text_col, n)).alias("ngram"))
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    return _ngrams(_tokens(text_col), n)
+    pre = docs.select(*[F.col(c) for c in keep],
+                      _tokens(text_col).alias("_toks"))
+    return pre.select(
+        *[F.col(c) for c in keep],
+        F.explode(_ngrams(F.col("_toks"), n)).alias("ngram"))
 
 
 def ngram_counts(
@@ -106,8 +124,7 @@ def ngram_counts(
     interpreted-HOF expansion the SQL oracle replays — identical
     grams either way (pytest-pinned + both under the driver gate via
     the text_lm_*[_arrow] entries)."""
-    grams = docs.select(
-        F.explode(_gram_col(text_col, n, impl)).alias("ngram"))
+    grams = _exploded_grams(docs, [], text_col, n, impl)
     counts = grams.groupBy("ngram").agg(
         F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
@@ -138,9 +155,7 @@ def score_documents(
     model_total = model.agg(
         F.sum("cnt").cast("long").alias("_total"),
         F.count(F.lit(1)).cast("long").alias("_vocab"))
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(_gram_col(text_col, n, impl)).alias("ngram"))
+    grams = _exploded_grams(docs, [id_col], text_col, n, impl)
     m = F.broadcast(model) if broadcast_model else model
     joined = grams.join(m, "ngram", "left")
     scored = (

@@ -40,7 +40,14 @@ def _tokens(text: Column) -> Column:
 
 
 def _marker_count(text: Column, markers: list[str]) -> Column:
-    toks = _tokens(text)
+    return _marker_hits(_tokens(text), markers)
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    """Marker-hit count over a (pre-materialized) token-array column.
+    The lambda must close over `arr` as a ONE-parameter function —
+    a defaulted second parameter would make PySpark pass the element
+    index as the second lambda argument."""
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
@@ -50,14 +57,25 @@ def language_id(
 ) -> DataFrame:
     """Heuristic language ID: argmax of marker-stopword hits per
     language; ties break by language-code order; no hits -> 'und'."""
-    text = F.col(text_col)
-    scores = [(lang, _marker_count(text, m)) for lang, m in sorted(LANG_MARKERS.items())]
+    # r12: tokenize once into a materialized column, then materialize
+    # each language's marker count, before the argmax when-chain —
+    # previously every reference to a score (greatest + the when
+    # chain) re-ran the count INCLUDING its tokenization. Outputs
+    # bit-identical (same expressions, same inputs).
+    pre = df.select(F.col(id_col),
+                    _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    langs = sorted(LANG_MARKERS.items())
+    counted = pre.select(F.col(id_col), *[
+        _marker_hits(toks, ms).alias(f"_s_{lang}")
+        for lang, ms in langs])
+    scores = [(lang, F.col(f"_s_{lang}")) for lang, _ in langs]
     best_score = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     # build reverse so earlier languages win ties
     for lang, score in reversed(scores):
         pred = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return counted.select(F.col(id_col), pred.alias("pred_lang"))
 
 
 def quality_score(
@@ -67,9 +85,27 @@ def quality_score(
     token count, mean token length, stopword ratio, alpha ratio.
     score = stopword_ratio * 0.5 + min(n_tokens/256, 1) * 0.5
     (rounded for engine-portable comparison)."""
+    # r12: tokenize once into a materialized column and materialize
+    # the integer features before the ratio projection — previously
+    # each of the ~5 references to n_tokens (and the stopword count)
+    # re-ran the tokenization per row. Outputs bit-identical (same
+    # expressions, same inputs; the float math is unchanged and still
+    # left-to-right).
     text = F.col(text_col)
-    toks = _tokens(text)
-    n_tokens = F.size(toks)
+    pre = df.select(F.col(id_col), text, _tokens(text).alias("_toks"))
+    toks = F.col("_toks")
+    stoparr = F.array(*[F.lit(m) for m in STOPWORDS])
+    feats = pre.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda a, t: a + F.length(t)).alias("_len_sum"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stoparr, t)))
+        .alias("_stop"),
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).alias("_alpha"),
+        F.length(text).alias("_chars"),
+    )
+    n_tokens = F.col("_n")
 
     def trunc6(c: Column) -> Column:
         # floor-truncate to 6 decimals: unlike round(), floor agrees
@@ -79,21 +115,21 @@ def quality_score(
         return F.floor(c * 1000000) / 1000000
 
     mean_tok_len = trunc6(
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        F.col("_len_sum")
         / F.greatest(n_tokens, F.lit(1)).cast("double")
     )
-    raw_stop_ratio = _marker_count(text, STOPWORDS) / F.greatest(
+    raw_stop_ratio = F.col("_stop") / F.greatest(
         n_tokens, F.lit(1)
     ).cast("double")
     stop_ratio = trunc6(raw_stop_ratio)
     alpha_ratio = trunc6(
-        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) /
-        F.greatest(F.length(text), F.lit(1)).cast("double")
+        F.col("_alpha") /
+        F.greatest(F.col("_chars"), F.lit(1)).cast("double")
     )
     score = trunc6(
         raw_stop_ratio * 0.5 + F.least(n_tokens / F.lit(256.0), F.lit(1.0)) * 0.5
     )
-    return df.select(
+    return feats.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
@@ -165,20 +201,34 @@ def lexical_diversity(
         )
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    distinct = F.array_distinct(toks)
+    # r12: token array and distinct array materialized before the
+    # (algorithmically quadratic) occurrence counting — previously
+    # `toks` inline in the per-distinct lambda re-ran the whole
+    # tokenization per distinct element, and each of the three output
+    # expressions re-derived toks/distinct from scratch. Outputs
+    # bit-identical (same expressions, same inputs).
+    pre = df.select(F.col(id_col),
+                    _tokens(F.col(text_col)).alias("_toks"))
+    pre = pre.select(F.col(id_col), F.col("_toks"),
+                     F.array_distinct(F.col("_toks")).alias("_dist"))
+    toks, distinct = F.col("_toks"), F.col("_dist")
     occurrences = F.transform(
         distinct,
         lambda d: F.size(F.filter(toks, lambda t: t == d)),
     )
-    top = F.coalesce(F.array_max(occurrences), F.lit(0))
-    return df.select(
+    feats = pre.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.size(distinct).alias("_nd"),
+        F.coalesce(F.array_max(occurrences), F.lit(0)).alias("_top"),
+    )
+    n = F.col("_n")
+    return feats.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        trunc6(F.size(distinct) / F.greatest(n, F.lit(1)).cast("double"))
+        trunc6(F.col("_nd") / F.greatest(n, F.lit(1)).cast("double"))
         .alias("distinct_ratio"),
-        trunc6(top / F.greatest(n, F.lit(1)).cast("double"))
+        trunc6(F.col("_top") / F.greatest(n, F.lit(1)).cast("double"))
         .alias("top_token_ratio"),
     )
 
@@ -361,7 +411,16 @@ def gopher_quality_filter(
         )
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    toks = _tokens(F.col(text_col))
+    # r12: materialize the token array, then every integer feature,
+    # before fanning into the rule columns. Previously each of the ~6
+    # references to n / total_len / top re-evaluated its whole
+    # expression per row (no CSE across projection outputs for
+    # CodegenFallback HOFs), and `toks` inline in the per-distinct
+    # lambda re-ran the tokenization per element. Same expressions,
+    # same inputs — outputs bit-identical.
+    pre = df.select(F.col(id_col),
+                    _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks).cast("long")
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
@@ -370,13 +429,27 @@ def gopher_quality_filter(
         F.array_max(F.transform(
             distinct, lambda d: F.size(F.filter(toks, lambda t: t == d)))),
         F.lit(0)).cast("long")
-    ok_count = (n >= min_tokens) & (n <= max_tokens)
-    ok_mean_len = (total_len >= min_mean_len * n) & (total_len <= max_mean_len * n)
-    ok_stopword = _marker_count(F.col(text_col), STOPWORDS) >= 1
-    ok_repetition = (2 * top) <= n
-    return df.select(
+    # same tokenization as _marker_count(text_col, STOPWORDS), read
+    # off the materialized token array instead of re-tokenizing
+    stoparr = F.array(*[F.lit(m) for m in STOPWORDS])
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(stoparr, t)))
+    feats = pre.select(
         F.col(id_col),
-        n.alias("n_tokens"),
+        n.alias("_n"),
+        total_len.alias("_tl"),
+        top.alias("_top"),
+        stop_hits.alias("_sh"),
+    )
+    fn, ftl, ftop, fsh = (F.col("_n"), F.col("_tl"), F.col("_top"),
+                          F.col("_sh"))
+    ok_count = (fn >= min_tokens) & (fn <= max_tokens)
+    ok_mean_len = (ftl >= min_mean_len * fn) & (ftl <= max_mean_len * fn)
+    ok_stopword = fsh >= 1
+    ok_repetition = (2 * ftop) <= fn
+    return feats.select(
+        F.col(id_col),
+        fn.alias("n_tokens"),
         ok_count.alias("ok_count"),
         ok_mean_len.alias("ok_mean_len"),
         ok_stopword.alias("ok_stopword"),
@@ -408,11 +481,17 @@ def _distinct_gram_arrays_arrow(text_col: str, n: int) -> Column:
     return _grams(F.col(text_col))
 
 
-def _distinct_gram_arrays_expr(text_col: str, n: int) -> Column:
+def _distinct_gram_arrays_expr(toks: Column, n: int) -> Column:
     """Expression form of the distinct word-n-gram array (the
     interpreted twin of `_distinct_gram_arrays_arrow`; identical gram
-    strings, pytest-pinned through contamination_check parity)."""
-    toks = _tokens(F.col(text_col))
+    strings, pytest-pinned through contamination_check parity).
+
+    Takes the TOKEN ARRAY column, not the text column (r12): callers
+    must pre-project `_tokens(...)` into a materialized column —
+    HOF lambdas are CodegenFallback and interpreted eval re-computes
+    non-lambda subexpressions per element, so an inline token
+    expression would re-run the whole split/filter/lower tokenization
+    once per gram (O(tokens^2) string work per document)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0),
@@ -458,6 +537,10 @@ def _bloom_contains_digest(digest: Column, words: list[int],
     `transform` materializing the md5 array) — inside an interpreted
     HOF lambda there is no common-subexpression elimination, so
     embedding F.md5 here would recompute it per position reference."""
+    # NB: these literal arrays are safe inside the per-gram lambdas —
+    # ConstantFolding collapses a CreateArray of literals into one
+    # array Literal even within a lambda body (verified r12), so they
+    # are NOT re-built per element.
     pow2 = F.array(*[
         F.lit(v - (1 << 64) if v >= (1 << 63) else v)
         for v in (1 << b for b in range(64))
@@ -540,8 +623,9 @@ def contamination_check_bloom(
     two are bit-equal (pytest-pinned).
     """
     gram_rows = (
-        eval_df.select(
-            F.explode(_distinct_gram_arrays_expr(text_col, n))
+        eval_df.select(_tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.explode(_distinct_gram_arrays_expr(F.col("_toks"), n))
             .alias("gram"))
         .distinct().collect()
     )
@@ -571,13 +655,28 @@ def contamination_check_bloom(
     words = build_bloom_bitset([r.gram for r in gram_rows], m_bits, k)
     if impl == "expr":
         # one md5 per DISTINCT gram (distinct grams <-> distinct
-        # digests), probed as digests — see _bloom_contains_digest
+        # digests), probed as digests — see _bloom_contains_digest.
+        # The token array is pre-projected (r12, see
+        # _distinct_gram_arrays_expr) and the hit count is
+        # materialized once before fanning into the two output
+        # columns, so the probe pass runs once per row, not once per
+        # output reference.
+        pre = train_df.select(
+            F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
         digests = F.transform(
-            _distinct_gram_arrays_expr(text_col, n),
+            _distinct_gram_arrays_expr(F.col("_toks"), n),
             lambda g: F.md5(g))
-        hits = F.size(F.filter(
+        hits_once = F.size(F.filter(
             digests,
             lambda d: _bloom_contains_digest(d, words, m_bits, k)))
+        return (
+            pre.select(F.col(id_col), hits_once.alias("_hits"))
+            .select(
+                F.col(id_col),
+                F.col("_hits").cast("long").alias("n_flagged_ngrams"),
+                (F.col("_hits") > 0).alias("flagged"),
+            )
+        )
     elif impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -639,10 +738,17 @@ def contamination_check(
 
     def grams(d: DataFrame, *extra: str) -> DataFrame:
         if impl == "arrow":
-            g = _distinct_gram_arrays_arrow(text_col, n)
-        else:
-            g = _distinct_gram_arrays_expr(text_col, n)
-        return d.select(*extra, F.explode(g).alias("gram"))
+            return d.select(
+                *extra,
+                F.explode(_distinct_gram_arrays_arrow(text_col, n))
+                .alias("gram"))
+        # expr: token array pre-projected once per row (r12, see
+        # _distinct_gram_arrays_expr)
+        pre = d.select(*extra, _tokens(F.col(text_col)).alias("_toks"))
+        return pre.select(
+            *extra,
+            F.explode(_distinct_gram_arrays_expr(F.col("_toks"), n))
+            .alias("gram"))
 
     ev = grams(eval_df).distinct()
     tr = grams(train_df, id_col)
@@ -754,7 +860,16 @@ def fingerprint(
             _roll_min(F.col(text_col)).alias("fingerprint"),
             F.md5(F.col(text_col)).alias("content_md5"),
         )
-    text = F.lower(F.col(text_col))
+    # Hoist lower(text) into a materialized column before the shingle
+    # transform (r12, same fix as minhash_signatures): HOF lambdas are
+    # CodegenFallback and interpreted eval re-computes non-lambda
+    # subexpressions per element, so the inline form re-lowercased the
+    # whole document once PER SHINGLE — O(len^2) chars/doc. Values
+    # bit-identical (same expressions, same inputs); content_md5 still
+    # hashes the RAW text, carried through the same projection.
+    df = df.select(F.col(id_col), F.col(text_col),
+                   F.lower(F.col(text_col)).alias("_fp_text"))
+    text = F.col("_fp_text")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text) - (window - 1), F.lit(1))),
         lambda i: text.substr(i, F.lit(window)),
@@ -1046,7 +1161,16 @@ def repetition_stats(
         )
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    toks = _tokens(F.col(text_col))
+    # r12: materialize the token array, then the gram array, then the
+    # two counts, before fanning into the output columns. Previously
+    # `toks` inline in the per-position lambda re-ran the whole
+    # tokenization for each of the ngram element_at calls PER GRAM,
+    # and each of the five output expressions re-expanded the whole
+    # gram array (n_ngrams alone was re-derived four times). Outputs
+    # bit-identical (same expressions, same inputs).
+    pre = df.select(F.col(id_col),
+                    _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n_toks = F.size(toks)
     if hash_ngrams:
         grams = F.when(n_toks >= ngram, F.transform(
@@ -1060,10 +1184,13 @@ def repetition_stats(
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]),
         )).otherwise(F.array().cast("array<string>"))
-    n_ngrams = F.size(grams).cast("long")
-    n_distinct = F.size(F.array_distinct(grams)).cast("long")
-    n_dup = (n_ngrams - n_distinct).alias("n_dup")
-    return df.select(
+    counted = pre.select(F.col(id_col), grams.alias("_grams")).select(
+        F.col(id_col),
+        F.size("_grams").cast("long").alias("_n"),
+        F.size(F.array_distinct("_grams")).cast("long").alias("_nd"),
+    )
+    n_ngrams, n_distinct = F.col("_n"), F.col("_nd")
+    return counted.select(
         F.col(id_col),
         n_ngrams.alias("n_ngrams"),
         n_distinct.alias("n_distinct"),
