@@ -1440,9 +1440,13 @@ def p_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks; the codes table is the 32x-smaller representation the
     ADC entry scores without touching the vectors."""
     from locustdb_spark.operators.similarity import pq_encode
+    from locustdb_spark.operators.spread import spread_small_scan
 
     emb = _read(spark, sf_dir, "embeddings")
-    codes = pq_encode(emb, _pq_books(emb))
+    # r12 (guide §2.5): the encode is compute-bound interpreted fold
+    # work; spread a one-split gate-scale scan across cores (no-op at
+    # scale). Results are row-wise — identical under any partitioning.
+    codes = pq_encode(spread_small_scan(emb), _pq_books(emb))
     return codes.select(
         "vec_id", F.posexplode("codes").alias("m", "code"))
 
@@ -1456,10 +1460,12 @@ def p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending, ties to the smaller id."""
     from locustdb_spark.operators.similarity import (
         pq_adc_topk, pq_encode)
+    from locustdb_spark.operators.spread import spread_small_scan
 
     emb = _read(spark, sf_dir, "embeddings")
     books = _pq_books(emb)
-    codes = pq_encode(emb, books)
+    # r12 (guide §2.5): spread the starved scan before the encode
+    codes = pq_encode(spread_small_scan(emb), books)
     q = [float(x)
          for x in emb.filter(F.col("vec_id") == 0).head().embedding]
     return pq_adc_topk(codes, books, q, k=10)

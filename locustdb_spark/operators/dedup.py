@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_small_scan
+
 # 60-bit portable hash: conv(substr(md5(x), 1, 15), 16, 10)
 # == DuckDB ('0x' || substr(md5(x), 1, 15))::BIGINT
 
@@ -135,10 +137,7 @@ def minhash_signatures(
     # corpus to one task. At real scale the input already has many
     # splits. (Streaming DataFrames expose no .rdd and micro-batch
     # sizing is the source's job — skip.)
-    if not df.isStreaming:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
+    df = spread_small_scan(df)
 
     # Hoist the (lower-)cased text into a materialized column BEFORE
     # the shingle transform (r12): higher-order-function lambdas are
@@ -243,10 +242,7 @@ def _minhash_signatures_arrow(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    if not df.isStreaming:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
+    df = spread_small_scan(df)
 
     mask = (1 << 56) - 1
     k = shingle_k
@@ -416,10 +412,7 @@ def _minhash_signatures_arrow_xx(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    if not df.isStreaming:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
+    df = spread_small_scan(df)
 
     mask = (1 << 56) - 1
     k = shingle_k
@@ -735,7 +728,12 @@ def simhash(
     masks are a literal array zipped against it), and a final fold
     turns positive votes into set bits. Output is bit-identical to the
     per-bit formulation, so the existing DuckDB oracle still applies.
+
+    r12: input spread across cores (guide §2.5) — the vote fold is
+    interpreted HOF work, and a one-split gate-scale corpus pinned it
+    to one task (no-op at scale; see spread_small_scan).
     """
+    df = spread_small_scan(df)
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     # one md5 per token — the only hashing in the whole operator
     tok_hashes = F.transform(
@@ -805,10 +803,14 @@ def embedding_near_dup(
     sit under the same oracle via the `dedup_embedding_cosine[_arrow]`
     registry entries and are pinned equal).
     """
-    from .similarity import _infer_dims, bucket_expr, cosine
+    from .similarity import _infer_dims, bucket_expr, dot, norm
 
     dims = _infer_dims(df, vec_col)
     vec = F.col(vec_col).cast("array<double>")
+    # r12 (guide §2.5): the bucket projection and everything downstream
+    # are interpreted HOF work; a one/two-split gate-scale scan would
+    # otherwise pin it to 1-2 cores (no-op at scale).
+    df = spread_small_scan(df)
     vecs = df.select(
         F.col(id_col),
         vec.alias("_v"),
@@ -903,13 +905,25 @@ def embedding_near_dup(
             per_bucket, "id_a long, id_b long, cosine_sim double")
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    left = vecs.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    # r12 norm hoist (guide §1.2 step 2): cosine(_va, _vb) evaluated
+    # THREE interpreted folds per candidate PAIR (dot + both norms);
+    # the norms are per-VECTOR invariants, so they are materialized
+    # once per row before the bucket self-join and only the dot fold
+    # remains per pair. norm() is the identical expression over the
+    # identical array, and dot/(na*nb) preserves the operation order
+    # of cosine() = dot/(norm*norm) — the doubles are bit-identical.
+    sided = vecs.select(
+        F.col(id_col), "_v", "bucket", norm(F.col("_v")).alias("_n"))
+    left = sided.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket"
     )
-    right = vecs.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    right = sided.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket"
     )
-    sim = cosine(F.col("_va"), F.col("_vb"))
+    sim = (dot(F.col("_va"), F.col("_vb"))
+           / (F.col("_na") * F.col("_nb")))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
@@ -1069,8 +1083,34 @@ def ngram_jaccard_pairs(
     Catalyst evaluates interpreted per position — about half this
     operator's sf1 wall time. The joins and set algebra are compiled
     expressions either way and stay unchanged; so does the result.
+
+    r12 (guide §1.2 step 1 + §2.5): the id-prune join now sits BELOW
+    the shingling projection — the old plan computed gram arrays for
+    EVERY corpus doc and only then dropped the non-candidates (a
+    projection cannot be reordered above a join by Catalyst, so the
+    docstring's claimed prune never actually happened before r12) —
+    and the pruned doc side is spread across cores before the
+    compute-heavy shingling. The expr path additionally materializes
+    the token array as a named column: `F.slice(toks, i+1, n)` inside
+    the transform lambda re-ran the whole tokenization once per gram
+    position (interpreted HOF lambdas re-evaluate non-lambda
+    subexpressions per element). Same expressions over the same rows,
+    so gram arrays — and the jaccard output — are value-identical.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    # Prune the corpus to documents that actually appear in a pair
+    # BEFORE computing gram arrays, then persist that small table: the
+    # two pair-joins below would otherwise each scan and re-shingle
+    # the full corpus. Candidate ids are a broadcast-sized set by
+    # construction (LSH has already filtered the pair space).
+    ids = (
+        candidate_pairs.select(F.col("id_a").alias("gid"))
+        .unionByName(candidate_pairs.select(F.col("id_b").alias("gid")))
+        .distinct()
+    )
+    pruned = spread_small_scan(
+        df.select(F.col(id_col).alias("gid"), F.col(text_col))
+        .join(ids, "gid")
+    )
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -1088,31 +1128,24 @@ def ngram_jaccard_pairs(
                 out.append(list(dict.fromkeys(g)))
             return pd.Series(out)
 
-        grams = _gram_arrays(F.col(text_col))
+        shingled = pruned.select(
+            "gid", _gram_arrays(F.col(text_col)).alias("grams"))
     elif impl == "expr":
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        tokd = pruned.select("gid", toks.alias("_toks"))
         grams = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.col("_toks")) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
             )
         )
+        shingled = tokd.select("gid", grams.alias("grams"))
     else:
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    # Prune the corpus to documents that actually appear in a pair
-    # before computing gram arrays, then persist that small table: the
-    # two pair-joins below would otherwise each scan and re-shingle
-    # the full corpus. Candidate ids are a broadcast-sized set by
-    # construction (LSH has already filtered the pair space).
-    ids = (
-        candidate_pairs.select(F.col("id_a").alias("gid"))
-        .unionByName(candidate_pairs.select(F.col("id_b").alias("gid")))
-        .distinct()
-    )
-    doc_grams = (
-        df.select(F.col(id_col).alias("gid"), grams.alias("grams"))
-        .join(ids, "gid")
-        .persist()
-    )
+    doc_grams = shingled.persist()
     out = (
         candidate_pairs.join(
             doc_grams.select(F.col("gid").alias("id_a"),
@@ -1142,8 +1175,16 @@ def _explode_segments(df: DataFrame, id_col: str, content_col: str,
                       n_words: int) -> DataFrame:
     """Map-side segmentation: one row per (id, seg_idx, segment) where
     a segment is a fixed n_words-word slice of the document (trailing
-    remainder included). Pure explode over a projection — no shuffle."""
-    words = F.split(F.col(content_col), " ")
+    remainder included). Pure explode over a projection — no shuffle
+    (at gate scale a one-split input is first spread across cores,
+    guide §2.5; the r12 hoist materializes the word array once per doc
+    instead of re-splitting the text per segment inside the
+    interpreted transform lambda — value-identical segments)."""
+    spreaded = spread_small_scan(df)
+    worded = spreaded.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(content_col), " ").alias("_words"))
+    words = F.col("_words")
     n_segs = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
@@ -1155,7 +1196,7 @@ def _explode_segments(df: DataFrame, id_col: str, content_col: str,
         ),
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(segs).alias("s"))
+        worded.select("id", F.explode(segs).alias("s"))
         .select("id", "s.seg_idx", "s.segment")
     )
 
@@ -1415,7 +1456,9 @@ def _exploded_windows(df: DataFrame, id_col: str, text_col: str,
                       window: int, impl: str) -> DataFrame:
     """(id, w) rows — one per sliding window — with the expr path's
     token array hoisted into a materialized column first (r12; see
-    _token_windows)."""
+    _token_windows), and a starved gate-scale scan spread across
+    cores before the window expansion (guide §2.5; no-op at scale)."""
+    df = spread_small_scan(df)
     wins = _token_windows(text_col, window, impl)
     if impl == "arrow":
         return df.select(F.col(id_col).alias("id"),

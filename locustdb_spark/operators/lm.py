@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_small_scan
+
 
 def _tokens(text_col: str) -> Column:
     """The text.py tokenization (single source of truth for the
@@ -97,6 +99,10 @@ def _exploded_grams(docs: DataFrame, keep: list[str], text_col: str,
     times (when-guard, sequence bound, slice) it survives
     CollapseProject and is evaluated once per row. Gram strings are
     unchanged — same expressions, same inputs."""
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy gram expansion (no-op at scale
+    # and on streaming inputs — see spread_small_scan).
+    docs = spread_small_scan(docs)
     if impl == "arrow":
         return docs.select(
             *[F.col(c) for c in keep],

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_small_scan
+
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, format string"
 )
@@ -40,6 +42,13 @@ def with_binary_payload(
 ) -> DataFrame:
     """Pack a text column into an opaque binary payload column
     (stand-in for real image/audio bytes) plus metadata."""
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores — the payload build and every decoder downstream of it
+    # inherit this partitioning, and a 6 MB documents table would
+    # otherwise pin the whole codec pipeline to 1-2 tasks
+    # (measured: multimodal_h264_gop 226.9 s at sf1 vs ~14 s of
+    # spread CPU). No-op at scale — see spread_small_scan.
+    df = spread_small_scan(df)
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
@@ -432,6 +441,11 @@ def with_h264_payload(
 
     (crop is 1 unit right+bottom at 4:2:0 => 2px each, §7.4.2.1.1)."""
 
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the payload build — the decoders downstream inherit the
+    # partitioning; no-op at scale (see spread_small_scan)
+    df = spread_small_scan(df)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import h264
 
@@ -512,6 +526,11 @@ def with_wav_payload(
     SQL engine regenerates the exact samples with generate_series and
     recomputes every feature the DECODER+ANALYZER must read back out
     of the actual RIFF bytes."""
+
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the payload build — the decoders downstream inherit the
+    # partitioning; no-op at scale (see spread_small_scan)
+    df = spread_small_scan(df)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -611,6 +630,11 @@ def with_png_payload(
     with filter doc_id % 3 (None / Sub / Up) — so the oracle sweep
     exercises the decoder's inflate AND three unfilter paths, and an
     independent SQL engine regenerates every pixel by formula."""
+
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the payload build — the decoders downstream inherit the
+    # partitioning; no-op at scale (see spread_small_scan)
+    df = spread_small_scan(df)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -714,6 +738,11 @@ def with_h264_pixel_payload(
     syntax, and real Z-scan/nC bookkeeping — a decoder that gets ANY
     of it wrong lands on different pixels."""
 
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the payload build — the decoders downstream inherit the
+    # partitioning; no-op at scale (see spread_small_scan)
+    df = spread_small_scan(df)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .h264_decode import BLK_ZSCAN, encode_i_frame
 
@@ -798,6 +827,11 @@ def with_h264_mp4_payload(
     odd indices carry opaque stand-in bytes for the inter frames a
     real camera stream would put there — exactly the shape a
     keyframe-sampling curation pipeline sees."""
+
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the payload build — the decoders downstream inherit the
+    # partitioning; no-op at scale (see spread_small_scan)
+    df = spread_small_scan(df)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs
@@ -924,6 +958,11 @@ def with_h264_gop_payload(
       P2. The bits in between are real skip runs, signed Exp-Golomb
       mvds, inter CBP and CAVLC — a decoder wrong about ANY of it
       lands on different pixels."""
+
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the payload build — the decoders downstream inherit the
+    # partitioning; no-op at scale (see spread_small_scan)
+    df = spread_small_scan(df)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .h264_decode import BLK_ZSCAN

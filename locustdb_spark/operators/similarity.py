@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_small_scan
+
 
 class IvfUpsertLockError(RuntimeError):
     """Another `append_ivf_index(upsert=True)` holds the index's
@@ -91,9 +93,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector."""
+    """Brute-force cosine top-k against a literal query vector.
+
+    r12 (guide §1.2 step 2): the query's norm is a constant, but
+    Catalyst does not constant-fold `aggregate` over a literal array
+    (higher-order functions are not foldable), so `cosine(v, q)` paid
+    an interpreted
+
+    fold over the `dims`-element literal PER ROW just
+    to recompute the same number. It is now computed once driver-side
+    with the identical left-to-right `acc + x*x` fold and `sqrt`
+    (IEEE-754 double ops in the same order — bit-identical to what
+    the JVM fold produced), inlined as a literal; per row only the
+    dot and the vector's own norm remain. Division/multiply order is
+    unchanged, so `cosine_sim` is bit-identical."""
+    import math
+
+    acc = 0.0
+    for x in query_vec:
+        acc = acc + float(x) * float(x)
+    q_norm = math.sqrt(acc)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    vec = F.col(vec_col).cast("array<double>")
+    sim = dot(vec, q) / (norm(vec) * F.lit(q_norm))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
@@ -127,15 +149,32 @@ def knn_join(
     """
     from pyspark.sql.window import Window
 
+    # r12 norm hoist (guide §1.2 step 2): cosine(v, qv) evaluated
+    # THREE interpreted folds per (corpus x query) PAIR — the dot plus
+    # both norms, though each norm is a per-ROW invariant (the corpus
+    # norm was recomputed once per query and the query norm once per
+    # corpus row). Both norms are materialized once per row on their
+    # own side of the broadcast join; only the dot fold remains per
+    # pair. Identical expressions over identical arrays and the same
+    # multiply/divide order, so cosine_sim is bit-identical.
+    # The corpus side is also spread across cores first (guide §2.5):
+    # the pair compute runs in the corpus scan stage, which at
+    # gate/sweep scale is otherwise a one/two-split scan.
+    corpus = spread_small_scan(corpus)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_c_vec"),
+    ).withColumn("_c_norm", norm(F.col("_c_vec")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("_q_vec"),
-    )
-    sim = cosine(F.col(vec_col).cast("array<double>"), F.col("_q_vec"))
+    ).withColumn("_q_norm", norm(F.col("_q_vec")))
+    sim = (dot(F.col("_c_vec"), F.col("_q_vec"))
+           / (F.col("_c_norm") * F.col("_q_norm")))
     if round_to is not None:
         sim = F.round(sim, round_to)
     pairs = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        c.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .select("q_id", F.col(id_col), sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -242,9 +281,21 @@ def hyperplane_buckets(
 
 def _rank_probes(centroids: list[list[float]], query_vec: list[float],
                  nprobe: int) -> list[int]:
-    """Top-nprobe cluster ids by centroid-dot-query (the shared
-    probe-selection for in-memory and persisted IVF paths)."""
+    """Top-nprobe cluster ids by centroid-COSINE-query (the shared
+    probe-selection for in-memory and persisted IVF paths).
+
+    r12 (ADVICE): centroid rows are L2-normalized the same way
+    `ivf_assign` normalizes them (zero-norm rows guarded, dot stays
+    0), so dot-with-unit-query equals cosine for ANY centroid source —
+    previously raw non-unit user-supplied centroids were ranked by
+    magnitude-biased dot product here while the `rank_probes_seq`
+    oracle twin divided by the centroid norm, probing different
+    clusters and losing recall. For every shipped centroid source
+    (unit rows from spherical kmeans) the division perturbs scores by
+    ~1 ulp, far below any inter-centroid score gap."""
     c = np.array(centroids, dtype=float)
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    c = c / np.where(cn == 0, 1.0, cn)
     q = np.array([float(x) for x in query_vec], dtype=float)
     qn = q / np.linalg.norm(q)
     return [int(i) for i in
@@ -329,6 +380,9 @@ def ivf_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
+    # r12 (guide §2.5): spread a starved gate-scale scan across cores
+    # before the batch-matmul assignment (no-op at scale)
+    df = spread_small_scan(df)
     c = np.array(centroids, dtype=float)
     cn = np.linalg.norm(c, axis=1, keepdims=True)
     c = c / np.where(cn == 0, 1.0, cn)
@@ -356,16 +410,40 @@ def ivf_assign_expr(
     array_position. Slower per row than the numpy matmul path but
     bit-reproducible in any engine with sequential list arithmetic —
     which is what lets an IVF pipeline sit under a SQL value-hash
-    oracle (the numpy path's SIMD summation order differs)."""
+    oracle (the numpy path's SIMD summation order differs).
+
+    r12 hoists (guide §1.2 step 2), both bit-identical by
+    construction: (1) the vector's own norm — previously re-folded
+    inside cosine() once per CENTROID — is materialized once per row;
+    (2) each centroid's norm is a constant, but Catalyst does not
+    constant-fold `aggregate` over literal arrays, so it was an
+    interpreted per-row fold too — it is now computed driver-side
+    with the identical left-to-right `acc + x*x` fold and `sqrt`
+    (same IEEE-754 double ops in the same order) and inlined as a
+    literal. Per row: k dots + 1 norm instead of 3k folds. The
+    divide/multiply order of cosine() is preserved. The input is
+    spread across cores first (guide §2.5; no-op at scale)."""
+    import math
+
+    df = spread_small_scan(df)
     vec = F.col(vec_col).cast("array<double>")
+
+    def _seq_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    pre = df.select("*", norm(vec).alias("_vnorm"))
     coss = []
     for c in centroids:
         arr = F.array(*[F.lit(float(x)) for x in c])
-        coss.append(cosine(vec, arr))
+        coss.append(dot(vec, arr)
+                    / (F.col("_vnorm") * F.lit(_seq_norm(c))))
     sims = F.array(*coss)
     cluster = (F.array_position(sims, F.array_max(sims)) - 1) \
         .cast("int")
-    return df.withColumn("cluster", cluster)
+    return pre.withColumn("cluster", cluster).drop("_vnorm")
 
 
 def rank_probes_seq(centroids: list[list[float]],
@@ -499,13 +577,37 @@ def semantic_dedup(
     # the per-row norm is hoisted out of the O(pairs) join below —
     # the pairwise check then folds ONE dot per pair instead of a
     # dot plus two redundant norms (same fold, same bits, third of
-    # the interpreted work on the quadratic stage)
-    base = assigned.select(
+    # the interpreted work on the quadratic stage). r12: the same
+    # hoist now covers the centroid-cosine projection — `_n` feeds
+    # `_ccos` instead of cosine() re-folding norm(vec), and each
+    # centroid's norm is a driver-side constant computed with the
+    # identical left-to-right `acc + x*x` fold + sqrt (Catalyst
+    # cannot constant-fold aggregate over literal arrays), inlined
+    # as a literal array indexed by cluster. Same ops, same order —
+    # `_ccos` is bit-identical.
+    import math as _math
+
+    def _seq_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return _math.sqrt(acc)
+
+    cnorm_arr = F.array(*[F.lit(_seq_norm(c)) for c in centroids])
+    pre = assigned.select(
         F.col(id_col).alias("id"),
         F.col("cluster"),
         vec.alias("_v"),
         norm(vec).alias("_n"),
-        cosine(vec, F.element_at(cent_arr, F.col("cluster") + 1))
+    )
+    base = pre.select(
+        "id",
+        "cluster",
+        "_v",
+        "_n",
+        (dot(F.col("_v"), F.element_at(cent_arr, F.col("cluster") + 1))
+         / (F.col("_n")
+            * F.element_at(cnorm_arr, F.col("cluster") + 1)))
         .alias("_ccos"),
     )
     a = base.select(F.col("id").alias("id_a"), "cluster",
@@ -753,13 +855,29 @@ def pq_encode(
     ``keep_cols`` carries extra input columns through the projection
     (e.g. the `cluster` assignment an IVF-PQ layout partitions by) —
     same rationale as `minhash_signatures`' keep_cols: strictly
-    cheaper than joining codes back to the corpus on id."""
+    cheaper than joining codes back to the corpus on id.
+
+    r12 (guide §1.2 step 2 + §2.5): each subspace's slice of the
+    vector was an argument of every codeword's zip_with, so it was
+    re-materialized once per (row, codeword) — K redundant
+    dsub-element array builds per subspace per row. The m subvectors
+    are now named columns built once per row; the distance folds are
+    the identical expressions over the identical arrays, so codes are
+    bit-identical. (No spread here: the upsert/compaction staging
+    paths deliberately repartition by cluster immediately before
+    encoding and rely on this staying a pure projection — the direct
+    scan entries spread upstream instead.)"""
     vec = F.col(vec_col).cast("array<double>")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    kept = [F.col(c) for c in (keep_cols or [])]
+    pre = df.select(
+        F.col(id_col), *kept,
+        *[F.slice(vec, s * dsub + 1, dsub).alias(f"_sub{s}")
+          for s in range(m)])
     code_cols = []
     for s, book in enumerate(codebooks):
-        sub = F.slice(vec, s * dsub + 1, dsub)
+        sub = F.col(f"_sub{s}")
         d2s = []
         for cw in book:
             arr = F.array(*[F.lit(float(x)) for x in cw])
@@ -770,9 +888,8 @@ def pq_encode(
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int"))
-    kept = [F.col(c) for c in (keep_cols or [])]
-    return df.select(F.col(id_col), *kept,
-                     F.array(*code_cols).alias("codes"))
+    return pre.select(F.col(id_col), *[F.col(c) for c in (keep_cols or [])],
+                      F.array(*code_cols).alias("codes"))
 
 
 def adc_table(codebooks: list[list[list[float]]],
@@ -1487,12 +1604,28 @@ def _drift_stats(
     cent_arr = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
-    assigned_c = F.element_at(cent_arr, F.col("cluster") + 1)
-    dist_micro = F.round((1.0 - cosine(vec, assigned_c)) * 1e8) \
-        .cast("long")
+    # r12 norm hoist (guide §1.2 step 2, same argument as
+    # ivf_assign_expr): the vector norm folds once per row instead of
+    # inside cosine(), and the assigned centroid's norm is a
+    # driver-side constant (identical left-to-right fold + sqrt)
+    # indexed by cluster — bit-identical dist_micro.
+    import math as _math
+
+    def _seq_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return _math.sqrt(acc)
+
+    cnorm_arr = F.array(*[F.lit(_seq_norm(c)) for c in centroids])
+    cos_hoisted = (
+        dot(F.col("_v"), F.element_at(cent_arr, F.col("cluster") + 1))
+        / (F.col("_n") * F.element_at(cnorm_arr, F.col("cluster") + 1)))
+    dist_micro = F.round((1.0 - cos_hoisted) * 1e8).cast("long")
     return (
         idx.select(F.col("cluster").cast("int").alias("cluster"),
-                   dist_micro.alias("_dm"))
+                   vec.alias("_v"), norm(vec).alias("_n"))
+        .select("cluster", dist_micro.alias("_dm"))
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("_dm").cast("double")
@@ -1740,13 +1873,25 @@ def ann_knn_join(
     # most n_clusters elements regardless of batch size
     probe_set = sorted(
         int(r[0]) for r in qp.select("probe_cluster").distinct().collect())
+    # r12 norm hoist (guide §1.2 step 2, same argument as knn_join):
+    # cosine(v, qv) folded the corpus-vector norm once per QUERY and
+    # the query norm once per CANDIDATE; both are per-row invariants,
+    # materialized on their own side of the broadcast join so only
+    # the dot fold remains per candidate pair. Same expressions, same
+    # multiply/divide order — cosine_sim is bit-identical. The corpus
+    # still never shuffles (the norm is a projection in the pruned
+    # scan's own stage).
+    qp = qp.withColumn("_q_norm", norm(F.col("_q_vec")))
     idx = (spark.read.parquet(path)
-           .filter(F.col("cluster").isin(probe_set)))
+           .filter(F.col("cluster").isin(probe_set))
+           .withColumn("_c_vec", F.col(vec_col).cast("array<double>"))
+           .withColumn("_c_norm", norm(F.col("_c_vec"))))
     pairs = idx.join(F.broadcast(qp),
                      idx["cluster"] == qp["probe_cluster"])
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("q_id"))
-    sim = cosine(F.col(vec_col).cast("array<double>"), F.col("_q_vec"))
+    sim = (dot(F.col("_c_vec"), F.col("_q_vec"))
+           / (F.col("_c_norm") * F.col("_q_norm")))
     if round_to is not None:
         sim = F.round(sim, round_to)
     pairs = pairs.select("q_id", F.col(id_col), sim.alias("cosine_sim"))

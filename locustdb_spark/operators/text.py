@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_small_scan
+
 # marker stopwords per language for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
@@ -62,6 +64,10 @@ def language_id(
     # previously every reference to a score (greatest + the when
     # chain) re-ran the count INCLUDING its tokenization. Outputs
     # bit-identical (same expressions, same inputs).
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     pre = df.select(F.col(id_col),
                     _tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
@@ -91,6 +97,10 @@ def quality_score(
     # re-ran the tokenization per row. Outputs bit-identical (same
     # expressions, same inputs; the float math is unchanged and still
     # left-to-right).
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     text = F.col(text_col)
     pre = df.select(F.col(id_col), text, _tokens(text).alias("_toks"))
     toks = F.col("_toks")
@@ -143,6 +153,10 @@ def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + char count."""
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -168,6 +182,10 @@ def lexical_diversity(
     unique-with-counts per document, O(n log n), identical outputs
     (integer counts + floor-truncated ratios — no float divergence
     possible; pytest-pinned on the real corpus)."""
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     def trunc6(c: Column) -> Column:
         return F.floor(c * 1000000) / 1000000
 
@@ -278,6 +296,10 @@ def tf_idf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     toks = df.select(F.col(id_col),
                      F.explode(_tokens(F.col(text_col))).alias("term"))
     # tf is referenced twice (scored join + dfreq); persisting it keeps
@@ -317,6 +339,10 @@ def chunk_documents(
     len/stride per doc."""
     if overlap >= chunk_chars:
         raise ValueError("overlap must be < chunk_chars")
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     stride = chunk_chars - overlap
     text = F.col(text_col)
     starts = F.sequence(
@@ -366,6 +392,10 @@ def gopher_quality_filter(
     is one O(n log n) unique pass, and every output is an integer, so
     the two are bit-identical by construction (pytest-pinned).
     """
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -653,6 +683,9 @@ def contamination_check_bloom(
                 stacklevel=2,
             )
     words = build_bloom_bitset([r.gram for r in gram_rows], m_bits, k)
+    # r12 (guide §2.5): spread the train-side probe (the heavy pass)
+    # across cores; no-op at scale.
+    train_df = spread_small_scan(train_df)
     if impl == "expr":
         # one md5 per DISTINCT gram (distinct grams <-> distinct
         # digests), probed as digests — see _bloom_contains_digest.
@@ -751,7 +784,9 @@ def contamination_check(
             .alias("gram"))
 
     ev = grams(eval_df).distinct()
-    tr = grams(train_df, id_col)
+    # r12 (guide §2.5): spread the train-side gram expansion (the
+    # heavy pass) across cores; no-op at scale.
+    tr = grams(spread_small_scan(train_df), id_col)
     matched = (
         tr.join(F.broadcast(ev), "gram")
         .groupBy(id_col)
@@ -807,6 +842,10 @@ def fingerprint(
     All variants give the same clustering behavior for exact
     duplicates (docs sharing all shingles share the fingerprint);
     only the hash values differ."""
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     if hash_fn == "rolling":
         from pyspark.sql.functions import pandas_udf
 
@@ -923,6 +962,10 @@ def linear_classifier_score(
     """
     from .dedup import portable_hash64
 
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     dims = len(weights)
     text = F.col(text_col)
     # raw (case-preserving) tokens — NOT _tokens(), which lowercases:
@@ -1013,6 +1056,10 @@ def redact_pii(
     JVM-side and runs next to the scan, so a 100 TB corpus is scrubbed
     with zero shuffles. Replacement order (emails, then URLs, then
     digit runs) is fixed so results are engine-portable."""
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     text = F.col(text_col)
 
     def cnt(pat: str) -> Column:
@@ -1116,6 +1163,10 @@ def repetition_stats(
     round-trip): at 100 TB this runs in the same map-only pre-filter
     pass as the other quality rules, before anything shuffles.
     """
+    # r12 (guide §2.5): spread a one-split gate-scale scan across
+    # cores before the compute-heavy projection (no-op at scale and on
+    # streaming inputs — see spread_small_scan).
+    df = spread_small_scan(df)
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 

@@ -3903,3 +3903,140 @@ def test_minhash_xxhash64_arrow_kernel_parity(docs, spark):
         a = sorted(map(tuple, minhash_signatures(
             edge, hash_fn="xxhash64", impl="arrow", **kwargs).collect()))
         assert a == e, f"kernel diverges for {kwargs}"
+
+
+# --- r12 optimization-round pins ------------------------------------------
+
+
+def test_assigners_agree_on_non_unit_centroids(spark):
+    """VERDICT r11 item 4: the numpy and expression assigners must
+    agree on centroids that are NOT unit-norm (each row scaled by a
+    different magnitude). Pre-r11 ivf_assign ranked by raw dot
+    product, so a large-magnitude centroid would win every argmax on
+    this input while the expression path's true cosine ignored the
+    scale — this test fails on that code."""
+    from locustdb_spark.operators.similarity import (
+        ivf_assign, ivf_assign_expr)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(200)
+    base = [[float(x) for x in r.embedding]
+            for r in emb.filter("vec_id < 6").orderBy("vec_id")
+            .collect()]
+    # distinct magnitudes per row: 0.25x .. 32x
+    cents = [[x * (0.25 * (2 ** j)) for x in c]
+             for j, c in enumerate(base)]
+    a = {r.vec_id: r.cluster
+         for r in ivf_assign(emb, cents).collect()}
+    b = {r.vec_id: r.cluster
+         for r in ivf_assign_expr(emb, cents).collect()}
+    assert a == b
+
+
+def test_rank_probes_agree_on_non_unit_centroids(spark):
+    """ADVICE r11: `_rank_probes` (numpy, the default rank path) must
+    select the same probe clusters as `rank_probes_seq` (the oracle
+    twin) for NON-unit centroids — pre-r12 it ranked by raw dot
+    product (no centroid-norm divide) and probed magnitude-biased
+    clusters on exactly this input."""
+    from locustdb_spark.operators.similarity import (
+        _rank_probes, rank_probes_seq)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    base = [[float(x) for x in r.embedding]
+            for r in emb.filter("vec_id < 6").orderBy("vec_id")
+            .collect()]
+    cents = [[x * (0.25 * (2 ** j)) for x in c]
+             for j, c in enumerate(base)]
+    q = [float(x)
+         for x in emb.filter("vec_id = 7").head().embedding]
+    for nprobe in (1, 2, 4, 6):
+        assert _rank_probes(cents, q, nprobe) == \
+            rank_probes_seq(cents, q, nprobe)
+
+
+def test_cosine_topk_literal_norm_is_bit_identical(spark):
+    """r12 norm hoist: cosine_topk now inlines the query norm as a
+    driver-computed literal (identical left-to-right fold + sqrt).
+    Pin the hoisted expression against the original
+    dot/(norm*norm) formulation — exact equality, no tolerance."""
+    from locustdb_spark.operators.similarity import (
+        cosine, cosine_topk)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    q = [float(x)
+         for x in emb.filter("vec_id = 3").head().embedding]
+    got = cosine_topk(emb, q, k=20).collect()
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    sim = F.round(
+        cosine(F.col("embedding").cast("array<double>"), qarr), 6)
+    want = (emb.select(F.col("vec_id"), sim.alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            .limit(20).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_knn_join_norm_hoist_is_bit_identical(spark):
+    """r12 norm hoist: knn_join materializes per-row norms on each
+    side of the broadcast join; pin it against the original inline
+    cosine() formulation — exact row equality."""
+    from pyspark.sql.window import Window
+
+    from locustdb_spark.operators.similarity import cosine, knn_join
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 29 == 0)
+    got = sorted(map(tuple, knn_join(emb, probes, k=4).collect()))
+    q = probes.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("_q_vec"))
+    sim = F.round(cosine(
+        F.col("embedding").cast("array<double>"), F.col("_q_vec")), 6)
+    pairs = (emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+             .select("q_id", F.col("vec_id"), sim.alias("cosine_sim")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id"))
+    want = sorted(map(tuple, (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4).drop("_rn").collect())))
+    assert got == want
+
+
+def test_ivf_assign_expr_hoist_is_bit_identical(spark):
+    """r12 hoists in ivf_assign_expr (per-row vector norm + literal
+    centroid norms): pin the hoisted per-centroid cosine argmax
+    against the original inline cosine() formulation — exact cluster
+    equality on raw (non-unit) corpus-vector centroids."""
+    from locustdb_spark.operators.similarity import (
+        cosine, ivf_assign_expr)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(250)
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 5").orderBy("vec_id")
+             .collect()]
+    got = {r.vec_id: r.cluster
+           for r in ivf_assign_expr(emb, cents).collect()}
+    vec = F.col("embedding").cast("array<double>")
+    sims = F.array(*[
+        cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
+        for c in cents])
+    cluster = (F.array_position(sims, F.array_max(sims)) - 1) \
+        .cast("int")
+    want = {r.vec_id: r.cluster
+            for r in emb.withColumn("cluster", cluster).collect()}
+    assert got == want
+
+
+def test_embedding_near_dup_expr_norm_hoist_matches_arrow(spark):
+    """r12 norm hoist in the expr pair path: both impls must stay
+    exactly equal (the arrow kernel is the unchanged reference)."""
+    from locustdb_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet")
+    ex = sorted(map(tuple, embedding_near_dup(
+        emb, threshold=0.1, num_planes=4, impl="expr").collect()))
+    ar = sorted(map(tuple, embedding_near_dup(
+        emb, threshold=0.1, num_planes=4, impl="arrow").collect()))
+    assert ex == ar
+    assert len(ex) > 0
