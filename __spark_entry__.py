@@ -1131,8 +1131,13 @@ def p_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from locustdb_spark.operators.similarity import random_projection
 
     proj = random_projection(_read(spark, sf_dir, "embeddings"), RP_DIMS)
+    # posexplode_OUTER (r12): same InferFiltersFromGenerate
+    # duplication as p_pq_codes — `projected` is a CreateArray of
+    # RP_DIMS elements (never null/empty), so the outer variant emits
+    # identical rows without the vacuous size(projected)>0 filter
+    # that re-derived all RP_DIMS projections per row.
     return proj.select(
-        "vec_id", F.posexplode("projected").alias("dim", "value"))
+        "vec_id", F.posexplode_outer("projected").alias("dim", "value"))
 
 
 def p_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,8 +1452,17 @@ def p_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work; spread a one-split gate-scale scan across cores (no-op at
     # scale). Results are row-wise — identical under any partitioning.
     codes = pq_encode(spread_small_scan(emb), _pq_books(emb))
+    # posexplode_OUTER (r12): plain posexplode makes the optimizer
+    # infer `size(codes) > 0 AND isnotnull(codes)` below the Generate
+    # (InferFiltersFromGenerate) and predicate pushdown substitutes
+    # the ENTIRE codes expression into that filter — every row paid
+    # the m*K encode twice (the r11 plan shows the duplicated Filter
+    # below the Exchange; plans/r12/sim_pq_codes_before.txt (3)).
+    # `codes` is a CreateArray of m elements — never null, never
+    # empty — so the outer variant emits identical rows and the
+    # vacuous filter is never generated.
     return codes.select(
-        "vec_id", F.posexplode("codes").alias("m", "code"))
+        "vec_id", F.posexplode_outer("codes").alias("m", "code"))
 
 
 def p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -803,7 +803,7 @@ def embedding_near_dup(
     sit under the same oracle via the `dedup_embedding_cosine[_arrow]`
     registry entries and are pinned equal).
     """
-    from .similarity import _infer_dims, bucket_expr, dot, norm
+    from .similarity import _infer_dims, bucket_expr, dot_fast, norm
 
     dims = _infer_dims(df, vec_col)
     vec = F.col(vec_col).cast("array<double>")
@@ -912,6 +912,10 @@ def embedding_near_dup(
     # remains per pair. norm() is the identical expression over the
     # identical array, and dot/(na*nb) preserves the operation order
     # of cosine() = dot/(norm*norm) — the doubles are bit-identical.
+    # `_n` stays a fold: the pair filter's inferred isnotnull(_n)
+    # pushes below the projection and re-derives it per row — a fold
+    # re-derivation costs one fold, a chain one would re-cast the
+    # array per term (see similarity.dot_fast's helper header)
     sided = vecs.select(
         F.col(id_col), "_v", "bucket", norm(F.col("_v")).alias("_n"))
     left = sided.select(
@@ -922,7 +926,10 @@ def embedding_near_dup(
         F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"), "bucket"
     )
-    sim = (dot(F.col("_va"), F.col("_vb"))
+    # r12 unroll: the per-PAIR dot — the O(pairs) interpreted cost of
+    # this path — as a codegen chain over bare attributes (dims
+    # inferred above; fold fallback on ragged rows; bit-identical)
+    sim = (dot_fast("_va", "_vb", dims)
            / (F.col("_na") * F.col("_nb")))
     if round_to is not None:
         sim = F.round(sim, round_to)

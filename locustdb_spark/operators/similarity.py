@@ -21,6 +21,7 @@ Scale design:
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -85,6 +86,188 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- r12: codegen-unrolled twins of the fold expressions ------------------
+#
+# Array higher-order functions (`aggregate`, `zip_with`) are
+# CodegenFallback in Spark 4: every vector fold (dot/norm/squared-L2/
+# ADC lookup sum) is evaluated INTERPRETED, one boxed lambda call per
+# element, plus an intermediate array allocation per `zip_with`. When
+# the array length is statically known (embedding dims from the
+# query/centroids, PQ sub-dims, table row count), the same arithmetic
+# can be emitted as an unrolled chain of GetArrayItem/multiply/add
+# expressions that codegen JIT-compiles — measured 3.1x on the
+# pq_encode shape (m*K folds per row, OPTIMIZATION_r12.md §6).
+#
+# Bit-identity: the fold computes ((0.0 + t0) + t1) + … left to
+# right; the chain starts from 0.0D and adds the same terms in the
+# same order — identical IEEE-754 ops in identical order. Every
+# helper guards on the runtime array size and falls back to the
+# ORIGINAL fold on mismatch, so ragged/short/null-array null-padding
+# semantics are preserved exactly (pinned in tests/test_operators.py
+# ::test_unrolled_fold_parity*).
+#
+# Two hard-won constraints (the first cut of this change regressed
+# 5-10x at sf1 before they were understood — OPTIMIZATION_r12.md §6):
+#
+# 1. The indexed array MUST be a bare attribute (a named column), so
+#    helpers take COLUMN NAMES, not Column expressions. Indexing a
+#    non-trivial expression (e.g. `cast(embedding as array<double>)`)
+#    inlines that expression into EVERY term — each term then re-cast
+#    the whole array, O(dims^2) work per row, the same defect class
+#    as the round's `lower(text)`-in-lambda finding. Call sites stage
+#    the cast as a named column first.
+#
+# 2. Each expression is built as ONE SQL string parsed by a single
+#    `F.expr` call. Building thousands of Column objects through
+#    py4j costs ~1ms per operator call — the Column-based first cut
+#    added 9-18s of driver time per PQ-family query (measured).
+#    Literals are rendered with repr(): Python float repr is the
+#    shortest round-trip form, and Java's Double.parseDouble of that
+#    string is correctly rounded, so the parsed double is bit-equal.
+#
+# Chains are deliberately NOT used where a downstream filter/join
+# references the computed column (ivf_assign_expr's `cluster`,
+# bucket_expr's `bucket`, semantic_dedup's `_ccos`): Catalyst's
+# predicate pushdown substitutes aliases recursively down to the
+# scan, so an inferred `isnotnull`/join filter re-derives the whole
+# expression — a fold re-derivation costs one fold, but a chain
+# re-derivation multiplies every upstream subexpression by its
+# per-term reference count (measured: sim_ann_ivf_frozen 2.3 -> 32 s
+# at sf1 before the revert). Those sites keep the fold formulation.
+#
+# _UNROLL_MAX_TERMS bounds the emitted expression size: a call site
+# that would exceed it keeps the fold — plan/codegen size must not
+# grow with a caller's geometry.
+
+_UNROLL_MAX_TERMS = 4096
+
+
+def _dlit(v: float) -> str | None:
+    """SQL double literal bit-equal to the Python float (shortest
+    round-trip repr + correctly-rounded parse); None if not finite
+    (callers fall back to the Column path)."""
+    f = float(v)
+    if not math.isfinite(f):
+        return None
+    return repr(f) + "D"
+
+
+def _dlits(vals: list[float]) -> list[str] | None:
+    out = []
+    for v in vals:
+        s = _dlit(v)
+        if s is None:
+            return None
+        out.append(s)
+    return out
+
+
+def _qname(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _chain_sql(terms: list[str]) -> str:
+    """Left-to-right sum starting at 0.0D — the exact accumulation
+    order of `aggregate(_, 0.0D, (acc, t) -> acc + t)` (SQL `+` is
+    left-associative; `*` binds tighter)."""
+    return "0.0D + " + " + ".join(terms)
+
+
+def dot_fast(a: Column | str, b: Column | str,
+             dims: int | None) -> Column:
+    """`dot(a, b)` with an unrolled codegen chain when both arrays
+    have the statically-expected length; interpreted fold otherwise.
+    Pass column NAMES (the fast single-parse SQL path — also
+    guarantees attribute indexing); Column args keep the fold."""
+    if (dims is None or not (0 < dims <= _UNROLL_MAX_TERMS)
+            or not (isinstance(a, str) and isinstance(b, str))):
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        return dot(a, b)
+    an, bn = _qname(a), _qname(b)
+    chain = _chain_sql([f"{an}[{i}] * {bn}[{i}]" for i in range(dims)])
+    fold = (f"aggregate(zip_with({an}, {bn}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)")
+    return F.expr(
+        f"CASE WHEN size({an}) = {dims} AND size({bn}) = {dims} "
+        f"THEN {chain} ELSE {fold} END")
+
+
+def dot_lit(a: Column | str, vals: list[float]) -> Column:
+    """`dot(a, literal-array(vals))`, unrolled: each term multiplies
+    one array element by an inlined double literal."""
+    lits = _dlits(vals) if isinstance(a, str) else None
+    if lits is None or not (0 < len(vals) <= _UNROLL_MAX_TERMS):
+        a = F.col(a) if isinstance(a, str) else a
+        return dot(a, F.array(*[F.lit(float(x)) for x in vals]))
+    an = _qname(a)
+    arr = "array(" + ", ".join(lits) + ")"
+    chain = _chain_sql(
+        [f"{an}[{i}] * {v}" for i, v in enumerate(lits)])
+    fold = (f"aggregate(zip_with({an}, {arr}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)")
+    return F.expr(f"CASE WHEN size({an}) = {len(vals)} "
+                  f"THEN {chain} ELSE {fold} END")
+
+
+def norm_fast(a: Column | str, dims: int | None) -> Column:
+    """`norm(a)` (sqrt of the left-to-right sum of squares) with the
+    sum unrolled when the length is statically expected."""
+    if (dims is None or not (0 < dims <= _UNROLL_MAX_TERMS)
+            or not isinstance(a, str)):
+        a = F.col(a) if isinstance(a, str) else a
+        return norm(a)
+    an = _qname(a)
+    chain = _chain_sql([f"{an}[{i}] * {an}[{i}]" for i in range(dims)])
+    fold = f"aggregate({an}, 0.0D, (acc, v) -> acc + v * v)"
+    return F.expr(f"SQRT(CASE WHEN size({an}) = {dims} "
+                  f"THEN {chain} ELSE {fold} END)")
+
+
+def _sq_l2_fold(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_l2_lit(a: Column | str, vals: list[float]) -> Column:
+    """Squared L2 distance of an array column to a literal vector,
+    unrolled: sum of (a[i] - lit)^2 in fold order."""
+    lits = _dlits(vals) if isinstance(a, str) else None
+    if lits is None or not (0 < len(vals) <= _UNROLL_MAX_TERMS):
+        a = F.col(a) if isinstance(a, str) else a
+        return _sq_l2_fold(a, F.array(*[F.lit(float(x)) for x in vals]))
+    an = _qname(a)
+    arr = "array(" + ", ".join(lits) + ")"
+    chain = _chain_sql(
+        [f"({an}[{i}] - {v}) * ({an}[{i}] - {v})"
+         for i, v in enumerate(lits)])
+    fold = (f"aggregate(zip_with({an}, {arr}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
+    return F.expr(f"CASE WHEN size({an}) = {len(vals)} "
+                  f"THEN {chain} ELSE {fold} END")
+
+
+def sq_l2_fast(a: Column | str, b: Column | str,
+               dims: int | None) -> Column:
+    """Squared L2 of two array columns, unrolled when the length is
+    statically expected."""
+    if (dims is None or not (0 < dims <= _UNROLL_MAX_TERMS)
+            or not (isinstance(a, str) and isinstance(b, str))):
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        return _sq_l2_fold(a, b)
+    an, bn = _qname(a), _qname(b)
+    chain = _chain_sql(
+        [f"({an}[{i}] - {bn}[{i}]) * ({an}[{i}] - {bn}[{i}])"
+         for i in range(dims)])
+    fold = (f"aggregate(zip_with({an}, {bn}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
+    return F.expr(
+        f"CASE WHEN size({an}) = {dims} AND size({bn}) = {dims} "
+        f"THEN {chain} ELSE {fold} END")
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -113,13 +296,19 @@ def cosine_topk(
     for x in query_vec:
         acc = acc + float(x) * float(x)
     q_norm = math.sqrt(acc)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    vec = F.col(vec_col).cast("array<double>")
-    sim = dot(vec, q) / (norm(vec) * F.lit(q_norm))
+    # r12 unroll: dot-with-literal-query and the row norm as codegen
+    # chains (same fold order — see the dot_fast family above). The
+    # cast array is staged as a named column FIRST so the chain terms
+    # index a bare attribute (constraint 1 in the helper header).
+    pre = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"))
+    sim = (dot_lit("_v", [float(x) for x in query_vec])
+           / (norm_fast("_v", len(query_vec)) * F.lit(q_norm)))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
-        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        pre.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -161,15 +350,25 @@ def knn_join(
     # the pair compute runs in the corpus scan stage, which at
     # gate/sweep scale is otherwise a one/two-split scan.
     corpus = spread_small_scan(corpus)
+    # r12 unroll: the query batch is small by contract (it broadcasts),
+    # so reading one row to learn the vector length is a bounded
+    # plan-build-time probe; with it the per-PAIR dot and the per-row
+    # norms become codegen chains instead of interpreted folds
+    # (dims=None on an empty batch keeps the fold — result is empty
+    # anyway). Bit-identical either way.
+    qhead = (None if queries.isStreaming else
+             queries.select(F.size(F.col(vec_col)).alias("d")).head())
+    dims = (int(qhead.d)
+            if qhead is not None and qhead.d is not None else None)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_c_vec"),
-    ).withColumn("_c_norm", norm(F.col("_c_vec")))
+    ).withColumn("_c_norm", norm_fast("_c_vec", dims))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("_q_vec"),
-    ).withColumn("_q_norm", norm(F.col("_q_vec")))
-    sim = (dot(F.col("_c_vec"), F.col("_q_vec"))
+    ).withColumn("_q_norm", norm_fast("_q_vec", dims))
+    sim = (dot_fast("_c_vec", "_q_vec", dims)
            / (F.col("_c_norm") * F.col("_q_norm")))
     if round_to is not None:
         sim = F.round(sim, round_to)
@@ -207,6 +406,12 @@ def bucket_expr(vec: Column, num_planes: int, dims: int) -> Column:
     projection is then a constant-folded zip_with dot product per row
     (no per-row hashing). Assumes fixed-dimension vectors.
     """
+    # NB deliberately NOT unrolled (r12): `bucket` is consumed as a
+    # join/filter key by every LSH path, and predicate pushdown
+    # substitutes the whole expression into inferred filters — a
+    # chain re-derivation there multiplies every upstream
+    # subexpression by its per-term reference count (see the
+    # dot_fast helper header). The fold re-derives once.
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         signs = F.array(
@@ -244,18 +449,19 @@ def random_projection(
     """
     if dims is None:
         dims = _infer_dims(df, vec_col)
-    vec = F.col(vec_col).cast("array<double>")
     scale = 1.0 / (out_dims ** 0.5)
+    # r12 unroll: out_dims dot folds/row -> codegen chains (same fold
+    # order, bit-identical — see dot_lit). The cast array is staged
+    # as a named column first so chain terms index a bare attribute.
+    pre = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"))
     comps = []
     for j in range(out_dims):
-        signs = F.array(*[F.lit(_plane_sign(j, i)) for i in range(dims)])
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ) * F.lit(scale)
+        proj = dot_lit(
+            "_v", [_plane_sign(j, i) for i in range(dims)]) * F.lit(scale)
         comps.append(F.round(proj, round_to) if round_to else proj)
-    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+    return pre.select(F.col(id_col), F.array(*comps).alias("projected"))
 
 
 def hyperplane_buckets(
@@ -434,6 +640,13 @@ def ivf_assign_expr(
             acc = acc + float(x) * float(x)
         return math.sqrt(acc)
 
+    # NB deliberately NOT unrolled (r12): `cluster` is consumed by
+    # isin filters (IVF probes) and join keys (semantic_dedup), and
+    # predicate pushdown substitutes the whole argmax expression into
+    # those filters — a chain re-derivation there multiplies every
+    # upstream subexpression by its per-term reference count
+    # (measured: sim_ann_ivf_frozen 2.3 -> 32 s at sf1 with chains;
+    # see the dot_fast helper header). The fold re-derives once.
     pre = df.select("*", norm(vec).alias("_vnorm"))
     coss = []
     for c in centroids:
@@ -594,6 +807,15 @@ def semantic_dedup(
         return _math.sqrt(acc)
 
     cnorm_arr = F.array(*[F.lit(_seq_norm(c)) for c in centroids])
+    # r12 unroll: ONLY the per-PAIR dot of the quadratic
+    # within-cluster join below is a codegen chain (it runs O(pairs)
+    # times over bare attributes — the dominant interpreted cost of
+    # the operator). `_n` and `_ccos` stay folds: both leak into
+    # pushdown-inferred isnotnull filters, where a chain
+    # re-derivation multiplies upstream subexpressions (`_ccos`'s
+    # would re-derive the argmax per term — see the dot_fast helper
+    # header).
+    dims = len(centroids[0]) if centroids else None
     pre = assigned.select(
         F.col(id_col).alias("id"),
         F.col("cluster"),
@@ -638,7 +860,7 @@ def semantic_dedup(
         edges = (
             a.join(b, "cluster")
             .filter(F.col("id_a") < F.col("id_b"))
-            .filter(dot(F.col("_va"), F.col("_vb"))
+            .filter(dot_fast("_va", "_vb", dims)
                     / (F.col("_na") * F.col("_nb")) >= threshold)
             .select("id_a", "id_b")
         )
@@ -666,7 +888,7 @@ def semantic_dedup(
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(dot(F.col("_va"), F.col("_vb"))
+        .filter(dot_fast("_va", "_vb", dims)
                 / (F.col("_na") * F.col("_nb")) >= threshold)
         .filter((F.col("_cb") < F.col("_ca"))
                 | ((F.col("_cb") == F.col("_ca"))
@@ -878,6 +1100,13 @@ def pq_encode(
     code_cols = []
     for s, book in enumerate(codebooks):
         sub = F.col(f"_sub{s}")
+        # NB deliberately NOT unrolled (r12): chains measured FASTER
+        # in a synthetic micro (3.1x) but SLOWER in the real encode
+        # projection at sf1 (bare noop 0.83 -> 2.34 s; the m*K CASE
+        # exprs with fold fallbacks drop the projection out of
+        # whole-stage codegen and the chain evaluates worse there
+        # than the fold's primitive-array loop). Measured both ways —
+        # see OPTIMIZATION_r12.md §6.
         d2s = []
         for cw in book:
             arr = F.array(*[F.lit(float(x)) for x in cw])
@@ -923,6 +1152,28 @@ def adc_dist_expr(table: list[list[float]],
     """ADC distance of a codes row against one literal m x K table:
     the sequential sum of m table lookups (zip_with + ordered
     aggregate — the same fold every PQ oracle replays)."""
+    # r12 unroll: the m per-subspace table lookups as a codegen chain
+    # (element_at on each literal row — the same op the fold's lambda
+    # ran per element, same order, same ANSI out-of-bounds behavior);
+    # fold fallback for codes rows of unexpected length. Built as one
+    # SQL string (constraint 2 in the dot_fast helper header); the
+    # Column path keeps the plain fold.
+    m = len(table)
+    rows_sql = ([_dlits([float(v) for v in row]) for row in table]
+                if isinstance(codes_col, str) else None)
+    if (isinstance(codes_col, str) and 0 < m <= _UNROLL_MAX_TERMS
+            and all(r is not None for r in rows_sql)):
+        cn = _qname(codes_col)
+        tbl_sql = ("array(" + ", ".join(
+            "array(" + ", ".join(r) + ")" for r in rows_sql) + ")")
+        chain = _chain_sql([
+            f"element_at(array({', '.join(rows_sql[s])}), {cn}[{s}] + 1)"
+            for s in range(m)])
+        fold = (f"aggregate(zip_with({cn}, {tbl_sql}, "
+                f"(c, trow) -> element_at(trow, c + 1)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+        return F.expr(f"CASE WHEN size({cn}) = {m} "
+                      f"THEN {chain} ELSE {fold} END")
     tbl = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in table
     ])
@@ -1618,13 +1869,24 @@ def _drift_stats(
         return _math.sqrt(acc)
 
     cnorm_arr = F.array(*[F.lit(_seq_norm(c)) for c in centroids])
+    # r12 unroll: dot and norm as codegen chains over staged
+    # attributes (`_v`, and the assigned centroid row staged as
+    # `_cent` so the chain terms index bare attributes — constraint 1
+    # in the dot_fast helper header); fold fallback on ragged rows —
+    # bit-identical. Safe to unroll here: the only consumer is the
+    # per-cluster aggregate, no downstream filter re-derives it.
+    dims = len(centroids[0]) if centroids else None
     cos_hoisted = (
-        dot(F.col("_v"), F.element_at(cent_arr, F.col("cluster") + 1))
+        dot_fast("_v", "_cent", dims)
         / (F.col("_n") * F.element_at(cnorm_arr, F.col("cluster") + 1)))
     dist_micro = F.round((1.0 - cos_hoisted) * 1e8).cast("long")
     return (
         idx.select(F.col("cluster").cast("int").alias("cluster"),
-                   vec.alias("_v"), norm(vec).alias("_n"))
+                   vec.alias("_v"))
+        .select("cluster", "_v",
+                F.element_at(cent_arr, F.col("cluster") + 1)
+                .alias("_cent"),
+                norm_fast("_v", dims).alias("_n"))
         .select("cluster", dist_micro.alias("_dm"))
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"),
@@ -1807,15 +2069,18 @@ def probe_ivf_pq_index(
             "tier); re-rank against a separate vector store instead")
     cands = vec_scan.join(F.broadcast(adc.select(id_col)), id_col,
                           "left_semi")
-    exact = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"),
-                   F.array(*[F.lit(float(x)) for x in query_vec]),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # r12 unroll: same left-to-right (a-b)*(a-b) sum as a codegen
+    # chain instead of an interpreted fold — bit-identical; the cast
+    # array is staged as a named column so chain terms index a bare
+    # attribute
+    staged = cands.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"))
+    exact = sq_l2_lit("_cv", [float(x) for x in query_vec])
     if round_to is not None:
         exact = F.round(exact, round_to)
     return (
-        cands.select(F.col(id_col), exact.alias("exact_dist"))
+        staged.select(F.col(id_col), exact.alias("exact_dist"))
         .orderBy(F.col("exact_dist").asc(), F.col(id_col))
         .limit(k)
     )
@@ -1859,10 +2124,26 @@ def ann_knn_join(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("_q_vec"),
     )
+    # r12 unroll: per-centroid cosine with the centroid's dot and
+    # norm as codegen chains; the query norm stays one fold per row —
+    # replaced below by norm_fast. cosine(q, c) = dot/(norm(q)*norm(c))
+    # with norm(c) an interpreted fold over a literal array Catalyst
+    # cannot constant-fold; _seq_norm computes the identical
+    # left-to-right sum driver-side (same IEEE ops/order).
+    import math as _math
+
+    def _seq_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return _math.sqrt(acc)
+
+    dims = len(centroids[0]) if centroids else None
     ranked = F.array_sort(F.array(*[
         F.struct(
-            (-cosine(F.col("_q_vec"),
-                     F.array(*[F.lit(float(x)) for x in c]))).alias("neg"),
+            (-(dot_lit("_q_vec", [float(x) for x in c])
+               / (norm_fast("_q_vec", dims)
+                  * F.lit(_seq_norm(c))))).alias("neg"),
             F.lit(j).cast("int").alias("cid"),
         )
         for j, c in enumerate(centroids)
@@ -1881,16 +2162,16 @@ def ann_knn_join(
     # multiply/divide order — cosine_sim is bit-identical. The corpus
     # still never shuffles (the norm is a projection in the pruned
     # scan's own stage).
-    qp = qp.withColumn("_q_norm", norm(F.col("_q_vec")))
+    qp = qp.withColumn("_q_norm", norm_fast("_q_vec", dims))
     idx = (spark.read.parquet(path)
            .filter(F.col("cluster").isin(probe_set))
            .withColumn("_c_vec", F.col(vec_col).cast("array<double>"))
-           .withColumn("_c_norm", norm(F.col("_c_vec"))))
+           .withColumn("_c_norm", norm_fast("_c_vec", dims)))
     pairs = idx.join(F.broadcast(qp),
                      idx["cluster"] == qp["probe_cluster"])
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("q_id"))
-    sim = (dot(F.col("_c_vec"), F.col("_q_vec"))
+    sim = (dot_fast("_c_vec", "_q_vec", dims)
            / (F.col("_c_norm") * F.col("_q_norm")))
     if round_to is not None:
         sim = F.round(sim, round_to)
@@ -2015,10 +2296,27 @@ def pq_knn_join(
              .select(F.col(id_col), F.col("cluster"), F.col("codes")))
     scored = codes.join(F.broadcast(qdf),
                         codes["cluster"] == qdf["probe_cluster"])
-    dist = F.aggregate(
-        F.zip_with("codes", "adc_table",
-                   lambda c, trow: F.element_at(trow, c + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # r12 unroll: the m table lookups as a codegen chain (the table
+    # here is a broadcast DATA column, indexed per subspace) instead
+    # of an interpreted zip_with fold; fold fallback guards rows of
+    # unexpected length. Same lookups, same order — bit-identical.
+    m_sub = len(books)
+    if 0 < m_sub <= _UNROLL_MAX_TERMS:
+        chain = _chain_sql([
+            f"element_at(`adc_table`[{s}], `codes`[{s}] + 1)"
+            for s in range(m_sub)])
+        fold = ("aggregate(zip_with(`codes`, `adc_table`, "
+                "(c, trow) -> element_at(trow, c + 1)), 0.0D, "
+                "(acc, x) -> acc + x)")
+        dist = F.expr(
+            f"CASE WHEN size(`codes`) = {m_sub} "
+            f"AND size(`adc_table`) = {m_sub} "
+            f"THEN {chain} ELSE {fold} END")
+    else:
+        dist = F.aggregate(
+            F.zip_with("codes", "adc_table",
+                       lambda c, trow: F.element_at(trow, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x)
     if round_to is not None:
         dist = F.round(dist, round_to)
     scored = scored.select("q_id", F.col(id_col),
@@ -2054,9 +2352,10 @@ def pq_knn_join(
         F.col(vec_col).cast("array<double>").alias("_cv"),
     ).join(F.broadcast(cand), id_col)
      .join(F.broadcast(qmeta), "q_id"))
-    exact = F.aggregate(
-        F.zip_with("_cv", "_qvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # r12 unroll: exact squared-L2 as a codegen chain (dims known
+    # from the collected query batch; fold fallback on ragged rows)
+    q_dims = len(qrows[0]._q) if qrows else None
+    exact = sq_l2_fast("_cv", "_qvec", q_dims)
     if round_to is not None:
         exact = F.round(exact, round_to)
     we = Window.partitionBy("q_id").orderBy(

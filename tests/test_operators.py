@@ -4028,6 +4028,102 @@ def test_ivf_assign_expr_hoist_is_bit_identical(spark):
     assert got == want
 
 
+def test_unrolled_fold_parity_on_vectors(spark):
+    """r12 unroll: dot_fast / dot_lit / norm_fast / sq_l2_* must be
+    BIT-identical to the interpreted fold formulations on well-formed
+    vectors (same IEEE ops, same left-to-right order) — exact
+    equality via the double's raw bits (casting to string keeps
+    -0.0/NaN distinctions out; compare with == on doubles plus an
+    explicit both-null check)."""
+    from locustdb_spark.operators.similarity import (
+        _sq_l2_fold, dot, dot_fast, dot_lit, norm, norm_fast,
+        sq_l2_fast, sq_l2_lit)
+
+    emb = spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet") \
+        .limit(300)
+    q = [float(x)
+         for x in emb.filter("vec_id = 11").head().embedding]
+    dims = len(q)
+    # stage named columns — the helpers' fast path takes column NAMES
+    staged = emb.select(
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.reverse(F.col("embedding").cast("array<double>"))
+        .alias("vb"))
+    a, b = F.col("va"), F.col("vb")
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+
+    def _eq(x, y):
+        return x.eqNullSafe(y)
+
+    bad = staged.filter(~(
+        _eq(dot_fast("va", "vb", dims), dot(a, b))
+        & _eq(dot_lit("va", q), dot(a, qarr))
+        & _eq(norm_fast("va", dims), norm(a))
+        & _eq(sq_l2_lit("va", q), _sq_l2_fold(a, qarr))
+        & _eq(sq_l2_fast("va", "vb", dims), _sq_l2_fold(a, b))
+    )).count()
+    assert bad == 0
+
+
+def test_unrolled_fold_parity_on_ragged_and_null(spark):
+    """r12 unroll: on rows whose array length does NOT match the
+    static dims (ragged, empty, null) every helper must fall back to
+    the fold and produce its exact result (null-padding semantics)."""
+    from locustdb_spark.operators.similarity import (
+        _sq_l2_fold, dot, dot_fast, dot_lit, norm, norm_fast,
+        sq_l2_fast, sq_l2_lit)
+
+    rows = [
+        ([1.0, 2.0, 3.0],),          # matching dims=3
+        ([1.0, 2.0],),               # short
+        ([1.0, 2.0, 3.0, 4.0],),     # long
+        ([],),                       # empty
+        (None,),                     # null array
+        ([1.0, float("nan"), -0.0],),  # NaN / negative zero
+    ]
+    df = spark.createDataFrame(rows, "v array<double>")
+    q = [0.5, -1.5, 2.5]
+    a = F.col("v")
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+
+    def _eq(x, y):
+        # eqNullSafe covers both-null; Spark's NaN semantics make
+        # NaN = NaN true, so the NaN row needs no special casing
+        return x.eqNullSafe(y)
+
+    bad = df.filter(~(
+        _eq(dot_fast("v", "v", 3), dot(a, a))
+        & _eq(dot_lit("v", q), dot(a, qarr))
+        & _eq(norm_fast("v", 3), norm(a))
+        & _eq(sq_l2_lit("v", q), _sq_l2_fold(a, qarr))
+        & _eq(sq_l2_fast("v", "v", 3), _sq_l2_fold(a, a))
+        # Column-typed args must keep the plain fold path
+        & _eq(dot_fast(a, a, 3), dot(a, a))
+        & _eq(norm_fast(a, 3), norm(a))
+    )).count()
+    assert bad == 0
+
+
+def test_adc_dist_expr_unrolled_matches_fold(spark):
+    """r12 unroll: adc_dist_expr's unrolled table-lookup chain must
+    equal the original zip_with fold on real codes (and fall back on
+    ragged codes rows)."""
+    from locustdb_spark.operators.similarity import adc_dist_expr
+
+    table = [[float(s * 16 + c) / 7.0 for c in range(16)]
+             for s in range(4)]
+    rows = [([0, 5, 15, 3],), ([1, 1, 1, 1],), ([0, 5],), (None,)]
+    df = spark.createDataFrame(rows, "codes array<int>")
+    tbl = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
+    fold = F.aggregate(
+        F.zip_with(F.col("codes"), tbl,
+                   lambda c, trow: F.element_at(trow, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    bad = df.filter(
+        ~adc_dist_expr(table, "codes").eqNullSafe(fold)).count()
+    assert bad == 0
+
+
 def test_embedding_near_dup_expr_norm_hoist_matches_arrow(spark):
     """r12 norm hoist in the expr pair path: both impls must stay
     exactly equal (the arrow kernel is the unchanged reference)."""
