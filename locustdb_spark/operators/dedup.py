@@ -1167,10 +1167,25 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("grams_a", "grams_b"))
-                / F.greatest(F.size(F.array_union("grams_a", "grams_b")), F.lit(1))
-            ).alias("jaccard"),
+            # r12 (guide §1.2 step 2): |A ∪ B| = |A| + |B| − |A ∩ B|
+            # exactly, because both gram arrays are DISTINCT with
+            # non-null elements by construction (array_distinct /
+            # dict.fromkeys in the builders above) — so the union
+            # ARRAY (all its string copies and hash-set work, built
+            # once per pair) never needs to exist just to be counted.
+            # Integer sizes are equal either way, so the jaccard
+            # double is bit-identical (A/B at sf1: 3.85 → 1.97 s over
+            # 1.17M pairs, 0 mismatches). The intersect size is
+            # staged once per pair.
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("_i"),
+            (F.size("grams_a") + F.size("grams_b")).alias("_s"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_i")
+             / F.greatest(F.col("_s") - F.col("_i"), F.lit(1))
+             ).alias("jaccard"),
         )
     )
     if threshold > 0:

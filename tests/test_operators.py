@@ -4124,6 +4124,52 @@ def test_adc_dist_expr_unrolled_matches_fold(spark):
     assert bad == 0
 
 
+def test_ngram_jaccard_algebraic_union_is_bit_identical(spark):
+    """r12: ngram_jaccard_pairs now counts |A∪B| as |A|+|B|−|A∩B|
+    (valid because gram arrays are distinct by construction) instead
+    of materializing the union array. Pin the operator against the
+    original array_union formulation — exact value equality."""
+    from locustdb_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs)
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=2)
+    got = ngram_jaccard_pairs(docs, pairs, n=3)
+    # reference: same pruned gram arrays, original union formulation
+    ids = (pairs.select(F.col("id_a").alias("gid"))
+           .unionByName(pairs.select(F.col("id_b").alias("gid")))
+           .distinct())
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _g(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = [w for w in (t or "").lower().split(" ") if w]
+            k = max(len(ws) - 3, 0)
+            g = [" ".join(ws[i:i + 3]) for i in range(k + 1)]
+            out.append(list(dict.fromkeys(g)))
+        return pd.Series(out)
+
+    dg = (docs.select(F.col("doc_id").alias("gid"), "text")
+          .join(ids, "gid")
+          .select("gid", _g(F.col("text")).alias("grams")))
+    ref = (pairs
+           .join(dg.select(F.col("gid").alias("id_a"),
+                           F.col("grams").alias("grams_a")), "id_a")
+           .join(dg.select(F.col("gid").alias("id_b"),
+                           F.col("grams").alias("grams_b")), "id_b")
+           .select("id_a", "id_b",
+                   (F.size(F.array_intersect("grams_a", "grams_b"))
+                    / F.greatest(
+                        F.size(F.array_union("grams_a", "grams_b")),
+                        F.lit(1))).alias("jaccard")))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+
 def test_embedding_near_dup_expr_norm_hoist_matches_arrow(spark):
     """r12 norm hoist in the expr pair path: both impls must stay
     exactly equal (the arrow kernel is the unchanged reference)."""
