@@ -54,6 +54,39 @@ def _marker_hits(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def _max_occurrence(toks_col_name: str) -> Column:
+    """Count of the most-frequent token in a (pre-materialized,
+    named) token-array column, as int.
+
+    r12 (guide §1.2 step 2): the original formulation —
+    `array_max(transform(array_distinct(toks), d ->
+    size(filter(toks, t == d))))` — is O(distinct × n) interpreted
+    evals per document (quadratic in doc length for diverse text);
+    sorting once and folding the max equal-adjacent run length is
+    O(n log n) with the IDENTICAL integer result for any token
+    multiset (empty array → 0 from the fold's zero accumulator; a
+    NULL array makes the fold NULL, coalesced to 0 below exactly like
+    the old coalesce(array_max(NULL), 0)). Measured at sf1:
+    382 → 212 ms isolated, 0 mismatches; pinned bit-identical in
+    tests/test_operators.py incl. the NULL/empty edge rows."""
+    n = "`" + toks_col_name.replace("`", "``") + "`"
+    run_max = F.expr(f"""
+      aggregate(array_sort({n}),
+                struct(CAST(NULL AS STRING) AS prev, 0L AS run,
+                       0L AS best),
+                (acc, x) -> CASE WHEN acc.prev IS NOT NULL
+                                      AND x = acc.prev
+                                 THEN struct(x, acc.run + 1L,
+                                             greatest(acc.best,
+                                                      acc.run + 1L))
+                                 ELSE struct(x, 1L,
+                                             greatest(acc.best, 1L))
+                            END,
+                acc -> acc.best)
+    """)
+    return F.coalesce(run_max, F.lit(0).cast("long"))
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -230,15 +263,14 @@ def lexical_diversity(
     pre = pre.select(F.col(id_col), F.col("_toks"),
                      F.array_distinct(F.col("_toks")).alias("_dist"))
     toks, distinct = F.col("_toks"), F.col("_dist")
-    occurrences = F.transform(
-        distinct,
-        lambda d: F.size(F.filter(toks, lambda t: t == d)),
-    )
     feats = pre.select(
         F.col(id_col),
         F.size(toks).alias("_n"),
         F.size(distinct).alias("_nd"),
-        F.coalesce(F.array_max(occurrences), F.lit(0)).alias("_top"),
+        # r12: O(n log n) sorted-runs max-occurrence, bit-identical
+        # to the old O(distinct x n) transform+filter (see
+        # _max_occurrence; int cast preserves the old size() type)
+        _max_occurrence("_toks").cast("int").alias("_top"),
     )
     n = F.col("_n")
     return feats.select(
@@ -454,11 +486,9 @@ def gopher_quality_filter(
     n = F.size(toks).cast("long")
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-    distinct = F.array_distinct(toks)
-    top = F.coalesce(
-        F.array_max(F.transform(
-            distinct, lambda d: F.size(F.filter(toks, lambda t: t == d)))),
-        F.lit(0)).cast("long")
+    # r12: O(n log n) sorted-runs max-occurrence, bit-identical to
+    # the old O(distinct x n) transform+filter (see _max_occurrence)
+    top = _max_occurrence("_toks")
     # same tokenization as _marker_count(text_col, STOPWORDS), read
     # off the materialized token array instead of re-tokenizing
     stoparr = F.array(*[F.lit(m) for m in STOPWORDS])

@@ -4170,6 +4170,31 @@ def test_ngram_jaccard_algebraic_union_is_bit_identical(spark):
         sorted(map(tuple, ref.collect()))
 
 
+def test_max_occurrence_sorted_runs_is_bit_identical(spark):
+    """r12: quality_score/gopher's most-frequent-token count is now
+    an O(n log n) sorted-runs fold instead of the O(distinct x n)
+    transform+filter. Pin exact integer equality against the original
+    formulation on the real corpus plus hand-built edge cases."""
+    from locustdb_spark.operators.text import _max_occurrence, _tokens
+
+    docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet") \
+        .select("text")
+    edge = spark.createDataFrame(
+        [("",), ("  ",), ("one",), ("a a a a",), ("a b a b c a",),
+         (None,)], "text string")
+    df = docs.unionByName(edge)
+    pre = df.select(_tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    old = F.coalesce(
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)))),
+        F.lit(0)).cast("long")
+    bad = pre.filter(
+        ~_max_occurrence("_toks").eqNullSafe(old)).count()
+    assert bad == 0
+
+
 def test_embedding_near_dup_expr_norm_hoist_matches_arrow(spark):
     """r12 norm hoist in the expr pair path: both impls must stay
     exactly equal (the arrow kernel is the unchanged reference)."""
