@@ -207,14 +207,16 @@ def lexical_diversity(
     ratio and the frequency share of the most common token. Pure
     projection with no shuffle.
 
-    The expression form's per-row cost is O(tokens * distinct) —
-    quadratic for a document of mostly-unique tokens, which makes ONE
+    The expression form's per-row cost was O(tokens * distinct) —
+    quadratic for a document of mostly-unique tokens, which made ONE
     adversarially long document an executor-stalling hot row at
-    corpus scale (and the nested HOF lambdas evaluate interpreted on
-    top of that). ``impl="arrow"`` is the production path: numpy
-    unique-with-counts per document, O(n log n), identical outputs
-    (integer counts + floor-truncated ratios — no float divergence
-    possible; pytest-pinned on the real corpus)."""
+    corpus scale; r12 replaced the occurrence counting with the
+    O(n log n) sorted-runs fold (`_max_occurrence`, bit-identical
+    integers), so both impls are now O(n log n) per row.
+    ``impl="arrow"`` remains the production path: numpy
+    unique-with-counts per document in one vectorized batch,
+    identical outputs (integer counts + floor-truncated ratios — no
+    float divergence possible; pytest-pinned on the real corpus)."""
     # r12 (guide §2.5): spread a one-split gate-scale scan across
     # cores before the compute-heavy projection (no-op at scale and on
     # streaming inputs — see spread_small_scan).
