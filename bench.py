@@ -256,6 +256,29 @@ def main() -> None:
     bench("sim_knn_join", knn_df)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cal = host_calibration(spark)
+    # r13 (VERDICT r12 item 3, additions-only): normalize the per-query
+    # times by a host factor so round-over-round PERF deltas separate
+    # plan changes from host drift (r12: 13 phantom regressions on
+    # byte-identical plans; the bench host's noop/matmul/python probes
+    # had drifted 1.4-1.7x between the two driver windows). The factor
+    # is the geometric mean of the three probe ratios against a fixed
+    # healthy-host reference (the BASELINE-era calibration: noop 55 ms,
+    # 200 GFLOPS matmul, 0.08 s python loop). Raw values stay the
+    # headline; *_hostnorm are the drift-corrected advisory values.
+    ratios = []
+    if cal.get("spark_noop_job_ms"):
+        ratios.append(cal["spark_noop_job_ms"] / 55.0)
+    if cal.get("python_loop_s"):
+        ratios.append(cal["python_loop_s"] / 0.08)
+    if cal.get("numpy_matmul_gflops"):
+        ratios.append(200.0 / cal["numpy_matmul_gflops"])
+    host_factor = 1.0
+    for r in ratios:
+        host_factor *= r
+    host_factor = host_factor ** (1.0 / len(ratios)) if ratios else 1.0
+    queries_hostnorm = {k: round(v / host_factor, 4)
+                        for k, v in timings.items()}
     print(json.dumps({
         "metric": "headline query suite total wall time",
         "value": round(sum(timings.values()), 4),
@@ -276,7 +299,13 @@ def main() -> None:
         # fixed-workload host probes (see host_calibration docstring):
         # normalize two rounds' query times by the ratio of their
         # calibrations before reading a delta as a plan change
-        "host_calibration": host_calibration(spark),
+        "host_calibration": cal,
+        # r13 additions (see above): host drift factor vs the fixed
+        # healthy-host reference, and the per-query minimums divided by
+        # it — compare THESE across rounds when the hosts differ
+        "host_factor": round(host_factor, 4),
+        "queries_hostnorm": queries_hostnorm,
+        "value_hostnorm": round(sum(queries_hostnorm.values()), 4),
     }))
 
 

@@ -74,8 +74,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature, one column per hash lane.
 
-    Zero-shuffle: shingling and the k min-hash lanes are all column
-    expressions evaluated in one projection over the scan.
+    Plan shape (r13): on BATCH inputs the expression path explodes
+    shingle positions and groupBy-mins the lanes — hashing runs in
+    whole-stage codegen, at the price of one exchange of
+    (id, num_hashes longs) per document (map-side partial min, the
+    text itself never shuffles). STREAMING inputs keep the original
+    zero-shuffle projection form (shingling + lanes in one projection
+    over the scan). Both forms produce bit-identical signatures
+    (pinned in tests/test_operators.py).
 
     ``keep_cols`` carries extra input columns through the projection
     (e.g. a blocking attribute like doc length) — strictly cheaper
@@ -132,11 +138,126 @@ def minhash_signatures(
             keep_cols)
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    # r13 path split (the r12 "measured -42% but rejected" formulation,
+    # now shipped behind a dispatch): BATCH inputs take the
+    # exploded+groupBy form — shingle positions explode to rows, so
+    # hashing and the per-lane min run in whole-stage codegen instead
+    # of interpreted higher-order-function lambdas (HOFs are
+    # CodegenFallback in Spark 4). The price is ONE tiny exchange of
+    # (id, num_hashes longs) per doc — partial map-side min collapses
+    # every doc to one row per map partition before the shuffle, so
+    # the text never moves. STREAMING inputs keep the zero-shuffle
+    # projection form (a streaming groupBy here would be a stateful
+    # aggregation — wrong operator class for a per-row signature);
+    # both forms are bit-identical on every lane (pinned in
+    # tests/test_operators.py).
+    if df.isStreaming:
+        return _minhash_signatures_projection(
+            df, text_col, id_col, num_hashes, shingle_k, lowercase,
+            hash_fn, keep_cols)
+    return _minhash_signatures_grouped(
+        df, text_col, id_col, num_hashes, shingle_k, lowercase,
+        hash_fn, keep_cols)
+
+
+def _minhash_signatures_grouped(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    lowercase: bool,
+    hash_fn: str,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    """Batch form of the expression recipe: explode shingle POSITIONS
+    (one codegen `sequence`, no HOF anywhere), hash each shingle once
+    per seed in whole-stage codegen, and groupBy-min the lanes. Lane
+    algebra, hash inputs, and null semantics are exactly the
+    projection form's: position range 1..max(len-k+1, 1); with
+    hash_fn="md5" a NULL text yields NULL lanes (md5(NULL) is NULL and
+    min over all-NULL is NULL, matching array_min over [NULL]); with
+    "xxhash64" a NULL text hashes like the projection form's
+    per-element xxhash64(NULL) (hash exprs are null-skipping, not
+    null-returning). explode_outer is deliberate (§6b,
+    OPTIMIZATION_r12.md): the sequence array is never null/empty, and
+    the outer variant keeps InferFiltersFromGenerate from re-deriving
+    it inside an inferred filter.
+
+    Contract (grouped form only): `id_col` (together with keep_cols)
+    identifies one document per input ROW — the per-document contract
+    the operator has always documented. Rows sharing an id would merge
+    into one signature here where the projection form emitted one row
+    each.
+    """
     # Spread a few-files input across all cores: shingle hashing is
     # CPU-bound and a single parquet file would otherwise pin the whole
     # corpus to one task. At real scale the input already has many
-    # splits. (Streaming DataFrames expose no .rdd and micro-batch
-    # sizing is the source's job — skip.)
+    # splits.
+    df = spread_small_scan(df)
+    keep = list(keep_cols or [])
+    text0 = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    base = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                     text0.alias("_mh_text"))
+    npos = F.greatest(F.length(F.col("_mh_text")) - (shingle_k - 1),
+                      F.lit(1))
+    pos = base.select(
+        F.col(id_col), *[F.col(c) for c in keep], "_mh_text",
+        F.explode_outer(F.sequence(F.lit(1), npos)).alias("_i"))
+    shingle = F.col("_mh_text").substr(F.col("_i"), F.lit(shingle_k))
+    mask = (1 << 56) - 1
+    if hash_fn == "xxhash64":
+        hashed = pos.select(
+            F.col(id_col), *[F.col(c) for c in keep],
+            shingle.alias("_s"),
+        ).select(
+            F.col(id_col), *[F.col(c) for c in keep],
+            F.xxhash64("_s").bitwiseAND(F.lit(mask)).alias("_h1"),
+            F.xxhash64("_s", F.lit(1)).bitwiseAND(F.lit(mask))
+            .alias("_h2"),
+        )
+    elif hash_fn == "md5":
+        hashed = pos.select(
+            F.col(id_col), *[F.col(c) for c in keep],
+            F.md5(shingle).alias("_hs"),
+        ).select(
+            F.col(id_col), *[F.col(c) for c in keep],
+            F.conv(F.substring("_hs", 1, 14), 16, 10).cast("long")
+            .alias("_h1"),
+            F.conv(F.substring("_hs", 15, 14), 16, 10).cast("long")
+            .alias("_h2"),
+        )
+    else:
+        raise ValueError(
+            f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    lanes = []
+    for j in range(num_hashes):
+        if j == 0:
+            # lane 0 is (h1 + 0*h2) & mask = h1 (h1 is pre-masked)
+            term = F.col("_h1")
+        else:
+            term = (F.col("_h1") + F.lit(j) * F.col("_h2")) \
+                .bitwiseAND(F.lit(mask))
+        lanes.append(F.min(term).alias(f"mh{j}"))
+    return hashed.groupBy(F.col(id_col),
+                          *[F.col(c) for c in keep]).agg(*lanes)
+
+
+def _minhash_signatures_projection(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    lowercase: bool,
+    hash_fn: str,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    """Zero-shuffle projection form of the expression recipe (the
+    streaming path; also the bit-parity reference the grouped batch
+    form is pinned against)."""
+    # (Streaming DataFrames expose no .rdd and micro-batch sizing is
+    # the source's job — spread_small_scan skips them.)
     df = spread_small_scan(df)
 
     # Hoist the (lower-)cased text into a materialized column BEFORE

@@ -644,7 +644,29 @@ def ivf_assign_expr(
     # upstream subexpression by its per-term reference count
     # (measured: sim_ann_ivf_frozen 2.3 -> 32 s at sf1 with chains;
     # see the dot_fast helper header). The fold re-derives once.
+    #
+    # r13 (VERDICT r12 item 7): the SAME per-centroid fold expressions
+    # are rendered as ONE SQL string instead of ~70 py4j Column calls
+    # per centroid (k x dims literal Columns cost seconds of driver
+    # time per query at k >= 16; constraint 2 in the dot_fast helper
+    # header; repr literals parse bit-equal). Identical parsed tree —
+    # plan and results unchanged; Column path kept as the
+    # non-finite-literal fallback.
     pre = df.select("*", norm(vec).alias("_vnorm"))
+    lit_rows = [_dlits([float(x) for x in c]) for c in centroids]
+    norm_lits = _dlits([_seq_norm(c) for c in centroids])
+    if all(r is not None for r in lit_rows) and norm_lits is not None:
+        vn = _qname(vec_col)
+        vsql = f"CAST({vn} AS ARRAY<DOUBLE>)"
+        folds = ", ".join(
+            f"aggregate(zip_with({vsql}, array({', '.join(r)}), "
+            f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) / "
+            f"(`_vnorm` * {nl})"
+            for r, nl in zip(lit_rows, norm_lits))
+        cluster = F.expr(
+            f"CAST(array_position(array({folds}), "
+            f"array_max(array({folds}))) - 1 AS INT)")
+        return pre.withColumn("cluster", cluster).drop("_vnorm")
     coss = []
     for c in centroids:
         arr = F.array(*[F.lit(float(x)) for x in c])
@@ -780,9 +802,18 @@ def semantic_dedup(
             f"assign must be 'expr' or 'numpy', got {assign!r}")
     assigner = ivf_assign_expr if assign == "expr" else ivf_assign
     assigned = assigner(df, centroids, vec_col, id_col)
-    cent_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    # r13 (VERDICT r12 item 7): render the literal centroid matrix as
+    # ONE parsed SQL string when every value is finite (k x dims
+    # F.lit Columns cost seconds of py4j driver time; repr literals
+    # parse bit-equal) — identical tree, Column path as fallback.
+    _cent_lits = [_dlits([float(x) for x in c]) for c in centroids]
+    if all(r is not None for r in _cent_lits):
+        cent_arr = F.expr("array(" + ", ".join(
+            "array(" + ", ".join(r) + ")" for r in _cent_lits) + ")")
+    else:
+        cent_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ])
     vec = F.col(vec_col).cast("array<double>")
     # the per-row norm is hoisted out of the O(pairs) join below —
     # the pairwise check then folds ONE dot per pair instead of a
@@ -828,13 +859,49 @@ def semantic_dedup(
          / (F.col("_n")
             * F.element_at(cnorm_arr, F.col("cluster") + 1)))
         .alias("_ccos"),
-    )
+    ).persist()
+    # ^ base is referenced three (pairwise) or four (components) times
+    # below — each join side plus the final outer join — and without
+    # the persist each reference re-scans the corpus and re-runs the
+    # O(k) interpreted assignment folds (guide §5 "reused AND expensive
+    # to recompute"; same within-query pattern as dedup.py's doc_grams).
     a = base.select(F.col("id").alias("id_a"), "cluster",
                     F.col("_v").alias("_va"), F.col("_n").alias("_na"),
                     F.col("_ccos").alias("_ca"))
     b = base.select(F.col("id").alias("id_b"), "cluster",
                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
                     F.col("_ccos").alias("_cb"))
+
+    # r13 (guide §2.5 skew): the within-cluster pair join is quadratic
+    # per cluster, but its shuffle is BYTE-tiny at gate scale, so (a)
+    # at most n_clusters reducers ever get work and (b) AQE coalesces
+    # those few partitions further (observed: the sf1 join ran as 8
+    # tasks on 32 cores). Block-salt the pair enumeration: replicate
+    # side a over B deterministic blocks, key side b by
+    # pmod(xxhash64(id), B), and join on (cluster, block) — every pair
+    # (u, v) still appears exactly once (u's B copies meet v's single
+    # block), the per-key work drops from n_c^2 to n_c^2/B, and the
+    # explicit REPARTITION_BY_NUM on the join keys pins the stage at
+    # `parallelism` tasks (user-numbered shuffles are exempt from AQE
+    # coalescing). Scale-adaptive: B == 1 — and the plan byte-identical
+    # to the unsalted form — as soon as the cluster count covers the
+    # core count (SemDeDup's k ~ n/100 geometry at any real scale);
+    # the salt only exists for the frozen-16-centroid oracle gate.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_clusters = max(1, len(centroids))
+    blocks = min(64, max(1, -(-8 * par // n_clusters)))
+    if blocks > 1:
+        a = a.withColumn(
+            "_bb", F.explode(F.array(
+                *[F.lit(int(j)) for j in range(blocks)])))
+        b = b.withColumn(
+            "_bb",
+            F.pmod(F.xxhash64(F.col("id_b")), F.lit(blocks)).cast("int"))
+        a = a.repartition(par, "cluster", "_bb")
+        b = b.repartition(par, "cluster", "_bb")
+        pair_keys = ["cluster", "_bb"]
+    else:
+        pair_keys = ["cluster"]
     ccos = F.col("_ccos")
     if round_to is not None:
         ccos = F.round(ccos, round_to)
@@ -855,7 +922,7 @@ def semantic_dedup(
         # clusters, so the graph is a union of per-cluster graphs and
         # the edge count is bounded by the same within-cluster join
         edges = (
-            a.join(b, "cluster")
+            a.join(b, pair_keys)
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(dot_fast("_va", "_vb", dims)
                     / (F.col("_na") * F.col("_nb")) >= threshold)
@@ -882,15 +949,25 @@ def semantic_dedup(
     if grouping != "pairwise":
         raise ValueError(
             f"grouping must be 'pairwise' or 'components', got {grouping!r}")
+    # r13 (guide §1.2 step 1): enumerate each unordered pair ONCE.
+    # "Better keeper" is a TOTAL order on (_ccos, id) — lower centroid
+    # cosine wins, ties to the smaller id — so for a near-dup pair
+    # exactly one member is the worse one and it is the only drop the
+    # pair can contribute. The old `id_a != id_b` form evaluated every
+    # pair twice (both orderings) to reach the same set; `id_a < id_b`
+    # halves the quadratic stage. The pair dot is symmetric
+    # (x_i * y_i term by term in index order), so the threshold test
+    # admits exactly the same pairs.
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") != F.col("id_b"))
+        a.join(b, pair_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
         .filter(dot_fast("_va", "_vb", dims)
                 / (F.col("_na") * F.col("_nb")) >= threshold)
-        .filter((F.col("_cb") < F.col("_ca"))
-                | ((F.col("_cb") == F.col("_ca"))
-                   & (F.col("id_b") < F.col("id_a"))))
-        .select(F.col("id_a").alias("id"))
+        .select(
+            F.when(F.col("_ca") < F.col("_cb"), F.col("id_b"))
+            .when(F.col("_ca") > F.col("_cb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))  # tie: smaller id keeps -> id_b
+            .alias("id"))
         .distinct()
         .withColumn("_drop", F.lit(True))
     )
@@ -1096,7 +1173,6 @@ def pq_encode(
           for s in range(m)])
     code_cols = []
     for s, book in enumerate(codebooks):
-        sub = F.col(f"_sub{s}")
         # NB deliberately NOT unrolled (r12): chains measured FASTER
         # in a synthetic micro (3.1x) but SLOWER in the real encode
         # projection at sf1 (bare noop 0.83 -> 2.34 s; the m*K CASE
@@ -1104,6 +1180,26 @@ def pq_encode(
         # whole-stage codegen and the chain evaluates worse there
         # than the fold's primitive-array loop). Measured both ways —
         # see OPTIMIZATION_r12.md §6.
+        #
+        # r13 (VERDICT r12 item 7): the SAME fold expressions are now
+        # rendered as ONE SQL string per subspace instead of ~12 py4j
+        # Column calls per codeword — K x m of those cost 1-10 s of
+        # driver time per query (constraint 2 in the dot_fast helper
+        # header; literals render bit-equal via repr). The parsed
+        # tree is the identical fold — plan and results unchanged;
+        # the Column path remains as the non-finite-literal fallback.
+        lit_rows = [_dlits([float(x) for x in cw]) for cw in book]
+        if all(r is not None for r in lit_rows):
+            sn = _qname(f"_sub{s}")
+            folds = ", ".join(
+                f"aggregate(zip_with({sn}, array({', '.join(r)}), "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, "
+                f"(acc, x) -> acc + x)" for r in lit_rows)
+            code_cols.append(F.expr(
+                f"CAST(array_position(array({folds}), "
+                f"array_min(array({folds}))) - 1 AS INT)"))
+            continue
+        sub = F.col(f"_sub{s}")
         d2s = []
         for cw in book:
             arr = F.array(*[F.lit(float(x)) for x in cw])

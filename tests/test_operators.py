@@ -58,6 +58,37 @@ def test_minhash_matches_python(docs, spark):
         assert row[f"mh{j}"] == expected
 
 
+def test_minhash_grouped_batch_form_bit_equal_to_projection(spark):
+    """r13 path split: the exploded+groupBy BATCH form must be
+    bit-identical to the zero-shuffle projection form (the streaming
+    path) on every lane, for both hash_fns, including the edge rows
+    the two forms could plausibly diverge on — NULL text (md5 lanes
+    NULL; xxhash64 lanes the hash exprs' null-skipping values), empty
+    text, text shorter than the shingle, exact duplicates, long text,
+    and non-ASCII."""
+    from locustdb_spark.operators.dedup import (
+        _minhash_signatures_projection, minhash_signatures)
+
+    rows = [(0, "hello world, a small document"),
+            (1, ""), (2, None), (3, "ab"),
+            (4, "hello world, a small document"),
+            (5, "x" * 300), (6, "unicode éÉ 中文")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for hf in ("md5", "xxhash64"):
+        g = sorted(map(tuple, minhash_signatures(
+            d, num_hashes=6, hash_fn=hf).collect()))
+        p = sorted(map(tuple, _minhash_signatures_projection(
+            d, "text", "doc_id", 6, 5, True, hf, None).collect()))
+        assert g == p, hf
+    g = sorted(map(tuple, minhash_signatures(
+        d, num_hashes=3, lowercase=False, hash_fn="xxhash64",
+        keep_cols=["text"]).collect()))
+    p = sorted(map(tuple, _minhash_signatures_projection(
+        d, "text", "doc_id", 3, 5, False, "xxhash64",
+        ["text"]).collect()))
+    assert g == p
+
+
 def test_minhash_keep_cols_carries_attributes(docs):
     """keep_cols threads blocking attributes through the signature
     projection (one map pass, no corpus join-back); lanes unchanged."""
@@ -886,6 +917,91 @@ def test_semantic_dedup_components_vs_pairwise_on_chain(spark):
     assert hi_pw == hi_cc == {1: True, 2: True, 3: True, 4: True}
     with pytest.raises(ValueError, match="grouping"):
         semantic_dedup(d, cents, grouping="nope")
+
+
+def test_semantic_dedup_halved_pairs_match_original_rule(emb, spark):
+    """r13: the pairwise path now enumerates each unordered pair ONCE
+    (id_a < id_b, worse member emitted) over a block-salted join.
+    Brute-force the ORIGINAL rule in Python — drop v iff some u != v
+    in v's cluster has cos(u, v) >= threshold and (ccos_u < ccos_v or
+    (ccos_u == ccos_v and u < v)) — with Spark's comparison semantics
+    (NaN greater than everything, NaN == NaN) and the exact fold
+    arithmetic, on a corpus slice salted with exact duplicates (ties).
+    (Zero vectors raise DIVIDE_BY_ZERO under ANSI in BOTH the old and
+    new formulations — same expressions — so they are out of scope.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from locustdb_spark.operators.similarity import semantic_dedup
+
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter("vec_id < 8").orderBy("vec_id")
+             .collect()]
+    base = emb.filter("vec_id % 7 = 0").select("vec_id", "embedding")
+    dup = base.filter("vec_id % 21 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = base.unionByName(dup)
+    thr = 0.3
+    got = {r.vec_id: (r.cluster, r.keep)
+           for r in semantic_dedup(corpus, cents, threshold=thr)
+           .collect()}
+
+    # --- original rule, brute force, Spark NaN semantics ---
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def seq_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    def ge(x, y):  # Spark: NaN is greater than everything
+        if math.isnan(x):
+            return True
+        if math.isnan(y):
+            return False
+        return x >= y
+
+    def lt(x, y):
+        if math.isnan(x):
+            return False
+        if math.isnan(y):
+            return True
+        return x < y
+
+    def eq(x, y):  # Spark: NaN == NaN
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return x == y
+
+    rows = [(int(r.vec_id), [float(x) for x in r.embedding])
+            for r in corpus.collect()]
+    cnorms = [seq_norm(c) for c in cents]
+    info = {}
+    for vid, v in rows:
+        sims = [seq_dot(v, c) / (seq_norm(v) * cnorms[j])
+                for j, c in enumerate(cents)]
+        best = max(sims, key=lambda s: (math.isnan(s), s))
+        cl = next(j for j, s in enumerate(sims) if eq(s, best))
+        info[vid] = (cl, sims[cl], v)
+    dropped = set()
+    for vid, (cl, cc, v) in info.items():
+        for uid, (cl2, cc2, u) in info.items():
+            if uid == vid or cl2 != cl:
+                continue
+            cos = seq_dot(u, v) / (seq_norm(u) * seq_norm(v))
+            if ge(cos, thr) and (lt(cc2, cc)
+                                 or (eq(cc2, cc) and uid < vid)):
+                dropped.add(vid)
+                break
+    want = {vid: (cl, vid not in dropped)
+            for vid, (cl, _, _) in info.items()}
+    assert got == want
 
 
 def test_semantic_dedup_numpy_assign_matches_expr(emb):

@@ -55,18 +55,32 @@ def test_broadcast_join_chosen(spark):
     assert "BroadcastHashJoin" in explain_str(joined)
 
 
-def test_minhash_plan_has_no_shuffle(spark):
-    """Signature computation must be a pure projection (no Exchange),
-    modulo the initial repartition of a single-file local input."""
-    from locustdb_spark.operators.dedup import minhash_signatures
+def test_minhash_plan_shapes(spark):
+    """r13 path split: the BATCH form explodes shingle positions and
+    groupBy-mins the lanes — its ONLY added Exchange is the final
+    per-doc aggregate of (id, lanes) longs, fed by a map-side partial
+    min (the text never shuffles), and no interpreted higher-order
+    function remains in the plan. The STREAMING/projection form stays
+    a pure projection: no Exchange beyond the input repartition."""
+    from locustdb_spark.operators.dedup import (
+        _minhash_signatures_projection, minhash_signatures)
 
     docs = spark.read.parquet(f"{TESTDATA_SF}/documents.parquet")
     # bypass the single-file repartition by pre-splitting
     docs = docs.repartition(8)
-    plan = explain_str(minhash_signatures(docs, num_hashes=2))
-    # one exchange may appear for our explicit repartition; the signature
-    # stage itself must not add any
-    assert n_exchanges(plan) <= 1
+
+    batch = explain_str(minhash_signatures(docs, num_hashes=2))
+    # input repartition + the one signature-aggregate exchange
+    assert n_exchanges(batch) <= 2
+    assert "partial_min" in batch        # map-side partial aggregation
+    assert "transform" not in batch      # no interpreted HOF lambdas
+    assert "zip_with" not in batch
+
+    proj = explain_str(_minhash_signatures_projection(
+        docs, "text", "doc_id", 2, 5, True, "md5", None))
+    # the projection form must not add any exchange of its own
+    assert n_exchanges(proj) <= 1
+    assert "HashAggregate" not in proj
 
 
 def test_dialect_limit_becomes_global_limit(tpch):
