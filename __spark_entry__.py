@@ -1696,21 +1696,45 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id long, qvec array<double>, "
         "table_raw array<array<double>>, "
         "tables_res array<array<array<double>>>")
-    codes_raw = pq_encode(emb, books_raw).persist()
+    # r13 (guide §2.5, the r12 spread pattern this entry missed): the
+    # raw encode and the exact-arm cross join are compute-bound
+    # per-row work over a 1-2-split gate-scale scan — spread them
+    # across cores (no-op at scale; row-wise results are identical
+    # under any partitioning). codes_res inherits the spread from
+    # residualize's assigner.
+    from locustdb_spark.operators.spread import spread_small_scan
+
+    codes_raw = pq_encode(spread_small_scan(emb), books_raw).persist()
     codes_res = pq_encode(res_df, books_res, vec_col="residual",
                           keep_cols=["cluster"]).persist()
 
-    def _fold(codes_col, table_col):
-        return F.round(F.aggregate(
-            F.zip_with(codes_col, table_col,
-                       lambda c, trow: F.element_at(trow, c + 1)),
-            F.lit(0.0), lambda acc, x: acc + x), 6)
+    # r13: the per-(row, query) ADC sums and exact squared-L2 run
+    # O(corpus x queries) times — unroll them into codegen chains (the
+    # r12 pq_knn_join/sq_l2_fast kernels: same lookups/terms in the
+    # same order, size-guarded fold fallback, bit-identical — pinned
+    # in tests). The fold forms below are kept verbatim as the
+    # fallbacks.
+    from locustdb_spark.operators.similarity import (
+        _chain_sql, sq_l2_fast)
+
+    def _adc(table_sql: str):
+        chain = _chain_sql([
+            f"element_at({table_sql}[{s}], `codes`[{s}] + 1)"
+            for s in range(PQ_M)])
+        fold = (f"aggregate(zip_with(`codes`, {table_sql}, "
+                f"(c, trow) -> element_at(trow, c + 1)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+        return F.round(F.expr(
+            f"CASE WHEN size(`codes`) = {PQ_M} "
+            f"AND size({table_sql}) = {PQ_M} "
+            f"THEN {chain} ELSE {fold} END"), 6)
+
+    qdims = len(queries[0][1]) if queries else None
 
     w = Window.partitionBy("q_id").orderBy("_d", "vec_id")
     raw_scored = (
         codes_raw.crossJoin(F.broadcast(qdf.select("q_id", "table_raw")))
-        .select("q_id", "vec_id",
-                _fold(F.col("codes"), F.col("table_raw")).alias("_d"))
+        .select("q_id", "vec_id", _adc("`table_raw`").alias("_d"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= PQ_REFINE_KPRIME))
     raw_top = (
@@ -1726,10 +1750,8 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("_cv")), "vec_id")
         .join(F.broadcast(qdf.select("q_id", "qvec")), "q_id")
         .select("q_id", "vec_id",
-                F.round(F.aggregate(
-                    F.zip_with("_cv", "qvec",
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("_d"))
+                F.round(sq_l2_fast("_cv", "qvec", qdims), 6)
+                .alias("_d"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 10)
         .select(F.lit("refined").alias("variant"), "q_id", "vec_id"))
@@ -1737,21 +1759,19 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_res.crossJoin(
             F.broadcast(qdf.select("q_id", "tables_res")))
         .select("q_id", "vec_id",
-                _fold(F.col("codes"),
-                      F.element_at(F.col("tables_res"),
-                                   F.col("cluster") + 1)).alias("_d"))
+                _adc("element_at(`tables_res`, `cluster` + 1)")
+                .alias("_d"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 10)
         .select(F.lit("residual").alias("variant"), "q_id", "vec_id"))
     exact_top = (
-        emb.select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("_v"))
+        spread_small_scan(emb)
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("_v"))
         .crossJoin(F.broadcast(qdf.select("q_id", "qvec")))
         .select("q_id", "vec_id",
-                F.round(F.aggregate(
-                    F.zip_with("_v", "qvec",
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("_d"))
+                F.round(sq_l2_fast("_v", "qvec", qdims), 6)
+                .alias("_d"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 10)
         .select("q_id", "vec_id"))
@@ -3359,7 +3379,13 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
              .select(F.col("o_custkey").alias("src"),
                      F.col("l_suppkey").alias("dst"))
-             .distinct())
+             .distinct()
+             # r13: persist the DISTINCT EDGE LIST itself — without
+             # this the fact join + distinct (the expensive lineage)
+             # is rebuilt up to four times: once under each side of
+             # e = edges x outdeg and once under each branch of the
+             # nodes union. e/nodes below now build from this cache.
+             .persist())
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -3395,6 +3421,7 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     e.unpersist()
     nodes.unpersist()
+    edges.unpersist()
     return spark.createDataFrame(rows, result.schema)
 
 

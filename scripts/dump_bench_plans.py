@@ -18,8 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  — reuse the harness's query definitions
 
 SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "before"
+# r13: optional second arg picks the round directory (default r12 for
+# reproducibility of the r12 artifacts)
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r12")
+    os.path.abspath(__file__))), "plans",
+    sys.argv[2] if len(sys.argv) > 2 else "r12")
 SF_DIR = bench.SF_DIR
 
 
