@@ -1253,6 +1253,9 @@ def ngram_jaccard_pairs(
                 # "" for an empty doc)
                 k = max(len(words) - n, 0)
                 g = [" ".join(words[i:i + n]) for i in range(k + 1)]
+                # INVARIANT (r12 ADVICE): grams must stay DISTINCT
+                # with non-null elements — the pair stage's
+                # |A∪B| = |A|+|B|−|A∩B| algebra depends on it
                 out.append(list(dict.fromkeys(g)))
             return pd.Series(out)
 
@@ -1262,6 +1265,9 @@ def ngram_jaccard_pairs(
         toks = F.filter(
             F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
         tokd = pruned.select("gid", toks.alias("_toks"))
+        # INVARIANT (r12 ADVICE): array_distinct is load-bearing — the
+        # pair stage's |A∪B| = |A|+|B|−|A∩B| algebra requires DISTINCT
+        # non-null gram arrays from every impl
         grams = F.array_distinct(
             F.transform(
                 F.sequence(

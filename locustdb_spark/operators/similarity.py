@@ -137,9 +137,13 @@ def cosine(a: Column, b: Column) -> Column:
 #
 # _UNROLL_MAX_TERMS bounds the emitted expression size: a call site
 # that would exceed it keeps the fold — plan/codegen size must not
-# grow with a caller's geometry.
+# grow with a caller's geometry. 1024 is the measured-safe bound
+# (r12 ADVICE: near 4096 a single Add chain can hit Janino's 64 KB
+# method limit / deep-recursion stack pressure and fall back to
+# whole-stage-interpreted — correct but slower than the fold it
+# replaced; every shipped geometry is <= 256 terms).
 
-_UNROLL_MAX_TERMS = 4096
+_UNROLL_MAX_TERMS = 1024
 
 
 def _dlit(v: float) -> str | None:

@@ -58,6 +58,14 @@ def _max_occurrence(toks_col_name: str) -> Column:
     """Count of the most-frequent token in a (pre-materialized,
     named) token-array column, as int.
 
+    PRECONDITION (r12 ADVICE): the array must contain no NULL
+    elements. A null token starts a run of 1 here, while the old
+    transform+filter formulation counted 0 for it (`t == d` with null
+    is never true). Every current caller feeds `_tokens(...)`, whose
+    filter drops nulls; a future caller with nullable elements must
+    `filter(x -> x IS NOT NULL)` first or results shift by the null
+    run length.
+
     r12 (guide §1.2 step 2): the original formulation —
     `array_max(transform(array_distinct(toks), d ->
     size(filter(toks, t == d))))` — is O(distinct × n) interpreted
